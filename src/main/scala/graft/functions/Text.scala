@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID, quality scoring, token counting, fingerprinting.
+  *
+  * All pure `Column` combinators (codegen'd, no UDFs) so they scale to
+  * 100 TB document corpora as embarrassingly-parallel projections — no
+  * shuffle, no state.
+  */
+object Text {
+
+  /** Whitespace tokenization. */
+  def tokens(c: Column): Column = split(c, "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token counting: letter runs, digit runs, and single
+    * punctuation marks each count as one token. */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column = size(regexp_extract_all(c, lit(bpeTokenPattern), lit(0)))
+
+  // ---------------------------------------------------------------------
+  // Language ID — n-gram/stopword heuristic. Scores each language by the
+  // fraction of tokens found in its tiny stopword set; argmax with a fixed
+  // priority order for deterministic ties.
+  // ---------------------------------------------------------------------
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "que", "por"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人")
+  )
+
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(words: _*)))
+
+  def stopwordRatio(c: Column, words: Seq[String]): Column =
+    stopwordHits(c, words) / greatest(tokenCount(c), lit(1))
+
+  /** Predicted language: highest stopword-hit count wins; ties resolve in
+    * `stopwords` declaration order; zero hits everywhere -> 'und'. */
+  def langId(c: Column): Column = {
+    val scored = stopwords.map { case (lang, words) => lang -> stopwordHits(c, words) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // first declared language holding the max score wins (deterministic ties)
+    scored.reverse.foldLeft(lit("und")) { case (els, (lang, score)) =>
+      when(score === best && score > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Quality scoring — length / punctuation / stopword signals, the
+  // standard pre-training corpus filters.
+  // ---------------------------------------------------------------------
+  def punctRatio(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0))) / greatest(length(c), lit(1))
+
+  def alphaRatio(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]"), lit(0))) / greatest(length(c), lit(1))
+
+  def meanTokenLength(c: Column): Column =
+    length(regexp_replace(c, "\\s+", "")) / greatest(tokenCount(c), lit(1)).cast(DoubleType)
+
+  /** Composite quality score in [0,1]-ish: rewards alpha density and
+    * stopword presence, penalizes extreme token lengths & punctuation. */
+  def qualityScore(c: Column): Column = {
+    val enRatio = stopwordRatio(c, stopwords.head._2)
+    round(
+      alphaRatio(c) * lit(0.4)
+        + least(enRatio * lit(4.0), lit(1.0)) * lit(0.3)
+        + when(tokenCount(c).between(20, 100000), lit(0.2)).otherwise(lit(0.0))
+        + when(meanTokenLength(c).between(3.0, 10.0), lit(0.1)).otherwise(lit(0.0))
+        - punctRatio(c) * lit(0.4),
+      4)
+  }
+
+  // ---------------------------------------------------------------------
+  // Document fingerprinting — order-insensitive content key (md5 of the
+  // sorted distinct token set): catches shuffled/bag-of-words duplicates
+  // that exact-hash dedup misses.
+  // ---------------------------------------------------------------------
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(c))))))
+
+  /** Exact-content key for hash dedup. */
+  def contentHash(c: Column): Column = md5(c)
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators — SURVEY.md §2.2–§2.7.
+  *
+  * All shapes are declarative DataFrame plans so Catalyst picks the
+  * physical strategy; scale notes per operator below.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------------
+  // A5 — order-dependent dedup, keep='last' (Kafka_GSMLSConsumer.py:196-219).
+  //
+  // pandas drop_duplicates(keep='last') relies on arrival order; Spark has
+  // no row order, so the caller MUST supply an explicit ordering column
+  // (kafka offset / SCRAPED_DATE / monotonically increasing batch id) —
+  // SURVEY §7.4(1). Implemented as a window row_number, which shuffles
+  // once on the natural key; at 100 TB the same plan holds (hash
+  // partition by key, per-partition sort) and AQE handles skewed keys.
+  // ---------------------------------------------------------------------
+  def dedupKeepLast(df: DataFrame, keys: Seq[String], orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** keep='first' variant (Mongo $group/$first — RealEstateImages.py:554-557). */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ---------------------------------------------------------------------
+  // S9 — Mongo aggregate equivalent: $match(not exists) -> $group first by
+  // key -> $replaceRoot -> $sort desc (RealEstateImages.py:552-561).
+  // ---------------------------------------------------------------------
+  def pendingWorkQueue(df: DataFrame, doneFlag: String, key: String, order: Column): DataFrame =
+    dedupKeepFirst(df.filter(col(doneFlag).isNull), Seq(key), order)
+      .orderBy(col(key).desc)
+
+  // ---------------------------------------------------------------------
+  // J1 — equi inner join with small build side (GSMLS.py:1370-1376).
+  // geo side is per-municipality tiny -> broadcast hash join, no shuffle
+  // of the big probe side.
+  // ---------------------------------------------------------------------
+  def enrichInner(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), keys, "inner")
+
+  def enrichInner(fact: DataFrame, dim: DataFrame, cond: Column): DataFrame =
+    fact.join(broadcast(dim), cond, "inner")
+
+  // ---------------------------------------------------------------------
+  // J2/J2a — set-based re-expression of the reference's per-row tax-probe
+  // loop (GSMLS.py:153-273): LEFT JOIN on the probe key, then
+  // coalesce-style column repair. At 100 TB the dim is no longer
+  // broadcastable -> sort-merge join on the key with AQE skew handling;
+  // the repair stays pure projection.
+  // ---------------------------------------------------------------------
+  def enrichLeft(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(dim, keys, "left")
+
+  /** Overwrite `target` from `source` when `target` is null / sentinel /
+    * non-positive — fix_tax_assessment_data-family (GSMLS.py:757-866). */
+  def coalesceRepair(df: DataFrame, target: String, source: Column,
+                     badValues: Seq[Any] = Seq(0, 0.0)): DataFrame =
+    df.withColumn(target,
+      when(col(target).isNull || col(target).isin(badValues: _*),
+           coalesce(source, col(target)))
+        .otherwise(col(target)))
+
+  // ---------------------------------------------------------------------
+  // W1/W2 — lag over per-key history (GSMLS.py:1832-1867, 2028-2045).
+  // Time-of-possession: years between consecutive sales of the same
+  // property; first row falls back to a default.
+  // ---------------------------------------------------------------------
+  def timeOfPossession(df: DataFrame, keys: Seq[String], dateCol: String,
+                       default: Double = 10.0): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+    df.withColumn("top_years",
+      coalesce(datediff(col(dateCol), lag(col(dateCol), 1).over(w)) / lit(365.25),
+               lit(default)))
+  }
+
+  // ---------------------------------------------------------------------
+  // O1/O2 — top-k by composite order (GSMLS.py:995-1015). Spark plans
+  // TakeOrderedAndProject: no global sort, per-partition heap + driver
+  // merge — the right plan at any scale for small k.
+  // ---------------------------------------------------------------------
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame = df.orderBy(order: _*).limit(k)
+
+  // ---------------------------------------------------------------------
+  // U1 — union-by-name of heterogeneous batches (Kafka_GSMLSConsumer.py:196).
+  // ---------------------------------------------------------------------
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  // ---------------------------------------------------------------------
+  // S6 prep — pre-validation split replacing the reference's per-row
+  // DataError salvage (Kafka_GSMLSConsumer.py:1232-1254): rows failing the
+  // predicate go to a quarantine sink instead of silently dropping
+  // mid-batch — SURVEY §7.4(7).
+  // ---------------------------------------------------------------------
+  def validSplit(df: DataFrame, valid: Column): (DataFrame, DataFrame) =
+    (df.filter(valid), df.filter(!coalesce(valid, lit(false))))
+}
