@@ -25,7 +25,10 @@ object SparkEntry {
   // =====================================================================
 
   /** TPC-H Q1-shaped pricing summary — SURVEY §2.4 A3/A4 family.
-    * Decimal sums for cross-engine exactness; one hash-shuffle on the
+    * Sums accumulate in DECIMAL (exact, order-independent) and the final
+    * aggregate is cast to DOUBLE so the serialized representation is
+    * engine-portable (Spark widens decimal sums to (28,x), DuckDB to
+    * (38,x) — same value, different type). One hash-shuffle on the
     * 6-value group key with map-side partial aggregation. */
   private val q1Agg: Q = (spark, dir) => {
     Tables.lineitem(spark, dir)
@@ -33,9 +36,10 @@ object SparkEntry {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_base_price"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(18, 4))).as("sum_disc_price"),
+          .cast(DecimalType(18, 4))).cast(DoubleType).as("sum_disc_price"),
         count(lit(1)).as("count_order"),
         round(sum(col("l_quantity")) / count(lit(1)), 2).as("avg_qty"))
   }
@@ -50,20 +54,23 @@ object SparkEntry {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(18, 4))).as("revenue"))
+        .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
 
   /** Hourly tumbling-window aggregation over the event stream (batch view
-    * of ST-family semantics): group by truncated hour + type. */
+    * of ST-family semantics). Groups on the truncated TIMESTAMP (8-byte
+    * shuffle key), formatting the string label only after the aggregate —
+    * at 100× scale you don't want to shuffle 19-byte strings. */
   private val qEventsHourly: Q = (spark, dir) => {
     Tables.events(spark, dir)
-      .groupBy(
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
-        col("event_type"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast(DecimalType(18, 4))).as("sum_value"))
+           sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+        col("event_type"), col("n"), col("sum_value"))
   }
 
   // =====================================================================
@@ -88,10 +95,11 @@ object SparkEntry {
       .filter(lower(col("p_name")).startsWith("sm"))
       .select(col("p_partkey"), col("p_name"))
 
-  /** P6/P8-style JSON point extraction + range predicate over events.props. */
+  /** P6/P8-style JSON point extraction + range predicate over events.props
+    * (F28 decode half) — real JSON-path access, not regex-on-JSON. */
   private val qEventsJson: Q = (spark, dir) =>
     Tables.events(spark, dir)
-      .withColumn("k_val", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(LongType))
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast(LongType))
       .filter(col("k_val") > 90)
       .select(col("event_id"), col("k_val"))
 
@@ -240,7 +248,7 @@ object SparkEntry {
   /** F6 — control-char strip (Kafka_GSMLSConsumer.py:287-313). */
   private val qF6CtrlStrip: Q = (spark, dir) =>
     Tables.documents(spark, dir)
-      .withColumn("dirty", concat(col("text"), lit("\t")))
+      .withColumn("dirty", concat(col("text"), lit("\t\u0001")))
       .withColumn("len_dirty", length(col("dirty")).cast(LongType))
       .withColumn("len_clean", length(Cleaning.stripControlChars(col("dirty"))).cast(LongType))
       .select(col("doc_id"), col("len_dirty"), col("len_clean"))
@@ -442,15 +450,15 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
          count(*) AS count_order,
          round(sum(l_quantity) / count(*), 2) AS avg_qty
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
     "q3_topk_join" ->
       """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
-         sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS revenue
+         CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM lineitem l
          JOIN orders o ON l.l_orderkey = o.o_orderkey
          JOIN customer c ON o.o_custkey = c.c_custkey
@@ -462,11 +470,11 @@ object SparkEntry {
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
          event_type, count(*) AS n,
-         sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
     "q_events_json" ->
-      """SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
-         FROM events WHERE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) > 90""",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+         FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90""",
     "q_p1_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
     "q_p5_filter_eq" ->

@@ -27,12 +27,17 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects; read it as nanos-since-epoch (legacy flag) and
-    * convert to a microsecond TIMESTAMP_NTZ (matches how the other
-    * tables' naive timestamps surface). */
+    * convert to a microsecond TIMESTAMP_NTZ. The conversion is pure
+    * arithmetic on the NTZ epoch — no instant/timezone round-trip — so
+    * the wall-clock matches what DuckDB reads from the same parquet
+    * regardless of session timezone. The conf set is idempotent and
+    * read at plan time; sessions built via Verify/Bench/tests also set
+    * it up front. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      .withColumn("ts",
+        expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -27,10 +27,16 @@ object Similarity {
   // ---------------------------------------------------------------------
   def shinglesArray(text: Column, n: Int): Column = {
     val toks = split(text, "\\s+")
-    filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-      s => s =!= "")
+    // Guard: a document with fewer than n tokens yields an empty shingle
+    // set. Without the guard sequence(0, size-n) would produce a
+    // DESCENDING [0,-1] array and slice(toks, 0, n) throws (SQL array
+    // indices are 1-based).
+    when(size(toks) >= n,
+      filter(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+        s => s =!= ""))
+      .otherwise(array().cast(ArrayType(StringType)))
   }
 
   /** Exploded (id, shingle) pairs, distinct per doc. */
