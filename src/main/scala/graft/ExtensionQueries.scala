@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Text
+import graft.operators.Similarity
+
+/** Training-data-pipeline extension queries (dedup / similarity / text
+  * analysis) with DuckDB oracle SQL. The heavier oracle statements
+  * (minhash bands, 64-bit simhash bit sums, dot-product folds) are
+  * generated from the same constants the Spark plans use, so both sides
+  * stay in lockstep by construction.
+  */
+object ExtensionQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  // Deterministic 64-dim query vector for the ANN queries: multiples of
+  // 0.1 in [-0.9, 0.9], exactly representable in SQL literals.
+  val queryVec: Seq[Double] = (0 until 64).map(d => ((d * 37 % 19) - 9) / 10.0)
+  private val numPlanes = 8
+  private val minhashN = 16
+  private val rowsPerBand = 4
+  private val lshBucketCap = 100
+  private val jaccardThreshold = 0.8
+  private val shingleFreqCap = 1000L
+
+  // =====================================================================
+  // Spark queries
+  // =====================================================================
+
+  /** Token counting: whitespace + BPE-ish regex (Text ops T-token). */
+  private val qTTokens: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).cast(LongType).as("n_ws"),
+        Text.bpeTokenCount(col("text")).cast(LongType).as("n_bpe"))
+
+  /** Language ID via stopword-hit argmax with declaration-order ties. */
+  private val qTLangId: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+
+  /** Composite quality score. */
+  private val qTQuality: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+
+  /** Order-insensitive bag-of-words fingerprint. */
+  private val qTFingerprint: Q = (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+
+  /** Exact content-hash dedup groups. */
+  private val qSimExactDedup: Q = (spark, dir) =>
+    Similarity.exactDedup(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** MinHash signatures (16 hashes over distinct 3-shingles). */
+  private val qSimMinhash: Q = (spark, dir) =>
+    Similarity.minhashSignature(
+      Similarity.shingles(Tables.documents(spark, dir), "doc_id", "text", 3),
+      "doc_id", minhashN)
+
+  /** LSH candidate near-duplicate pairs (4 bands × 4 rows, bucket cap). */
+  private val qSimLshPairs: Q = (spark, dir) =>
+    Similarity.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
+      shingleN = 3, numHashes = minhashN, rowsPerBand = rowsPerBand,
+      maxBucketSize = lshBucketCap)
+
+  /** 64-bit SimHash fingerprints. */
+  private val qSimSimhash: Q = (spark, dir) =>
+    Similarity.simhashFingerprint(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Exact n-gram Jaccard pairs above threshold (shingle-freq capped). */
+  private val qSimJaccard: Q = (spark, dir) =>
+    Similarity.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, threshold = jaccardThreshold, maxShingleFreq = shingleFreqCap)
+
+  /** Brute-force cosine top-10 against the constant query vector. */
+  private val qSimCosineTopk: Q = (spark, dir) =>
+    Similarity.bruteForceTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      Similarity.vecLit(queryVec), 10)
+
+  /** Hyperplane-LSH ANN top-10 with Hamming-radius-1 multi-probe. */
+  private val qSimAnnLsh: Q = (spark, dir) =>
+    Similarity.lshAnnTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryVec, numPlanes, 10, probeRadius = 1)
+
+  def queries: Map[String, Q] = Map(
+    "q_t_tokens"        -> qTTokens,
+    "q_t_lang_id"       -> qTLangId,
+    "q_t_quality"       -> qTQuality,
+    "q_t_fingerprint"   -> qTFingerprint,
+    "q_sim_exact_dedup" -> qSimExactDedup,
+    "q_sim_minhash"     -> qSimMinhash,
+    "q_sim_lsh_pairs"   -> qSimLshPairs,
+    "q_sim_simhash"     -> qSimSimhash,
+    "q_sim_jaccard"     -> qSimJaccard,
+    "q_sim_cosine_topk" -> qSimCosineTopk,
+    "q_sim_ann_lsh"     -> qSimAnnLsh
+  )
+
+  // =====================================================================
+  // Oracle SQL (DuckDB 1.0) — generated from the same constants
+  // =====================================================================
+
+  /** Distinct (doc_id, 3-shingle) pairs — DuckDB list slicing is 1-based
+    * inclusive, so t[i:i+2] is the 3-token window starting at i. */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      |       FROM toks, unnest(range(1, greatest(len(t)-1, 1))) AS u(i)
+      |       WHERE array_to_string(t[i:i+2], ' ') <> '')""".stripMargin
+
+  private val minhashAggs: String =
+    (0 until minhashN).map(s => s"min(md5('s$s:' || shingle)) AS mh$s").mkString(",\n  ")
+
+  private val stopwordsSqlIn: Map[String, String] =
+    Text.stopwords.toMap.map { case (lang, ws) =>
+      lang -> ws.map(w => s"'$w'").mkString("(", ",", ")")
+    }
+
+  private def hitsExpr(lang: String): String =
+    s"len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ${stopwordsSqlIn(lang)}))"
+
+  private def sqlList(xs: Seq[Double]): String =
+    xs.map(_.toString).mkString("[", ",", "]") + "::DOUBLE[]"
+
+  /** vec · constant-list as a left fold (same order as Spark's aggregate). */
+  private def dotSql(vecExpr: String, lst: String): String =
+    s"list_reduce(list_transform(list_zip($vecExpr, $lst), x -> CAST(x[1] AS DOUBLE) * x[2]), (a,b) -> a+b)"
+
+  private def normSql(vecExpr: String): String =
+    s"sqrt(list_reduce(list_transform($vecExpr, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))"
+
+  private val qvecSql = sqlList(queryVec)
+  private val qvecNorm = math.sqrt(queryVec.foldLeft(0.0)((a, x) => a + x * x))
+
+  private def cosineSql(vecExpr: String): String =
+    s"round(${dotSql(vecExpr, qvecSql)} / (${normSql(vecExpr)} * ${normSql(qvecSql)}), 6)"
+
+  private val planes = Similarity.hyperplaneWeights(numPlanes, queryVec.length)
+  private val probes = Similarity.probeBuckets(Similarity.bucketOf(queryVec, planes), 1)
+
+  private val bucketSql: String =
+    planes.map { w =>
+      s"(CASE WHEN ${dotSql("embedding", sqlList(w.toSeq))} >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  private val simhashBitSums: String =
+    (0 until Similarity.simhashBits).map { j =>
+      val src = if (j < 32) "h1" else "h2"
+      val pos = (j % 32) + 1
+      s"sum(CASE WHEN substring($src, $pos, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n  ")
+
+  private val simhashConcat: String =
+    (0 until Similarity.simhashBits)
+      .map(j => s"(CASE WHEN b$j > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  private val bandedSql: String =
+    (0 until minhashN / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
+      s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_t_tokens" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+         FROM documents""",
+    "q_t_lang_id" ->
+      s"""WITH h AS (SELECT doc_id,
+            ${hitsExpr("en")} AS h_en, ${hitsExpr("de")} AS h_de,
+            ${hitsExpr("fr")} AS h_fr, ${hitsExpr("es")} AS h_es,
+            ${hitsExpr("zh")} AS h_zh
+          FROM documents),
+          m AS (SELECT *, greatest(h_en, h_de, h_fr, h_es, h_zh) AS mx FROM h)
+          SELECT doc_id,
+            CASE WHEN h_en = mx AND mx > 0 THEN 'en'
+                 WHEN h_de = mx AND mx > 0 THEN 'de'
+                 WHEN h_fr = mx AND mx > 0 THEN 'fr'
+                 WHEN h_es = mx AND mx > 0 THEN 'es'
+                 WHEN h_zh = mx AND mx > 0 THEN 'zh'
+                 ELSE 'und' END AS lang_pred
+          FROM m""",
+    "q_t_quality" ->
+      s"""WITH f AS (SELECT doc_id,
+            len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) AS alpha_ratio,
+            ${hitsExpr("en")} / greatest(len(string_split_regex(text, '\\s+')), 1) AS en_ratio,
+            len(string_split_regex(text, '\\s+')) AS n_tok,
+            length(regexp_replace(text, '\\s+', '', 'g')) / CAST(greatest(len(string_split_regex(text, '\\s+')), 1) AS DOUBLE) AS mean_tok_len,
+            len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1) AS punct_ratio
+          FROM documents)
+          SELECT doc_id,
+            round(alpha_ratio * 0.4
+              + least(en_ratio * 4.0, 1.0) * 0.3
+              + (CASE WHEN n_tok BETWEEN 20 AND 100000 THEN 0.2 ELSE 0.0 END)
+              + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 0.1 ELSE 0.0 END)
+              - punct_ratio * 0.4, 4) AS q
+          FROM f""",
+    "q_t_fingerprint" ->
+      """SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+         FROM documents""",
+    "q_sim_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY 1""",
+    "q_sim_minhash" ->
+      s"""WITH $shingleCte
+          SELECT doc_id,
+          $minhashAggs
+          FROM sh GROUP BY doc_id""",
+    "q_sim_lsh_pairs" ->
+      s"""WITH $shingleCte,
+          sig AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+          banded AS ($bandedSql),
+          capped AS (SELECT doc_id, band, band_key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM banded)
+            WHERE bsz <= $lshBucketCap)
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM capped l JOIN capped r
+            ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id""",
+    "q_sim_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+          h AS (SELECT doc_id, md5('a:' || tok) AS h1, md5('b:' || tok) AS h2 FROM toks),
+          s AS (SELECT doc_id,
+          $simhashBitSums
+          FROM h GROUP BY doc_id)
+          SELECT doc_id, $simhashConcat AS simhash FROM s""",
+    "q_sim_jaccard" ->
+      s"""WITH $shingleCte,
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          capped AS (SELECT doc_id, shingle FROM (
+            SELECT *, count(*) OVER (PARTITION BY shingle) AS f FROM sh)
+            WHERE f <= $shingleFreqCap),
+          co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                 FROM capped a JOIN capped b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+          SELECT id_a, id_b,
+                 round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+          FROM co JOIN sizes sa ON co.id_a = sa.doc_id
+                  JOIN sizes sb ON co.id_b = sb.doc_id
+          WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= $jaccardThreshold""",
+    "q_sim_cosine_topk" ->
+      s"""SELECT vec_id, ${cosineSql("embedding")} AS cosine_sim
+          FROM embeddings
+          ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""",
+    "q_sim_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+          SELECT vec_id, bucket, ${cosineSql("embedding")} AS cosine_sim
+          FROM b
+          WHERE bucket IN (${probes.map(p => s"'$p'").mkString(",")})
+          ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10"""
+  )
+}

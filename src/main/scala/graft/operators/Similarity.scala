@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 
 /** Deduplication & similarity-search operators for training-data
   * pipelines: exact hash dedup, MinHash+LSH, SimHash, n-gram Jaccard,
-  * embedding-cosine brute-force and LSH-bucketed ANN.
+  * embedding-cosine brute-force and hyperplane-LSH ANN.
   *
   * Design notes for 100 TB:
   *  - Shingling/minhashing are per-row projections (no shuffle).
   *  - LSH banding turns the O(n²) pair space into a single hash-shuffle
-  *    on band keys; bucket sizes bound the join fan-out.
+  *    on band keys; `maxBucketSize` caps degenerate buckets so one hot
+  *    key (empty/boilerplate docs sharing a signature) cannot make the
+  *    self-join quadratic.
   *  - All hashes are engine-portable (md5 over deterministic strings),
   *    so results are reproducible across engines and runs — no
   *    Math.random / JVM-hash dependence.
@@ -20,10 +22,7 @@ import org.apache.spark.sql.types._
 object Similarity {
 
   // ---------------------------------------------------------------------
-  // Shingling: word n-grams via a per-document window (lead) — identical
-  // semantics are expressible in any SQL engine, and in Spark the window
-  // is per-document so the shuffle key is the doc id (well distributed).
-  // For pure-projection shingling (no shuffle at all) use shinglesArray.
+  // Shingling: word n-grams as a pure projection (no shuffle).
   // ---------------------------------------------------------------------
   def shinglesArray(text: Column, n: Int): Column = {
     val toks = split(text, "\\s+")
@@ -61,43 +60,63 @@ object Similarity {
   }
 
   /** LSH banding: split the signature into bands of `rowsPerBand` hashes;
-    * docs sharing any band key are candidate near-duplicates. */
+    * docs sharing any band key are candidate near-duplicates.
+    *
+    * `maxBucketSize` drops band buckets larger than the cap BEFORE the
+    * self-join — one degenerate band key would otherwise fan out
+    * quadratically. Dropped buckets only lose recall for keys so common
+    * they are boilerplate; exact-dedup catches identical docs first.
+    */
   def lshCandidatePairs(sig: DataFrame, idCol: String,
-                        numHashes: Int, rowsPerBand: Int): DataFrame = {
+                        numHashes: Int, rowsPerBand: Int,
+                        maxBucketSize: Int = 100): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       sig.select(col(idCol), lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("band_key"))
     }
-    val banded = bands.reduce(_.unionAll(_))
-    val l = banded.as("l")
-    val r = banded.as("r")
+    val banded = bands.reduce(_.union(_))
+    val capped = banded
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val l = capped.as("l")
+    val r = capped.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
               col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()
   }
 
-  /** End-to-end MinHash-LSH near-dup candidates over (id, text). */
+  /** End-to-end MinHash-LSH near-dup candidates over (id, text).
+    * Defaults: 16 hashes / 4 rows per band = 4 bands — at J=0.8 a pair
+    * matches some band with p ≈ 1-(1-0.8^4)^4 ≈ 0.93. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 4): DataFrame =
+                 shingleN: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+                 maxBucketSize: Int = 100): DataFrame =
     lshCandidatePairs(minhashSignature(shingles(df, idCol, textCol, shingleN), idCol, numHashes),
-                      idCol, numHashes, rowsPerBand)
+                      idCol, numHashes, rowsPerBand, maxBucketSize)
 
   // ---------------------------------------------------------------------
-  // SimHash — 16-bit fingerprint from token hashes. Bit j's weight for a
-  // token is +1 when hex digit j of md5(token) is >= '8' (top bit of the
-  // nibble), else −1; fingerprint bit j = (sum over tokens > 0).
-  // Pure projection + one groupBy(doc) — portable across engines.
+  // SimHash — 64-bit fingerprint from two salted token hashes (32 hex
+  // nibbles each). Bit j's weight for a token is +1 when hex digit j of
+  // the salted md5 has its top nibble-bit set, else −1; fingerprint
+  // bit j = (sum over tokens > 0). Pure projection + one groupBy(doc).
+  // 64 bits ≈ 1.8e19 buckets — corpus-scale resolution (16 bits = 65k
+  // buckets saturates immediately).
   // ---------------------------------------------------------------------
-  val simhashBits = 16
+  val simhashBits = 64
+
+  private val topNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
   def simhashFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("tok"))
-      .withColumn("h", md5(col("tok")))
+      .withColumn("h1", md5(concat(lit("a:"), col("tok"))))
+      .withColumn("h2", md5(concat(lit("b:"), col("tok"))))
     val bitSums = (0 until simhashBits).map { j =>
-      sum(when(substring(col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-            .otherwise(-1)).as(s"b$j")
+      val src = if (j < 32) col("h1") else col("h2")
+      val pos = (j % 32) + 1
+      sum(when(substring(src, pos, 1).isin(topNibble: _*), 1).otherwise(-1)).as(s"b$j")
     }
     toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),
@@ -108,14 +127,23 @@ object Similarity {
   // ---------------------------------------------------------------------
   // N-gram Jaccard — exact set similarity via shingle co-occurrence join:
   // |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
-  // The shingle join IS the LSH-free exact path; at scale, gate it behind
-  // minhashLsh candidates to bound the pair space.
+  // `maxShingleFreq` caps the per-shingle fan-out (a shingle appearing in
+  // f docs contributes f² join rows): ubiquitous shingles are dropped
+  // from the intersection counts, which biases jaccard DOWN for pairs
+  // sharing only boilerplate — the safe direction for a dedup gate. For
+  // corpus-scale exact jaccard, gate the pair space behind minhashLsh
+  // candidates instead of the raw self-join.
   // ---------------------------------------------------------------------
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        maxShingleFreq: Long = 1000L): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val co = sh.as("a").join(sh.as("b"),
+    val capped = sh
+      .withColumn("__freq", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__freq") <= maxShingleFreq)
+      .drop("__freq")
+    val co = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -140,6 +168,9 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Literal column for a constant query vector. */
+  def vecLit(q: Seq[Double]): Column = array(q.map(lit): _*)
+
   /** Brute-force top-k nearest neighbours of one query vector.
     * Per-row projection + TakeOrderedAndProject: the right baseline at any
     * scale (no shuffle; k-heap per partition). */
@@ -154,27 +185,68 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
-  // LSH-bucketed ANN — random-hyperplane signs over a deterministic set of
-  // coordinate planes (dims 0..p-1): vectors in the query's bucket are the
-  // only candidates. At 100 TB: bucket id becomes the partition key; the
-  // probe is a broadcast of the query bucket id(s).
+  // Hyperplane-LSH ANN — signed-random-projection buckets with
+  // multi-probe.
+  //
+  // Hyperplanes are deterministic Rademacher (±1) vectors derived from a
+  // fixed arithmetic sequence, so buckets are reproducible across
+  // engines and runs (and the oracle can recompute them). Sign bit p =
+  // (vec · w_p >= 0); bucket = the `planes`-bit string. Multi-probe
+  // expands the query bucket to all buckets within Hamming radius
+  // `probeRadius` — the standard recall fix for boundary-crossing
+  // neighbours.
+  //
+  // At 100 TB: `withBuckets` output is written partitioned/bucketed by
+  // `bucket`; a query then touches only `1 + planes` partitions (radius
+  // 1) instead of scanning the corpus — the filter below pushes straight
+  // into such a layout.
   // ---------------------------------------------------------------------
-  def signBucket(vec: Column, planes: Int): Column =
-    concat((0 until planes).map(i =>
-      when(element_at(vec, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+  def hyperplaneWeights(planes: Int, dims: Int): Seq[Array[Double]] =
+    (0 until planes).map { p =>
+      Array.tabulate(dims)(d => if ((p * 73 + d * 139) % 97 < 48) 1.0 else -1.0)
+    }
 
+  /** Bucket of a vector column under the given hyperplanes. */
+  def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    concat(planes.map { w =>
+      when(dot(vec, vecLit(w.toSeq)) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** Driver-side bucket of a constant query vector (pure arithmetic —
+    * same fold order as the column expression). */
+  def bucketOf(q: Seq[Double], planes: Seq[Array[Double]]): String =
+    planes.map { w =>
+      val d = q.zip(w).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      if (d >= 0) "1" else "0"
+    }.mkString
+
+  /** Query bucket plus all buckets within the given Hamming radius. */
+  def probeBuckets(bucket: String, radius: Int = 1): Seq[String] = {
+    require(radius >= 0 && radius <= 2, "probe radius 0..2 supported")
+    val r1 = bucket.indices.map(i =>
+      bucket.updated(i, if (bucket(i) == '1') '0' else '1'))
+    val r2 = if (radius < 2) Seq.empty
+      else for { i <- bucket.indices; j <- bucket.indices if j > i }
+        yield bucket.updated(i, if (bucket(i) == '1') '0' else '1')
+          .updated(j, if (bucket(j) == '1') '0' else '1')
+    (Seq(bucket) ++ (if (radius >= 1) r1 else Seq.empty) ++ r2).distinct
+  }
+
+  def withBuckets(emb: DataFrame, vecCol: String, numPlanes: Int, dims: Int): DataFrame =
+    emb.withColumn("bucket", hyperplaneBucket(col(vecCol), hyperplaneWeights(numPlanes, dims)))
+
+  /** ANN top-k: candidates = vectors in the query's probe buckets, ranked
+    * by exact cosine. */
   def lshAnnTopK(emb: DataFrame, idCol: String, vecCol: String,
-                 queryVec: Column, planes: Int, k: Int): DataFrame = {
-    val bucketed = emb.withColumn("bucket", signBucket(col(vecCol), planes))
-    bucketed
-      .filter(col("bucket") === signBucket(queryVec, planes))
-      .withColumn("cosine_sim", round(cosine(col(vecCol), queryVec), 6))
+                 query: Seq[Double], numPlanes: Int, k: Int,
+                 probeRadius: Int = 1): DataFrame = {
+    val planes = hyperplaneWeights(numPlanes, query.length)
+    val probes = probeBuckets(bucketOf(query, planes), probeRadius)
+    withBuckets(emb, vecCol, numPlanes, query.length)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("cosine_sim", round(cosine(col(vecCol), vecLit(query)), 6))
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .select(col(idCol), col("bucket"), col("cosine_sim"))
       .limit(k)
-  }
-
-  private implicit class UnionOps(df: DataFrame) {
-    def unionAll(other: DataFrame): DataFrame = df.union(other)
   }
 }
