@@ -31,7 +31,9 @@ object Cleaning {
   // ---------------------------------------------------------------------
   def parseCurrency(c: Column): Column =
     when(trim(c) === "---", lit(0.0))
-      .otherwise(regexp_replace(c, "[$,]", "").cast(DoubleType))
+      .otherwise(regexp_replace(c, "[$,]", "").try_cast(DoubleType))
+      // try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+      // THROWS on unparsable input; the reference's errors='coerce' nulls.
 
   // ---------------------------------------------------------------------
   // F4 — null-safe concat with explicit na_rep (Kafka_GSMLSConsumer.py:143-149)
@@ -141,8 +143,8 @@ object Cleaning {
   def parseDateCoerce(c: Column, fmt: String = "MM/dd/yyyy HH:mm:ss"): Column =
     try_to_timestamp(c, lit(fmt))
 
-  def parseMonth(dateStr: Column): Column = split(dateStr, "/").getItem(0).cast(LongType)
-  def parseYear(dateStr: Column): Column  = substring(split(dateStr, "/").getItem(2), 1, 4).cast(LongType)
+  def parseMonth(dateStr: Column): Column = split(dateStr, "/").getItem(0).try_cast(LongType)
+  def parseYear(dateStr: Column): Column  = substring(split(dateStr, "/").getItem(2), 1, 4).try_cast(LongType)
 
   // ---------------------------------------------------------------------
   // F14 — quarter from date (GSMLS.py:798-811) — builtin `quarter`.

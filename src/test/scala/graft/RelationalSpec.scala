@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def arrivals = Seq(
+    // (key, arrival_order, payload)
+    ("k1", 1L, "old"), ("k1", 2L, "mid"), ("k1", 3L, "new"),
+    ("k2", 5L, "only"),
+    ("k3", 9L, "a"), ("k3", 7L, "b")).toDF("key", "arr", "payload")
+
+  test("A5 dedupKeepLast keeps the row with max ordering column per key") {
+    val out = Relational.dedupKeepLast(arrivals, Seq("key"), col("arr"))
+      .orderBy("key").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("k1", "new"), ("k2", "only"), ("k3", "a")))
+  }
+
+  test("A5 dedupKeepLast is idempotent") {
+    val once = Relational.dedupKeepLast(arrivals, Seq("key"), col("arr"))
+    val twice = Relational.dedupKeepLast(once, Seq("key"), col("arr"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("A2 dedupKeepFirst keeps the min ordering row per key") {
+    val out = Relational.dedupKeepFirst(arrivals, Seq("key"), col("arr"))
+      .orderBy("key").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("k1", "old"), ("k2", "only"), ("k3", "b")))
+  }
+
+  test("J2a coalesceRepair overwrites null/sentinel targets only") {
+    val df = Seq(
+      (1, 0.0, 100.0),              // sentinel 0.0 -> repaired
+      (2, 50.0, 999.0),             // good value -> kept
+      (3, 0.0, Double.NaN)).toDF("id", "target", "source")
+      .withColumn("source", when(col("id") === 3, lit(null: java.lang.Double)).otherwise(col("source")))
+    val out = Relational.coalesceRepair(df, "target", col("source"))
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(out == Seq(100.0, 50.0, 0.0)) // null source keeps original
+  }
+
+  test("S6 validSplit partitions rows totally and disjointly (null predicate -> quarantine)") {
+    val df = Seq(
+      (1, Some(5)), (2, Some(-1)), (3, None)).toDF("id", "v")
+    val (ok, bad) = Relational.validSplit(df, col("v") > 0)
+    assert(ok.select("id").as[Int].collect().toSet == Set(1))
+    assert(bad.select("id").as[Int].collect().toSet == Set(2, 3))
+    assert(ok.count() + bad.count() == df.count())
+  }
+
+  test("O1/O2 topK returns k rows in composite order") {
+    val df = Seq((1, 10.0), (2, 30.0), (3, 30.0), (4, 20.0)).toDF("id", "score")
+    val out = Relational.topK(df, 2, col("score").desc, col("id").asc)
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(2, 3))
+  }
+
+  test("U1 unionAll aligns by name and fills missing columns with null") {
+    val a = Seq((1, "x")).toDF("id", "only_a")
+    val b = Seq((2, true)).toDF("id", "only_b")
+    val out = Relational.unionAll(Seq(a, b))
+    assert(out.columns.toSet == Set("id", "only_a", "only_b"))
+    assert(out.count() == 2)
+    assert(out.filter(col("only_a").isNull).count() == 1)
+  }
+
+  test("W1 timeOfPossession lags per key with default for first row") {
+    val df = Seq(
+      ("p1", "2020-01-01"), ("p1", "2022-01-01"),
+      ("p2", "2021-06-15")).toDF("prop", "d")
+      .withColumn("d", to_date(col("d")))
+    val out = Relational.timeOfPossession(df, Seq("prop"), "d")
+      .orderBy("prop", "d").collect()
+    assert(out(0).getDouble(out(0).length - 1) == 10.0)            // first p1 row -> default
+    assert(math.abs(out(1).getDouble(out(1).length - 1) - 2.0) < 0.01) // ~2 years
+    assert(out(2).getDouble(out(2).length - 1) == 10.0)            // only p2 row -> default
+  }
+
+  test("S9 pendingWorkQueue: null-flag filter + group-first + desc order") {
+    val df = Seq(
+      ("m1", Some("Yes"), 1), ("m2", None, 2), ("m2", None, 1), ("m3", None, 7))
+      .toDF("mls", "done", "ord")
+    val out = Relational.pendingWorkQueue(df, "done", "mls", col("ord"))
+      .select("mls", "ord").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(out == Seq(("m3", 7), ("m2", 1)))
+  }
+}

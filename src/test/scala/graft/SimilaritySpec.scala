@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shinglesArray produces word n-grams; short docs yield empty (no crash)") {
+    val df = Seq(
+      (1L, "a b c d"),     // 2 shingles of n=3
+      (2L, "a b"),         // shorter than n -> empty
+      (3L, ""),            // empty -> empty
+      (4L, "x y z")).toDF("id", "text")
+    val got = df.select(col("id"), Similarity.shinglesArray(col("text"), 3).as("sh"))
+      .orderBy("id").collect().map(_.getSeq[String](1).toSeq).toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq(), Seq(), Seq("x y z")))
+  }
+
+  test("exactDedup groups identical content, keeps min id") {
+    val df = Seq((10L, "same text"), (3L, "same text"), (7L, "other")).toDF("id", "text")
+    val out = Similarity.exactDedup(df, "id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((3L, 2L), (7L, 1L)))
+  }
+
+  test("minhash signatures are identical for identical shingle sets") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"), (3L, "z1 z2 z3 z4")).toDF("id", "text")
+    val sig = Similarity.minhashSignature(Similarity.shingles(df, "id", "text", 3), "id", 8)
+      .orderBy("id").collect()
+    assert((1 to 8).forall(i => sig(0).getString(i) == sig(1).getString(i)))
+    assert((1 to 8).exists(i => sig(0).getString(i) != sig(2).getString(i)))
+  }
+
+  test("minhashLsh surfaces identical docs as candidate pairs") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with no overlap whatsoever here now")).toDF("id", "text")
+    val pairs = Similarity.minhashLsh(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("lshCandidatePairs bucket cap drops degenerate buckets") {
+    // 5 identical docs -> one band bucket of size 5; cap 4 must drop it
+    val df = (1L to 5L).map(i => (i, "same same same same same")).toDF("id", "text")
+    val sig = Similarity.minhashSignature(Similarity.shingles(df, "id", "text", 3), "id", 8)
+    val capped = Similarity.lshCandidatePairs(sig, "id", 8, 4, maxBucketSize = 4)
+    assert(capped.count() == 0)
+    val uncapped = Similarity.lshCandidatePairs(sig, "id", 8, 4, maxBucketSize = 100)
+    assert(uncapped.count() == 10) // C(5,2)
+  }
+
+  test("ngramJaccardPairs computes exact set jaccard") {
+    val df = Seq(
+      (1L, "a b c d e"),   // shingles: abc bcd cde
+      (2L, "a b c d x"),   // shingles: abc bcd cdx  -> inter 2, union 4 -> 0.5
+      (3L, "p q r s t")).toDF("id", "text")
+    val out = Similarity.ngramJaccardPairs(df, "id", "text", 3, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 2L, 0.5)))
+  }
+
+  test("simhash is 64 bits, deterministic, and equal for equal token bags") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta")).toDF("id", "text")
+    val out = Similarity.simhashFingerprint(df, "id", "text").orderBy("id").collect()
+    assert(out(0).getString(1).length == 64)
+    assert(out(0).getString(1) == out(1).getString(1))
+    assert(out(0).getString(1) != out(2).getString(1))
+    assert(out(0).getString(1).forall(c => c == '0' || c == '1'))
+  }
+
+  test("cosine of identical vectors is 1; orthogonal is 0") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 2.0f)),
+      (2L, Seq(0.0f, 3.0f, 0.0f))).toDF("id", "vec")
+    val self = df.filter(col("id") === 1)
+      .select(round(Similarity.cosine(col("vec"), col("vec")), 6)).collect()(0).getDouble(0)
+    assert(self == 1.0)
+    val ortho = df.filter(col("id") === 2)
+      .select(Similarity.cosine(col("vec"), Similarity.vecLit(Seq(1.0, 0.0, 2.0))))
+      .collect()(0).getDouble(0)
+    assert(ortho == 0.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("id", "vec")
+    val out = Similarity.bruteForceTopK(df, "id", "vec", Similarity.vecLit(Seq(1.0, 0.0)), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("probeBuckets covers Hamming radius and dedups") {
+    assert(Similarity.probeBuckets("101", 0) == Seq("101"))
+    assert(Similarity.probeBuckets("101", 1).toSet == Set("101", "001", "111", "100"))
+    assert(Similarity.probeBuckets("10", 2).toSet == Set("10", "00", "11", "01"))
+  }
+
+  test("hyperplane bucket: column expression agrees with driver-side bucketOf") {
+    val planes = Similarity.hyperplaneWeights(6, 8)
+    val vecs = Seq(
+      Seq(0.5, -0.25, 1.0, 0.0, -0.75, 0.3, 0.9, -0.1),
+      Seq(-1.0, 2.0, -0.5, 0.25, 0.1, -0.9, 0.4, 0.7))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat)) }.toDF("id", "vec")
+    val got = df.select(col("id"), Similarity.hyperplaneBucket(col("vec"), planes).as("b"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got == vecs.map(v => Similarity.bucketOf(v, planes)))
+  }
+
+  test("lshAnnTopK finds the query's own bucket neighbours") {
+    val base = ExtensionQueries.queryVec
+    val near = base.map(_ * 0.9 + 0.001)           // same bucket, cosine ~1
+    val df = Seq((1L, base.map(_.toFloat)), (2L, near.map(_.toFloat))).toDF("id", "vec")
+    val out = Similarity.lshAnnTopK(df, "id", "vec", base, 8, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.contains(1L) && out.contains(2L))
+  }
+}
