@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.streaming.Streaming
+
+/** Streaming-semantics and small-leftover parity queries (ST family,
+  * F28, P2-P4, P11, A4, ST6) under the DuckDB oracle. */
+object MoreQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** ST1-ST3 — the full streaming consume loop run as a query: file
+    * stream over orders.parquet → AvailableNow → foreachBatch keep-last
+    * dedup → parquet sink → exactly-once-per-key batch view. The oracle
+    * is the equivalent batch dedup, so this proves the streaming path
+    * computes the same relation. */
+  private val qStStreamDedup: Q = (spark, dir) => {
+    val batch = Tables.orders(spark, dir)
+    val in = Files.createTempDirectory("graft-q-st-in")
+    val out = Files.createTempDirectory("graft-q-st-out").toString
+    val ckpt = Files.createTempDirectory("graft-q-st-ckpt").toString
+    // file streaming sources take directories; land the table as one
+    Files.copy(java.nio.file.Paths.get(s"$dir/orders.parquet"),
+               in.resolve("batch-0.parquet"))
+    val src = Streaming.parquetSource(spark, in.toString, batch.schema)
+    Streaming.runAvailableNow(src, identity,
+      Streaming.StreamConfig(Seq("o_custkey"), "o_orderkey", out, ckpt))
+    Streaming.dedupedView(spark, out, Seq("o_custkey"), "o_orderkey")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  /** F28/S5/S4 — Kafka envelope round-trip: row → JSON value → typed row.
+    * Oracle is the identity projection, proving the codec is lossless
+    * (timestamps to the microsecond, doubles bit-exact). */
+  private val qF28JsonRoundtrip: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    Streaming.parseEnvelope(Streaming.kafkaEnvelope(ev, col("event_id")), ev.schema)
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"), col("props"))
+  }
+
+  /** ST6 — resume work-list: full (year × nation) grid minus the rows the
+    * event log already records — left anti join, no driver loop. */
+  private val qSt6Resume: Q = (spark, dir) => {
+    val nations = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val years = spark.range(1995, 1999).select(col("id").cast("int").as("year"))
+    val grid = years.crossJoin(nations)
+    val log = grid.filter((col("n_nationkey") + col("year")) % 3 =!= 0)
+    Streaming.resumeWorkList(grid, log, Seq("year", "n_nationkey"))
+      .select(col("year"), col("n_nationkey"), col("n_name"))
+  }
+
+  /** A4 — running row counts as a windowed cumulative sum (the set-based
+    * form of the reference's per-batch counters). */
+  private val qA4RunningCount: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+              count(lit(1)).over(w).as("n_so_far"))
+  }
+
+  /** P2/P3/P4 — drop, rename, authoritative column reorder: the sink-prep
+    * reshape (Kafka_GSMLSConsumer.py:254-284, :60, :929-1013). */
+  private val qP234Reshape: Q = (spark, dir) => {
+    val order = Seq("qty", "l_orderkey", "l_linenumber", "l_shipdate")
+    Tables.lineitem(spark, dir)
+      .drop("l_comment", "l_returnflag", "l_linestatus")
+      .withColumnRenamed("l_quantity", "qty")
+      .select(order.map(col): _*)
+  }
+
+  /** P11 — resume skip-filter: keep only work cells strictly beyond the
+    * (year, month) checkpoint (GSMLS.py:2375-2381). */
+  private val qP11ResumeFilter: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) > 1997 ||
+              (year(col("o_orderdate")) === 1997 && month(col("o_orderdate")) > 6))
+      .select(col("o_orderkey"), col("o_orderdate"))
+
+  def queries: Map[String, Q] = Map(
+    "q_st_stream_dedup"    -> qStStreamDedup,
+    "q_f28_json_roundtrip" -> qF28JsonRoundtrip,
+    "q_st6_resume"         -> qSt6Resume,
+    "q_a4_running_count"   -> qA4RunningCount,
+    "q_p234_reshape"       -> qP234Reshape,
+    "q_p11_resume_filter"  -> qP11ResumeFilter
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_st_stream_dedup" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus FROM (
+           SELECT o_custkey, o_orderkey, o_orderstatus,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+           FROM orders) t WHERE rn = 1""",
+    "q_f28_json_roundtrip" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    "q_st6_resume" ->
+      """WITH years AS (SELECT unnest(range(1995, 1999)) AS year),
+         grid AS (SELECT CAST(year AS INTEGER) AS year, n_nationkey, n_name FROM years, nation)
+         SELECT year, n_nationkey, n_name FROM grid g
+         WHERE (g.n_nationkey + g.year) % 3 = 0""",
+    "q_a4_running_count" ->
+      """SELECT event_id, event_type,
+         count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS n_so_far
+         FROM events""",
+    "q_p234_reshape" ->
+      "SELECT l_quantity AS qty, l_orderkey, l_linenumber, l_shipdate FROM lineitem",
+    "q_p11_resume_filter" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+         WHERE year(o_orderdate) > 1997
+            OR (year(o_orderdate) = 1997 AND month(o_orderdate) > 6)"""
+  )
+}

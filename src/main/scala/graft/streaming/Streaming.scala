@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.util.LongAccumulator
+
+import graft.operators.Relational
+
+/** Structured Streaming re-expression of the reference's consumer loop
+  * (SURVEY §2.9): poll → union → dedup keep-last → clean → two sinks,
+  * with checkpointed offsets replacing manual Kafka commits.
+  *
+  * Reference: Kafka_GSMLSConsumer.py:152-219 (poll loop; 10 empty polls
+  * → drain ≈ Trigger.AvailableNow), :250 (manual commit after success ≈
+  * checkpoint), :196-219 (per-batch natural-key dedup keep='last'),
+  * :897-926 + :1278-1279 (fan-out re-publish of an image projection).
+  */
+object Streaming {
+
+  // ---------------------------------------------------------------------
+  // S5 — Kafka sink envelope (GSMLS.py:1347-1413): one message per row,
+  // value = the whole row as JSON, key = a business column. The
+  // reference chunks whole-DataFrame JSON blobs into ≤500-row messages;
+  // row-granularity messages make chunking unnecessary and keep the
+  // producer embarrassingly parallel.
+  // ---------------------------------------------------------------------
+  /** JSON codec options: microsecond timestamp precision (the default
+    * millisecond format silently loses precision on round-trip). */
+  private val jsonOpts = Map(
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+  def kafkaEnvelope(df: DataFrame, keyCol: Column): DataFrame =
+    df.select(
+      keyCol.cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*), jsonOpts).as("value"))
+
+  /** S4 decode half (Kafka_GSMLSConsumer.py:180-181): parse the JSON
+    * `value` back into typed columns. Malformed messages surface as a
+    * null struct (PERMISSIVE) — filterable into a quarantine sink. */
+  def parseEnvelope(df: DataFrame, schema: StructType): DataFrame =
+    df.select(from_json(col("value").cast("string"), schema, jsonOpts).as("row"))
+      .select(col("row.*"))
+
+  /** S4 — Kafka streaming source (standard DSv2 options). Requires the
+    * spark-sql-kafka connector on the classpath at deploy time; kept as
+    * the single place the topic wiring lives. */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** File-based streaming source over parquet (the landing-zone analog;
+    * also how tests replay micro-batches deterministically). */
+  def parquetSource(spark: SparkSession, path: String, schema: StructType,
+                    maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  // ---------------------------------------------------------------------
+  // ST1/ST2/ST3/ST5 — the consume loop. Each micro-batch:
+  //   1. dedup keep-last within the batch on the natural key (ST3) —
+  //      requires an explicit ordering column (SURVEY §7.4(1));
+  //   2. apply the cleaning stages (pure column expressions);
+  //   3. append to the primary sink and optionally a fan-out projection
+  //      to a second sink (ST5) — both inside one foreachBatch so a
+  //      batch commits atomically with the checkpoint (ST2).
+  // Because append mode can re-deliver a key across batches (the
+  // reference has the same at-least-once semantics), readers take the
+  // batch view through `dedupedView` for exactly-once-per-key results.
+  // ---------------------------------------------------------------------
+  final case class StreamConfig(
+      keys: Seq[String],
+      orderCol: String,
+      primaryPath: String,
+      checkpointPath: String,
+      fanOut: Option[(DataFrame => DataFrame, String)] = None,
+      rowCounter: Option[LongAccumulator] = None)
+
+  def runAvailableNow(src: DataFrame, clean: DataFrame => DataFrame,
+                      cfg: StreamConfig): Unit = {
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cfg.checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cfg.rowCounter.foreach(_.add(batch.count()))  // A4 running counts
+        val deduped = Relational.dedupKeepLast(batch, cfg.keys, col(cfg.orderCol))
+        val cleaned = clean(deduped)
+        cleaned.write.mode("append").parquet(cfg.primaryPath)
+        cfg.fanOut.foreach { case (project, path) =>
+          project(cleaned).write.mode("append").parquet(path)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Exactly-once-per-key batch view of an append-mode sink: global
+    * keep-last dedup over everything delivered so far. Associative with
+    * the per-batch dedup, so replays/overlaps collapse correctly. */
+  def dedupedView(spark: SparkSession, path: String,
+                  keys: Seq[String], orderCol: String): DataFrame =
+    Relational.dedupKeepLast(spark.read.parquet(path), keys, col(orderCol))
+
+  // ---------------------------------------------------------------------
+  // ST6 — resume work-list (GSMLS.py:991-1047, 2375-2381): the full work
+  // grid minus what the event log already records — a left anti join,
+  // not a driver loop.
+  // ---------------------------------------------------------------------
+  def resumeWorkList(allWork: DataFrame, eventLog: DataFrame, keys: Seq[String]): DataFrame =
+    allWork.join(eventLog.select(keys.map(col): _*).distinct(), keys, "left_anti")
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+
+/** ST1-ST3/ST5 semantics: multi-micro-batch replay with out-of-order
+  * duplicates (keep-last dedup), checkpointed restart idempotence, and
+  * fan-out — driven through the public file-streaming source (one parquet
+  * file per micro-batch via maxFilesPerTrigger=1). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("ST1-ST3: AvailableNow drain, per-batch + cross-batch keep-last dedup") {
+    val in = tmp("graft-stream-in")
+    val out = tmp("graft-stream-out")
+    val ckpt = tmp("graft-stream-ckpt")
+
+    // batch 1: first sightings; batch 2: update for k1 + late (stale) row for k2
+    Seq(("k1", 1L, "v1a"), ("k2", 5L, "v2a"))
+      .toDF("key", "offset", "payload").coalesce(1).write.parquet(s"$in/b1")
+    Seq(("k1", 9L, "v1b"), ("k2", 2L, "v2stale"), ("k3", 1L, "v3"))
+      .toDF("key", "offset", "payload").coalesce(1).write.parquet(s"$in/b2")
+
+    val schema = spark.read.parquet(s"$in/b1").schema
+    val counter = spark.sparkContext.longAccumulator("rows")
+    val src = Streaming.parquetSource(spark, s"$in/*", schema)
+    val cfg = Streaming.StreamConfig(
+      keys = Seq("key"), orderCol = "offset",
+      primaryPath = out, checkpointPath = ckpt,
+      fanOut = None, rowCounter = Some(counter))
+    Streaming.runAvailableNow(src, b => b.withColumn("cleaned", lit(true)), cfg)
+
+    assert(counter.value == 5) // A4: every delivered row counted
+    val view = Streaming.dedupedView(spark, out, Seq("key"), "offset")
+      .orderBy("key").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(view == Seq(("k1", "v1b"), ("k2", "v2a"), ("k3", "v3")))
+  }
+
+  test("ST2: restart with same checkpoint reprocesses nothing") {
+    val in = tmp("graft-restart-in")
+    val out = tmp("graft-restart-out")
+    val ckpt = tmp("graft-restart-ckpt")
+    Seq(("a", 1L, "x")).toDF("key", "offset", "payload")
+      .coalesce(1).write.parquet(s"$in/b1")
+    val schema = spark.read.parquet(s"$in/b1").schema
+    val cfg = Streaming.StreamConfig(Seq("key"), "offset", out, ckpt)
+
+    Streaming.runAvailableNow(Streaming.parquetSource(spark, s"$in/*", schema), identity, cfg)
+    val afterFirst = spark.read.parquet(out).count()
+    Streaming.runAvailableNow(Streaming.parquetSource(spark, s"$in/*", schema), identity, cfg)
+    val afterSecond = spark.read.parquet(out).count()
+    assert(afterFirst == 1 && afterSecond == 1) // no duplicate appends on restart
+  }
+
+  test("ST5: fan-out writes the projection to a second sink in the same batch") {
+    val in = tmp("graft-fan-in")
+    val out = tmp("graft-fan-out")
+    val out2 = tmp("graft-fan-out2")
+    val ckpt = tmp("graft-fan-ckpt")
+    Seq(("k1", 1L, "imgA"), ("k2", 2L, "imgB")).toDF("key", "offset", "img")
+      .coalesce(1).write.parquet(s"$in/b1")
+    val schema = spark.read.parquet(s"$in/b1").schema
+    val cfg = Streaming.StreamConfig(Seq("key"), "offset", out, ckpt,
+      fanOut = Some((df => df.select("key", "img"), out2)))
+    Streaming.runAvailableNow(Streaming.parquetSource(spark, s"$in/*", schema), identity, cfg)
+    assert(spark.read.parquet(out).count() == 2)
+    val fan = spark.read.parquet(out2)
+    assert(fan.columns.toSeq == Seq("key", "img") && fan.count() == 2)
+  }
+
+  test("S5/S4: kafka envelope round-trips rows through JSON exactly") {
+    val df = Seq((1L, "a b", 2.5, "2024-03-15 10:30:00"), (2L, null: String, -1.0, "2024-01-01 00:00:00"))
+      .toDF("id", "txt", "score", "ts_str")
+      .withColumn("ts", col("ts_str").cast("timestamp_ntz")).drop("ts_str")
+    val wire = Streaming.kafkaEnvelope(df, col("id"))
+    assert(wire.columns.toSeq == Seq("key", "value"))
+    val back = Streaming.parseEnvelope(wire, df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("S4: malformed message yields null row (quarantine-able), not a crash") {
+    val schema = Seq((1L, "x")).toDF("id", "v").schema
+    val wire = Seq(("k", "{not json")).toDF("key", "value")
+    val back = Streaming.parseEnvelope(wire, schema)
+    assert(back.count() == 1 && back.filter(col("id").isNull).count() == 1)
+  }
+
+  test("ST6: resumeWorkList = full grid minus event-log entries") {
+    val all = Seq((2020, "Essex"), (2020, "Morris"), (2021, "Essex"), (2021, "Morris"))
+      .toDF("year", "county")
+    val log = Seq((2020, "Essex"), (2020, "Morris"), (2021, "Essex"))
+      .toDF("year", "county")
+    val rem = Streaming.resumeWorkList(all, log, Seq("year", "county"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rem == Seq((2021, "Morris")))
+  }
+}
