@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.gsmls.Pipeline
+
+/** End-to-end GSMLS cleaning-pipeline parity: synthesize MLS-shaped RES
+  * rows deterministically from `orders`, run the full 13-stage
+  * `resPropertyCleaning` composition, and project one observable column
+  * per stage. The oracle SQL mirrors the synthesis and every stage
+  * transformation, so a pass proves the composed pipeline (ordering
+  * included), not just the individual functions.
+  */
+object PipelineQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val qPipelineRes: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val fmt = "MM/dd/yyyy HH:mm:ss"
+    val syn = o.select(
+      k.cast(StringType).as("MLSNUM"),
+      concat(lit("Town"), (col("o_custkey") % 25).cast(StringType),
+        when(k % 3 === 0, lit(".(1234)")).otherwise(lit(""))).as("TOWN"),
+      when(k % 7 === 0, lit("Garden Homes LLC")).otherwise(lit("John* Smith")).as("OWNERNAME"),
+      when(k % 4 === 0, lit(null).cast(StringType))
+        .otherwise(concat((lit(95) + k % 10).cast(StringType), lit("%"))).as("SP/LP%"),
+      when(k % 5 === 0, lit("needs work, fixer upper special"))
+        .when(k % 5 === 1, lit("NOT A SHORT SALE, move right in"))
+        .when(k % 5 === 2, lit("short sale subject to bank approval"))
+        .when(k % 5 === 3, lit(null).cast(StringType))
+        .otherwise(lit("charming colonial")).as("REMARKSPUBLIC"),
+      when(k % 2 === 0, lit(null).cast(StringType)).otherwise(lit("agent notes")).as("REMARKSAGENT"),
+      lit(null).cast(StringType).as("SHOWSPECIAL"),
+      when(k % 4 === 0, lit("100x50")).when(k % 4 === 1, lit("12000 SF"))
+        .when(k % 4 === 2, lit(null).cast(StringType)).otherwise(lit("IRR")).as("LOTSIZE"),
+      when(k % 2 === 0, lit("1.5")).otherwise(lit("0.0")).as("ACRES"),
+      when(k % 3 === 0, lit("0.0")).otherwise(lit("2.0")).as("BATHSTOTAL"),
+      lit("1.0").as("BATHSFULLTOTAL"),
+      floor(col("o_totalprice")).cast(LongType).cast(StringType).as("ORIGLISTPRICE"),
+      floor(col("o_totalprice") * 0.95).cast(LongType).cast(StringType).as("LISTPRICE"),
+      floor(col("o_totalprice") * 0.9).cast(LongType).cast(StringType).as("SALESPRICE"),
+      when(k % 5 === 0, lit(null).cast(StringType))
+        .otherwise(date_format(col("o_orderdate"), fmt)).as("CLOSEDDATE"),
+      date_format(date_sub(col("o_orderdate"), 45), fmt).as("PENDINGDATE"),
+      date_format(date_add(col("o_orderdate"), 10), fmt).as("ANTICCLOSEDDATE"),
+      date_format(date_sub(col("o_orderdate"), 120), fmt).as("LISTDATE"),
+      when(k % 6 === 0, lit("OneFloor")).when(k % 6 === 1, lit("HighRise"))
+        .otherwise(lit("Colonial")).as("STYLEPRIMARY_SHORT"),
+      when(k % 8 === 0, lit("TwnEndUn,Ranch")).otherwise(lit("Ranch")).as("STYLE_SHORT"),
+      lit("U").as("SUBPROPTYPE"),
+      when(k % 3 === 0, lit("Wood,Tile")).when(k % 3 === 1, lit("Carpet"))
+        .otherwise(lit(null).cast(StringType)).as("FLOORS_SHORT"),
+      when(k % 9 === 0, lit("00:00:00")).otherwise((k % 100000).cast(StringType)).as("ASSESSTOTAL"),
+      (col("o_custkey") % 500).cast(StringType).as("TOWNCODE"),
+      when(k % 4 === 0, lit("Public,Well")).otherwise(lit("Well")).as("WATER_SHORT"))
+    Pipeline.resPropertyCleaning(syn).select(
+      col("MLSNUM").as("mlsnum"),
+      col("TOWN").as("town"),
+      col("SELLERNAME").as("sellername"),
+      col("SP/LP%").as("sp_lp_pct"),
+      col("LISTING_REMARKS").as("listing_remarks"),
+      col("CONDITION").as("condition"),
+      col("SHORT_SALE").as("short_sale"),
+      col("BANK_OWNED").as("bank_owned"),
+      col("DISTRESSED_SALE").as("distressed_sale"),
+      col("INVESTMENT_SALE").as("investment_sale"),
+      col("SUBPROPTYPE_SFH").as("subproptype_sfh"),
+      col("LOTSIZE (SQFT)").as("lot_sqft"),
+      col("BATHSTOTAL").try_cast(DoubleType).as("bathstotal"),
+      col("YEAR").as("yr"),
+      col("MONTH").as("mon"),
+      col("DAYS_TO_CLOSE").as("days_to_close"),
+      col("OLP/LP%").as("olp_lp_pct"),
+      col("SP/OLP%").as("sp_olp_pct"),
+      col("ASSESSTOTAL").as("assesstotal"),
+      col("WOOD_FLOORS").as("wood_floors"),
+      col("PUBLIC_WATER").as("public_water"),
+      // WELL_WATER observes the WATER_SHORT prefix normalization: raw
+      // 'Public,Well' is normalized to 'Public' BEFORE the multi-hot
+      // stage, so the Well flag must come out false on those rows.
+      col("WELL_WATER").as("well_water"),
+      col("LISTPRICE").as("listprice"))
+  }
+
+  def queries: Map[String, Q] = Map("q_pipeline_res" -> qPipelineRes)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pipeline_res" ->
+      """WITH syn AS (SELECT
+           CAST(o_orderkey AS VARCHAR) AS mlsnum,
+           'Town' || CAST(o_custkey % 25 AS VARCHAR) ||
+             (CASE WHEN o_orderkey % 3 = 0 THEN '.(1234)' ELSE '' END) AS town,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'Garden Homes LLC' ELSE 'John* Smith' END AS ownername,
+           CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                ELSE CAST(95 + o_orderkey % 10 AS VARCHAR) || '%' END AS sp_lp_raw,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'needs work, fixer upper special'
+                WHEN o_orderkey % 5 = 1 THEN 'NOT A SHORT SALE, move right in'
+                WHEN o_orderkey % 5 = 2 THEN 'short sale subject to bank approval'
+                WHEN o_orderkey % 5 = 3 THEN NULL
+                ELSE 'charming colonial' END AS remarkspublic,
+           CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE 'agent notes' END AS remarksagent,
+           CAST(NULL AS VARCHAR) AS showspecial,
+           CASE WHEN o_orderkey % 4 = 0 THEN '100x50'
+                WHEN o_orderkey % 4 = 1 THEN '12000 SF'
+                WHEN o_orderkey % 4 = 2 THEN NULL ELSE 'IRR' END AS lotsize,
+           CASE WHEN o_orderkey % 2 = 0 THEN '1.5' ELSE '0.0' END AS acres,
+           CASE WHEN o_orderkey % 3 = 0 THEN '0.0' ELSE '2.0' END AS bathstotal_raw,
+           '1.0' AS bathsfulltotal,
+           CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS origlistprice,
+           CAST(CAST(floor(o_totalprice * 0.95) AS BIGINT) AS VARCHAR) AS listprice,
+           CAST(CAST(floor(o_totalprice * 0.9) AS BIGINT) AS VARCHAR) AS salesprice,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE strftime(o_orderdate, '%m/%d/%Y %H:%M:%S') END AS closeddate,
+           strftime(CAST(o_orderdate AS DATE) - 45, '%m/%d/%Y %H:%M:%S') AS pendingdate,
+           strftime(CAST(o_orderdate AS DATE) + 10, '%m/%d/%Y %H:%M:%S') AS anticcloseddate,
+           CASE WHEN o_orderkey % 6 = 0 THEN 'OneFloor'
+                WHEN o_orderkey % 6 = 1 THEN 'HighRise' ELSE 'Colonial' END AS styleprimary,
+           CASE WHEN o_orderkey % 8 = 0 THEN 'TwnEndUn,Ranch' ELSE 'Ranch' END AS style_short,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'Wood,Tile'
+                WHEN o_orderkey % 3 = 1 THEN 'Carpet' ELSE NULL END AS floors_short,
+           CASE WHEN o_orderkey % 9 = 0 THEN '00:00:00'
+                ELSE CAST(o_orderkey % 100000 AS VARCHAR) END AS assesstotal_raw,
+           CASE WHEN o_orderkey % 4 = 0 THEN 'Public,Well' ELSE 'Well' END AS water_raw
+         FROM orders),
+         -- stage 1: fillna sentinels
+         filled AS (SELECT mlsnum, town, ownername,
+           coalesce(sp_lp_raw, '0%') AS sp_lp_raw,
+           coalesce(remarkspublic, 'None') AS remarkspublic,
+           coalesce(remarksagent, 'None') AS remarksagent,
+           coalesce(showspecial, 'None') AS showspecial,
+           coalesce(lotsize, '0x0') AS lotsize,
+           acres, bathstotal_raw, bathsfulltotal, origlistprice, listprice, salesprice,
+           coalesce(closeddate, '00/00/0000 00:00:00') AS closeddate,
+           pendingdate, anticcloseddate, styleprimary, style_short, floors_short,
+           assesstotal_raw, water_raw
+         FROM syn),
+         -- stage 2: standard cleaning + baths patch
+         cleaned AS (SELECT *,
+           replace(ownername, '*', '') AS sellername,
+           regexp_replace(town, '\.?\*?\(\d{4}\*?\)', '') AS town_c,
+           replace(sp_lp_raw, '%', '') AS sp_lp_c,
+           replace(assesstotal_raw, '00:00:00', '0.0') AS assesstotal_c,
+           regexp_replace(water_raw, '^Public(,\w+)?', 'Public') AS water_c,
+           CASE WHEN TRY_CAST(bathstotal_raw AS DOUBLE) = 0.0
+                THEN bathsfulltotal ELSE bathstotal_raw END AS bathstotal_c
+         FROM filled),
+         -- stages 3-11
+         staged AS (SELECT *,
+           CASE WHEN (CASE
+                  WHEN regexp_matches(lotsize, '^\s*(\d+(?:\.\d+)?)\s*[xX]\s*(\d+(?:\.\d+)?)\s*$')
+                  THEN CAST(regexp_extract(lotsize, '^\s*(\d+(?:\.\d+)?)\s*[xX]\s*(\d+(?:\.\d+)?)\s*$', 1) AS DOUBLE)
+                     * CAST(regexp_extract(lotsize, '^\s*(\d+(?:\.\d+)?)\s*[xX]\s*(\d+(?:\.\d+)?)\s*$', 2) AS DOUBLE)
+                  WHEN regexp_matches(lotsize, '(?i)^\s*(\d+(?:\.\d+)?)\s*SF\.?\s*$')
+                  THEN CAST(regexp_extract(lotsize, '(?i)^\s*(\d+(?:\.\d+)?)\s*SF\.?\s*$', 1) AS DOUBLE)
+                  ELSE 0.0 END) = 0.0 AND coalesce(TRY_CAST(acres AS DOUBLE), 0.0) > 0.0
+                THEN TRY_CAST(acres AS DOUBLE) * 43560.0
+                ELSE (CASE
+                  WHEN regexp_matches(lotsize, '^\s*(\d+(?:\.\d+)?)\s*[xX]\s*(\d+(?:\.\d+)?)\s*$')
+                  THEN CAST(regexp_extract(lotsize, '^\s*(\d+(?:\.\d+)?)\s*[xX]\s*(\d+(?:\.\d+)?)\s*$', 1) AS DOUBLE)
+                     * CAST(regexp_extract(lotsize, '^\s*(\d+(?:\.\d+)?)\s*[xX]\s*(\d+(?:\.\d+)?)\s*$', 2) AS DOUBLE)
+                  WHEN regexp_matches(lotsize, '(?i)^\s*(\d+(?:\.\d+)?)\s*SF\.?\s*$')
+                  THEN CAST(regexp_extract(lotsize, '(?i)^\s*(\d+(?:\.\d+)?)\s*SF\.?\s*$', 1) AS DOUBLE)
+                  ELSE 0.0 END) END AS lot_sqft,
+           CAST(substring(string_split(closeddate, '/')[3], 1, 4) AS BIGINT) AS yr,
+           CAST(string_split(closeddate, '/')[1] AS BIGINT) AS mon,
+           date_diff('day',
+             try_strptime(pendingdate, '%m/%d/%Y %H:%M:%S'),
+             try_strptime(closeddate, '%m/%d/%Y %H:%M:%S')) AS days_to_close,
+           TRY_CAST(sp_lp_c AS DOUBLE) - 100.0 AS sp_lp_pct,
+           concat_ws('. ', remarkspublic, remarksagent, showspecial) AS listing_remarks,
+           CASE WHEN styleprimary IN ('TwnIntUn','OneFloor','MultiFlr','TwnEndUn','FirstFlr','HighRise')
+                  OR list_has_any(string_split(style_short, ','),
+                       ['TwnIntUn','OneFloor','MultiFlr','TwnEndUn','FirstFlr','HighRise'])
+                THEN 'CCT' ELSE 'SinglFam' END AS subproptype_sfh,
+           coalesce(list_contains(string_split(floors_short, ','), 'Wood'), false) AS wood_floors,
+           coalesce(list_contains(string_split(water_c, ','), 'Public'), false) AS public_water,
+           coalesce(list_contains(string_split(water_c, ','), 'Well'), false) AS well_water,
+           coalesce(regexp_matches(sellername, '(?i)llc|investment|builders|inc|corp|group'), false) AS investment_sale,
+           round((TRY_CAST(listprice AS BIGINT) - TRY_CAST(origlistprice AS BIGINT))
+                 / TRY_CAST(origlistprice AS BIGINT) * 100, 0) AS olp_lp_pct,
+           round((TRY_CAST(salesprice AS BIGINT) - TRY_CAST(origlistprice AS BIGINT))
+                 / TRY_CAST(origlistprice AS BIGINT) * 100, 0) AS sp_olp_pct
+         FROM cleaned),
+         flagged AS (SELECT *,
+           regexp_matches(listing_remarks, '(?i)fixer\s?upper|handyman|tlc|as[- ]is|needs? work|bring your tools|investor special') AS f_fix,
+           regexp_matches(listing_remarks, '(?i)bank[- ]owned|reo|foreclos|corporate owned') AS f_bank,
+           (regexp_matches(listing_remarks, '(?i)short sale')
+             AND NOT regexp_matches(listing_remarks, '(?i)not a short sale')) AS f_ss
+         FROM staged)
+         SELECT mlsnum, town_c AS town, sellername, sp_lp_pct, listing_remarks,
+           CASE WHEN f_fix THEN 'Fixer Upper' ELSE 'Unknown' END AS condition,
+           f_ss AS short_sale, f_bank AS bank_owned,
+           (f_fix OR f_bank OR f_ss) AS distressed_sale,
+           investment_sale, subproptype_sfh, lot_sqft,
+           TRY_CAST(bathstotal_c AS DOUBLE) AS bathstotal,
+           yr, mon, days_to_close, olp_lp_pct, sp_olp_pct,
+           TRY_CAST(assesstotal_c AS DOUBLE) AS assesstotal,
+           wood_floors, public_water, well_water,
+           TRY_CAST(listprice AS BIGINT) AS listprice
+         FROM flagged""")
+}
