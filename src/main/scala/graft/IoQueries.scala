@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Jdbc
+import graft.operators.ImagesDoc
+
+/** IO-adapter and image-pipeline parity queries: JDBC round-trip (S2/S6
+  * over embedded Derby), F24 style split, and the E3 flat image
+  * classification. */
+object IoQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** S2/S6 — write a filtered projection into an embedded Derby table
+    * (batched append), read it back through the JDBC source with a
+    * pushed-down predicate. The oracle computes the same relation from
+    * the parquet directly, so a pass proves the sink+source round-trip
+    * is lossless and the pushdown filter semantics match. */
+  private val qS2JdbcRoundtrip: Q = (spark, dir) => {
+    val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    val subset = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Jdbc.append(subset, url, "ORDERS_F")
+    Jdbc.read(spark, url, "ORDERS_F")
+      .filter(col("o_totalprice") > 200000.0)
+  }
+
+  /** F24 — style split/priority with the reference's exact quirks. */
+  private val qF24StyleSplit: Q = (spark, dir) => {
+    val k = col("p_partkey")
+    val styled = Tables.part(spark, dir).select(
+      k.as("p_partkey"),
+      when(k % 9 === 0, lit("Duplex,TwoStory"))
+        .when(k % 9 === 1, lit("Triplex,Cluster"))
+        .when(k % 9 === 2, lit("OneStory,FourPlex"))
+        .when(k % 9 === 3, lit("TwoStory,FixrUppr"))
+        .when(k % 9 === 4, lit("SeeRem"))
+        .when(k % 9 === 5, lit("FixrUppr"))
+        .when(k % 9 === 6, lit("Resident"))
+        .when(k % 9 === 7, lit(",Cluster"))
+        .otherwise(lit("Colonial")).as("style_raw"))
+    ImagesDoc.applyStyleSplit(styled, "style_raw")
+      .select(col("p_partkey"), col("style_raw"),
+        col("Prop_Style").as("prop_style"), col("Condition").as("condition"))
+  }
+
+  /** E3 — IMAGES dict-string parse → explode → caption classification →
+    * deterministic path synthesis, flat view (the nested map rebuild is
+    * exercised in ImagesDocSpec; maps don't hash portably). */
+  private val qE3ImageClassify: Q = (spark, dir) => {
+    val k = col("p_partkey")
+    val capA = when(k % 5 === 0, lit("Kitchen view"))
+      .when(k % 5 === 1, lit("Master Bathroom"))
+      .when(k % 5 === 2, lit("Front of house"))
+      .when(k % 5 === 3, lit("floor plan"))
+      .otherwise(lit("mystery room"))
+    // k%4==3 maps to 'Other' like cap_a's k%5==4, so rows with k ≡ 19
+    // (mod 20) produce two images in one section and exercise seq=2.
+    val capB = when(k % 4 === 0, lit("Dining area"))
+      .when(k % 4 === 1, lit("Finished basement"))
+      .when(k % 4 === 2, lit("Two car garage"))
+      .otherwise(lit("odd corner space"))
+    val withImages = Tables.part(spark, dir).select(
+      k.cast(StringType).as("mls"),
+      lit("Unknown").as("cond"),
+      concat(lit("{'"), capA, lit("': 'http://img/"), k.cast(StringType), lit("a.png', '"),
+             capB, lit("': 'http://img/"), k.cast(StringType), lit("b.png'}")).as("IMAGES"))
+    ImagesDoc.explodeImages(withImages, "mls", "IMAGES", "cond", lit("imgs"))
+      .select(col("MLSNum").as("mlsnum"), col("caption"), col("url"),
+        col("section"), col("seq").cast(LongType).as("seq"), col("directory"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_s2_jdbc_roundtrip" -> qS2JdbcRoundtrip,
+    "q_f24_style_split"   -> qF24StyleSplit,
+    "q_e3_image_classify" -> qE3ImageClassify)
+
+  private val homeSectionsCase: String =
+    graft.functions.Cleaning.homeSections.map { case (label, pat) =>
+      s"WHEN regexp_matches(caption, '$pat') THEN '$label'"
+    }.mkString("CASE ", " ", " ELSE 'Other' END")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_s2_jdbc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0""",
+    "q_f24_style_split" ->
+      """WITH t AS (SELECT p_partkey,
+           CASE WHEN p_partkey % 9 = 0 THEN 'Duplex,TwoStory'
+                WHEN p_partkey % 9 = 1 THEN 'Triplex,Cluster'
+                WHEN p_partkey % 9 = 2 THEN 'OneStory,FourPlex'
+                WHEN p_partkey % 9 = 3 THEN 'TwoStory,FixrUppr'
+                WHEN p_partkey % 9 = 4 THEN 'SeeRem'
+                WHEN p_partkey % 9 = 5 THEN 'FixrUppr'
+                WHEN p_partkey % 9 = 6 THEN 'Resident'
+                WHEN p_partkey % 9 = 7 THEN ',Cluster'
+                ELSE 'Colonial' END AS style_raw
+         FROM part),
+         s AS (SELECT *, string_split(style_raw, ',') AS parts,
+           contains(style_raw, ',') AS is_list FROM t),
+         mf AS (SELECT *,
+           (CASE WHEN parts[1] <> '' THEN parts[1] ELSE parts[2] END)
+             IN ('Cluster','UndrOver','TwoStory','ThreStry','OneStory') AS first_mf
+         FROM s)
+         SELECT p_partkey, style_raw,
+           CASE WHEN is_list THEN
+                  CASE WHEN list_contains(parts, 'Duplex') THEN 'Duplex'
+                       WHEN list_contains(parts, 'Triplex') THEN 'Triplex'
+                       WHEN list_contains(parts, 'FourPlex') THEN 'FourPlex'
+                       WHEN first_mf THEN 'MultiFam'
+                       ELSE NULL END
+                WHEN style_raw IN ('Cluster','UndrOver','TwoStory','ThreStry','OneStory') THEN 'MultiFam'
+                WHEN style_raw = 'Resident' THEN 'Residential'
+                WHEN style_raw = 'SeeRem' THEN NULL
+                WHEN style_raw = 'FixrUppr' THEN NULL
+                ELSE style_raw END AS prop_style,
+           CASE WHEN style_raw = 'FixrUppr'
+                  OR (is_list AND NOT list_contains(parts, 'Duplex')
+                      AND NOT list_contains(parts, 'Triplex')
+                      AND NOT list_contains(parts, 'FourPlex')
+                      AND first_mf AND list_contains(parts, 'FixrUppr'))
+                THEN 'FIXER UPPER' ELSE 'Unknown' END AS condition
+         FROM mf""",
+    "q_e3_image_classify" ->
+      s"""WITH t AS (SELECT p_partkey,
+            CASE WHEN p_partkey % 5 = 0 THEN 'Kitchen view'
+                 WHEN p_partkey % 5 = 1 THEN 'Master Bathroom'
+                 WHEN p_partkey % 5 = 2 THEN 'Front of house'
+                 WHEN p_partkey % 5 = 3 THEN 'floor plan'
+                 ELSE 'mystery room' END AS cap_a,
+            CASE WHEN p_partkey % 4 = 0 THEN 'Dining area'
+                 WHEN p_partkey % 4 = 1 THEN 'Finished basement'
+                 WHEN p_partkey % 4 = 2 THEN 'Two car garage'
+                 ELSE 'odd corner space' END AS cap_b
+          FROM part),
+          pairs AS (
+            SELECT p_partkey AS mlsnum, cap_a AS caption,
+                   'http://img/' || CAST(p_partkey AS VARCHAR) || 'a.png' AS url FROM t
+            UNION ALL
+            SELECT p_partkey, cap_b, 'http://img/' || CAST(p_partkey AS VARCHAR) || 'b.png' FROM t),
+          classified AS (SELECT *, $homeSectionsCase AS section FROM pairs),
+          seqd AS (SELECT *,
+            row_number() OVER (PARTITION BY mlsnum, section ORDER BY url) AS seq
+          FROM classified)
+          SELECT CAST(mlsnum AS VARCHAR) AS mlsnum, caption, url, section,
+                 CAST(seq AS BIGINT) AS seq,
+                 'imgs/' || section || '/Unknown/' || CAST(mlsnum AS VARCHAR)
+                   || ' - ' || section || '_' || CAST(seq AS VARCHAR) || '.png' AS directory
+          FROM seqd""")
+}

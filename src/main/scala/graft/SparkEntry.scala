@@ -443,7 +443,8 @@ object SparkEntry {
     "q_f22_classifier"     -> qF22Classifier,
     "q_f26_tolerant_cast"  -> qF26TolerantCast,
     "q_f27_fill_na"        -> qF27FillNa
-  ) ++ ExtensionQueries.queries ++ MoreQueries.queries ++ PipelineQueries.queries
+  ) ++ ExtensionQueries.queries ++ MoreQueries.queries ++ PipelineQueries.queries ++
+    IoQueries.queries
 
   /** DuckDB-runnable oracle SQL, one per query, same column aliases. */
   def oracleSql: Map[String, String] = Map(
@@ -652,5 +653,6 @@ object SparkEntry {
          coalesce(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END, 'Unknown') AS seg,
          coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal
          FROM customer"""
-  ) ++ ExtensionQueries.oracleSql ++ MoreQueries.oracleSql ++ PipelineQueries.oracleSql
+  ) ++ ExtensionQueries.oracleSql ++ MoreQueries.oracleSql ++ PipelineQueries.oracleSql ++
+    IoQueries.oracleSql
 }
