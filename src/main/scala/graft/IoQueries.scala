@@ -73,10 +73,27 @@ object IoQueries {
         col("section"), col("seq").cast(LongType).as("seq"), col("directory"))
   }
 
+  /** Multimodal byte-level ops over a media-framed documents table:
+    * payload size, portable content key, frame-sample count. The decode
+    * stub itself is exercised in MultimodalSpec (no SQL surface). */
+  private val qMmMedia: Q = (spark, dir) => {
+    val media = graft.operators.Multimodal.asMedia(
+      Tables.documents(spark, dir),
+      col("doc_id"), col("text"), lit("text/plain"), col("source"),
+      col("n_chars").cast(LongType))
+    media.select(
+      col("media_id"),
+      graft.operators.Multimodal.byteSize(col("content")).cast(LongType).as("n_bytes"),
+      graft.operators.Multimodal.contentKey(col("content")).as("content_key"),
+      size(graft.operators.Multimodal.frameOffsets(col("meta.duration_ms"), 50))
+        .cast(LongType).as("n_frames"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_s2_jdbc_roundtrip" -> qS2JdbcRoundtrip,
     "q_f24_style_split"   -> qF24StyleSplit,
-    "q_e3_image_classify" -> qE3ImageClassify)
+    "q_e3_image_classify" -> qE3ImageClassify,
+    "q_mm_media"          -> qMmMedia)
 
   private val homeSectionsCase: String =
     graft.functions.Cleaning.homeSections.map { case (label, pat) =>
@@ -84,6 +101,12 @@ object IoQueries {
     }.mkString("CASE ", " ", " ELSE 'Other' END")
 
   def oracleSql: Map[String, String] = Map(
+    "q_mm_media" ->
+      """SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(hex(encode(text))) AS content_key,
+         CAST(floor(n_chars / 50) + 1 AS BIGINT) AS n_frames
+         FROM documents""",
     "q_s2_jdbc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0""",

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.asMedia(
+    Seq((1L, "hello world", 230L), (2L, "", 0L), (3L, "binary-ish payload", 999L))
+      .toDF("id", "payload", "dur"),
+    col("id"), col("payload"), lit("text/plain"), lit("unit"), col("dur"))
+
+  test("asMedia produces the typed media schema (modulo nullability)") {
+    def shape(s: org.apache.spark.sql.types.StructType): String =
+      s.sql.replace(" NOT NULL", "")
+    assert(shape(media.schema) == shape(Multimodal.mediaSchema))
+  }
+
+  test("byte-level ops: size, content key, frame offsets") {
+    val r = media.select(
+      col("media_id"),
+      Multimodal.byteSize(col("content")).as("n"),
+      Multimodal.contentKey(col("content")).as("k"),
+      size(Multimodal.frameOffsets(col("meta.duration_ms"), 100)).as("frames"))
+      .orderBy("media_id").collect()
+    assert(r(0).getInt(1) == 11)                  // "hello world" bytes
+    assert(r(0).getString(2).length == 32)        // md5 hex
+    assert(r(0).getInt(3) == 3)                   // 0,100,200
+    assert(r(1).getInt(3) == 1)                   // 0 only
+  }
+
+  test("decode plumbing: repartition + per-partition stub decode, deterministic") {
+    val out1 = Multimodal.decode(spark, media, 2).orderBy("mediaId").collect()
+    val out2 = Multimodal.decode(spark, media, 2).orderBy("mediaId").collect()
+    assert(out1.toSeq == out2.toSeq)              // deterministic fake
+    assert(out1.length == 3)
+    assert(out1.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(!out1(1).getBoolean(3))                // empty payload -> ok=false
+    assert(out1(0).getInt(1) >= 64 && out1(0).getInt(2) >= 64)
+    // partitioning is real: requested width drives the decode stage
+    assert(Multimodal.repartitionForDecode(media, 2).rdd.getNumPartitions == 2)
+  }
+
+  test("metadata-only projection does not read the binary column (pruned scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    media.write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir).select("media_id", "meta.mime")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.split("ReadSchema")(1).contains("content"))
+  }
+}
