@@ -113,8 +113,18 @@ object ExtensionQueries {
       |       FROM toks, unnest(range(1, greatest(len(t)-1, 1))) AS u(i)
       |       WHERE array_to_string(t[i:i+2], ' ') <> '')""".stripMargin
 
+  /** Kirsch-Mitzenmacher minhash mirror: two 60-bit base hashes from
+    * md5 hex, h_i = (h1 + i*h2) mod p — same constants as
+    * [[Similarity.minhashSignature]]. */
+  private val mhP = graft.operators.Similarity.minhashMod
+  private val minhashBase =
+    s"""shb AS (SELECT doc_id, shingle,
+       |  CAST('0x' || substring(md5('a:' || shingle), 1, 15) AS BIGINT) % $mhP AS h1,
+       |  CAST('0x' || substring(md5('b:' || shingle), 1, 15) AS BIGINT) % $mhP AS h2
+       |  FROM sh)""".stripMargin
+
   private val minhashAggs: String =
-    (0 until minhashN).map(s => s"min(md5('s$s:' || shingle)) AS mh$s").mkString(",\n  ")
+    (0 until minhashN).map(i => s"min((h1 + $i * h2) % $mhP) AS mh$i").mkString(",\n  ")
 
   private val stopwordsSqlIn: Map[String, String] =
     Text.stopwords.toMap.map { case (lang, ws) =>
@@ -161,7 +171,8 @@ object ExtensionQueries {
 
   private val bandedSql: String =
     (0 until minhashN / rowsPerBand).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh$i")
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"CAST(mh$i AS VARCHAR)")
       s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
 
@@ -209,13 +220,15 @@ object ExtensionQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY 1""",
     "q_sim_minhash" ->
-      s"""WITH $shingleCte
+      s"""WITH $shingleCte,
+          $minhashBase
           SELECT doc_id,
           $minhashAggs
-          FROM sh GROUP BY doc_id""",
+          FROM shb GROUP BY doc_id""",
     "q_sim_lsh_pairs" ->
       s"""WITH $shingleCte,
-          sig AS (SELECT doc_id, $minhashAggs FROM sh GROUP BY doc_id),
+          $minhashBase,
+          sig AS (SELECT doc_id, $minhashAggs FROM shb GROUP BY doc_id),
           banded AS ($bandedSql),
           capped AS (SELECT doc_id, band, band_key FROM (
             SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM banded)

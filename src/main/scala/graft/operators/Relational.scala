@@ -80,8 +80,12 @@ object Relational {
   // property; first row falls back to a default.
   // ---------------------------------------------------------------------
   def timeOfPossession(df: DataFrame, keys: Seq[String], dateCol: String,
-                       default: Double = 10.0): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+                       default: Double = 10.0,
+                       tiebreak: Seq[Column] = Seq.empty): DataFrame = {
+    // explicit tiebreak: same-date rows would otherwise lag
+    // nondeterministically (SURVEY §7.4(1) applies to windows too)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(dateCol) +: tiebreak): _*)
     df.withColumn("top_years",
       coalesce(datediff(col(dateCol), lag(col(dateCol), 1).over(w)) / lit(365.25),
                lit(default)))

@@ -51,11 +51,24 @@ object Similarity {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   // ---------------------------------------------------------------------
-  // MinHash signatures — k independent permutations approximated by
-  // min(md5(seed || shingle)). Portable and deterministic.
+  // MinHash signatures — k permutations via the Kirsch-Mitzenmacher
+  // construction h_i = (h1 + i*h2) mod p over two base hashes, so the
+  // per-shingle cost is 2 md5s regardless of k (16 independent salted
+  // md5s would be 8x the hash work in the hottest stage). Base hashes
+  // take the top 60 bits of md5 hex; everything stays engine-portable
+  // and deterministic.
   // ---------------------------------------------------------------------
+  val minhashMod = 1000000007L
+
+  /** First 15 hex chars of a 32-char md5 as a 60-bit long. */
+  private def hex60(c: Column): Column =
+    conv(substring(c, 1, 15), 16, 10).cast(LongType)
+
   def minhashSignature(shingled: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(s => min(md5(concat(lit(s"s$s:"), col("shingle")))).as(s"mh$s"))
+    val h1 = hex60(md5(concat(lit("a:"), col("shingle")))) % minhashMod
+    val h2 = hex60(md5(concat(lit("b:"), col("shingle")))) % minhashMod
+    val aggs = (0 until numHashes).map(i =>
+      min((h1 + lit(i.toLong) * h2) % minhashMod).as(s"mh$i"))
     shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -71,11 +84,16 @@ object Similarity {
                         numHashes: Int, rowsPerBand: Int,
                         maxBucketSize: Int = 100): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val bands = (0 until numBands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      sig.select(col(idCol), lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("band_key"))
+    // One posexplode projection, NOT a union of per-band branches: a
+    // union would re-evaluate the whole upstream signature aggregation
+    // once per band (4x the shuffle + hash work in the plan).
+    val bandKeys = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh$i").cast(StringType))
+      md5(concat_ws("|", cols: _*))
     }
-    val banded = bands.reduce(_.union(_))
+    val banded = sig.select(col(idCol), posexplode(array(bandKeys: _*)))
+      .toDF(idCol, "band", "band_key")
     val capped = banded
       .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
       .filter(col("__bsz") <= maxBucketSize)

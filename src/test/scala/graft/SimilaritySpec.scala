@@ -29,8 +29,8 @@ class SimilaritySpec extends SparkSpec {
     val df = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"), (3L, "z1 z2 z3 z4")).toDF("id", "text")
     val sig = Similarity.minhashSignature(Similarity.shingles(df, "id", "text", 3), "id", 8)
       .orderBy("id").collect()
-    assert((1 to 8).forall(i => sig(0).getString(i) == sig(1).getString(i)))
-    assert((1 to 8).exists(i => sig(0).getString(i) != sig(2).getString(i)))
+    assert((1 to 8).forall(i => sig(0).getLong(i) == sig(1).getLong(i)))
+    assert((1 to 8).exists(i => sig(0).getLong(i) != sig(2).getLong(i)))
   }
 
   test("minhashLsh surfaces identical docs as candidate pairs") {
