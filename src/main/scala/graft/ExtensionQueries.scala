@@ -87,6 +87,16 @@ object ExtensionQueries {
     Similarity.lshAnnTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
       queryVec, numPlanes, 10, probeRadius = 1)
 
+  /** IVF ANN top-10: deterministic coarse centroids, 3-cell probe. */
+  private val qSimIvfAnn: Q = (spark, dir) =>
+    Similarity.ivfAnnTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryVec, centroidStep = 50, nprobe = 3, k = 10)
+
+  /** Embedding-cosine near-dup pairs, bucket-blocked self-join. */
+  private val qSimEmbedDedup: Q = (spark, dir) =>
+    Similarity.embedNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      numPlanes, queryVec.length, threshold = 0.4)
+
   def queries: Map[String, Q] = Map(
     "q_t_tokens"        -> qTTokens,
     "q_t_lang_id"       -> qTLangId,
@@ -98,7 +108,9 @@ object ExtensionQueries {
     "q_sim_simhash"     -> qSimSimhash,
     "q_sim_jaccard"     -> qSimJaccard,
     "q_sim_cosine_topk" -> qSimCosineTopk,
-    "q_sim_ann_lsh"     -> qSimAnnLsh
+    "q_sim_ann_lsh"     -> qSimAnnLsh,
+    "q_sim_ivf_ann"     -> qSimIvfAnn,
+    "q_sim_embed_dedup" -> qSimEmbedDedup
   )
 
   // =====================================================================
@@ -145,10 +157,17 @@ object ExtensionQueries {
     s"sqrt(list_reduce(list_transform($vecExpr, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))"
 
   private val qvecSql = sqlList(queryVec)
-  private val qvecNorm = math.sqrt(queryVec.foldLeft(0.0)((a, x) => a + x * x))
 
   private def cosineSql(vecExpr: String): String =
     s"round(${dotSql(vecExpr, qvecSql)} / (${normSql(vecExpr)} * ${normSql(qvecSql)}), 6)"
+
+  /** Cosine between two list COLUMNS (both sides cast per element, the
+    * same fold as Similarity.cosine on two columns). */
+  private def cosine2Sql(a: String, b: String): String = {
+    val dot = s"list_reduce(list_transform(list_zip($a, $b), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)"
+    s"round($dot / (${normSql(a)} * ${normSql(b)}), 6)"
+  }
 
   private val planes = Similarity.hyperplaneWeights(numPlanes, queryVec.length)
   private val probes = Similarity.probeBuckets(Similarity.bucketOf(queryVec, planes), 1)
@@ -267,6 +286,27 @@ object ExtensionQueries {
           SELECT vec_id, bucket, ${cosineSql("embedding")} AS cosine_sim
           FROM b
           WHERE bucket IN (${probes.map(p => s"'$p'").mkString(",")})
-          ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10"""
+          ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""",
+    "q_sim_ivf_ann" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id % 50 = 0),
+          probe AS (SELECT cid AS cell FROM (
+            SELECT cid, ${cosineSql("cvec")} AS qcos FROM cent)
+            ORDER BY qcos DESC, cid ASC LIMIT 3),
+          assign AS (SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosine2Sql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1)
+          SELECT a.vec_id, a.cell, ${cosineSql("a.embedding")} AS cosine_sim
+          FROM assign a JOIN probe p ON a.cell = p.cell
+          ORDER BY cosine_sim DESC, a.vec_id ASC LIMIT 10""",
+    "q_sim_embed_dedup" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 ${cosine2Sql("a.embedding", "b2.embedding")} AS cosine_sim
+          FROM b a JOIN b b2
+            ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          WHERE ${cosine2Sql("a.embedding", "b2.embedding")} >= 0.4"""
   )
 }

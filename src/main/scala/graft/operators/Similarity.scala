@@ -267,4 +267,69 @@ object Similarity {
       .select(col(idCol), col("bucket"), col("cosine_sim"))
       .limit(k)
   }
+
+  // ---------------------------------------------------------------------
+  // IVF — inverted-file ANN. Coarse quantizer = every `centroidStep`-th
+  // vector (deterministic; swap for trained k-means centroids in
+  // production — assignment/probing are centroid-agnostic). Cell
+  // assignment is a broadcast of the small centroid set against the
+  // corpus (n*k cosines, embarrassingly parallel); a query scores only
+  // the `nprobe` nearest cells.
+  //
+  // At 100 TB: write `ivfAssign` output partitioned by `cell`; a query
+  // then reads nprobe partitions instead of the corpus — this is the
+  // standard IVF layout, expressed as plain relational ops.
+  // ---------------------------------------------------------------------
+  private def centroids(emb: DataFrame, idCol: String, vecCol: String,
+                        centroidStep: Int): DataFrame =
+    emb.filter(col(idCol) % centroidStep === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+
+  /** Assign every vector to its max-cosine cell (ties -> lowest cid). */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                centroidStep: Int): DataFrame = {
+    val cent = centroids(emb, idCol, vecCol, centroidStep)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__ccos").desc, col("cid").asc)
+    emb.join(broadcast(cent))
+      .withColumn("__ccos", round(cosine(col(vecCol), col("cvec")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("cid").as("cell"))
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` cells nearest the query, exact
+    * cosine within them. */
+  def ivfAnnTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 query: Seq[Double], centroidStep: Int, nprobe: Int, k: Int): DataFrame = {
+    val probeCells = centroids(emb, idCol, vecCol, centroidStep)
+      .withColumn("__qcos", round(cosine(col("cvec"), vecLit(query)), 6))
+      .orderBy(col("__qcos").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid").as("cell"))
+    ivfAssign(emb, idCol, vecCol, centroidStep)
+      .join(broadcast(probeCells), "cell")
+      .withColumn("cosine_sim", round(cosine(col(vecCol), vecLit(query)), 6))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .select(col(idCol), col("cell"), col("cosine_sim"))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Embedding-cosine near-duplicate pairs, blocked by hyperplane bucket:
+  // the self-join shuffles on the bucket key instead of exploding to
+  // n^2. Same-bucket blocking trades recall for scale (multi-probe or
+  // more/fewer planes tunes the trade); exact cosine confirms inside
+  // each block.
+  // ---------------------------------------------------------------------
+  def embedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        numPlanes: Int, dims: Int, threshold: Double): DataFrame = {
+    val b = withBuckets(emb, vecCol, numPlanes, dims)
+      .select(col(idCol), col(vecCol), col("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cosine_sim", round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cosine_sim"))
+  }
 }

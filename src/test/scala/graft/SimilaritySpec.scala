@@ -112,6 +112,48 @@ class SimilaritySpec extends SparkSpec {
     assert(got == vecs.map(v => Similarity.bucketOf(v, planes)))
   }
 
+  test("ivfAssign puts every vector in exactly one cell; probe finds neighbours") {
+    val vecs = (0L to 9L).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 0.0, 0.0) else Seq(0.0, 1.0, 0.0)
+      (i, base.map(x => (x + i * 0.001).toFloat))
+    }
+    val df = vecs.toDF("id", "vec")
+    val assigned = Similarity.ivfAssign(df, "id", "vec", centroidStep = 2)
+    assert(assigned.count() == 10)
+    assert(assigned.select("id").distinct().count() == 10)
+    // query near e1 axis should rank an odd (e1-cluster) vector first
+    val top = Similarity.ivfAnnTopK(df, "id", "vec", Seq(0.0, 1.0, 0.0),
+      centroidStep = 2, nprobe = 2, k = 3).collect()
+    assert(top.nonEmpty && top.head.getLong(0) % 2 == 1)
+  }
+
+  test("embedNearDupPairs == driver-computed same-bucket high-cosine pairs") {
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      1L -> (0 until 8).map(i => 0.5 + 0.01 * i),
+      2L -> (0 until 8).map(i => (0.5 + 0.01 * i) * 1.1),
+      3L -> (0 until 8).map(i => if (i % 2 == 0) 1.0 else -1.0),
+      4L -> (0 until 8).map(i => 0.5 + 0.01 * i + (if (i == 7) 0.02 else 0.0)))
+    // expected from the same definitions, on the float32-rounded values
+    // the column path actually sees
+    val planes = Similarity.hyperplaneWeights(4, 8)
+    val rounded = vecs.map { case (i, v) => i -> v.map(x => x.toFloat.toDouble) }
+    def cos(x: Seq[Double], y: Seq[Double]) = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    }
+    val expected = (for {
+      (i, vi) <- rounded; (j, vj) <- rounded if i < j
+      if Similarity.bucketOf(vi, planes) == Similarity.bucketOf(vj, planes)
+      if math.rint(cos(vi, vj) * 1e6) / 1e6 >= 0.9
+    } yield (i, j)).toSet
+    assert(expected.nonEmpty) // construction sanity: at least one pair survives
+    val df = vecs.map { case (i, v) => (i, v.map(_.toFloat)) }.toDF("id", "vec")
+    val pairs = Similarity.embedNearDupPairs(df, "id", "vec",
+      numPlanes = 4, dims = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == expected)
+  }
+
   test("lshAnnTopK finds the query's own bucket neighbours") {
     val base = ExtensionQueries.queryVec
     val near = base.map(_ * 0.9 + 0.001)           // same bucket, cosine ~1
