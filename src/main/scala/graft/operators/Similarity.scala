@@ -285,14 +285,19 @@ object Similarity {
     emb.filter(col(idCol) % centroidStep === 0)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
 
-  /** Assign every vector to its max-cosine cell (ties -> lowest cid). */
+  /** Assign every vector to its max-cosine cell (ties -> lowest cid).
+    * Norms are precomputed per row / per centroid (one fold each)
+    * instead of per (row, centroid) pair. */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
                 centroidStep: Int): DataFrame = {
     val cent = centroids(emb, idCol, vecCol, centroidStep)
+      .withColumn("__cn", norm(col("cvec")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__ccos").desc, col("cid").asc)
-    emb.join(broadcast(cent))
-      .withColumn("__ccos", round(cosine(col(vecCol), col("cvec")), 6))
+    emb.withColumn("__vn", norm(col(vecCol)))
+      .join(broadcast(cent))
+      .withColumn("__ccos",
+        round(dot(col(vecCol), col("cvec")) / (col("__vn") * col("__cn")), 6))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col(vecCol), col("cid").as("cell"))
@@ -324,11 +329,16 @@ object Similarity {
   // ---------------------------------------------------------------------
   def embedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                         numPlanes: Int, dims: Int, threshold: Double): DataFrame = {
+    // Norms precomputed per SIDE, not per pair: higher-order-function
+    // folds are interpreted (CodegenFallback), so each avoided fold is
+    // real per-pair CPU. Same IEEE value as computing inline — the
+    // oracle mirror is unaffected.
     val b = withBuckets(emb, vecCol, numPlanes, dims)
-      .select(col(idCol), col(vecCol), col("bucket"))
+      .select(col(idCol), col(vecCol), col("bucket"), norm(col(vecCol)).as("__n"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cosine_sim", round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6))
+      .withColumn("cosine_sim",
+        round(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) / (col("a.__n") * col("b.__n")), 6))
       .filter(col("cosine_sim") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cosine_sim"))
   }
