@@ -83,7 +83,19 @@ object MoreQueries {
               (year(col("o_orderdate")) === 1997 && month(col("o_orderdate")) > 6))
       .select(col("o_orderkey"), col("o_orderdate"))
 
+  /** ST7 — rate-partitioned work ranges over the event stream: each
+    * range at the coarsest granularity that fits the row cap. The raw
+    * events all land in one month, so spread them deterministically
+    * over ~2 years to exercise the year/quarter/month mix. */
+  private val qSt7RatePartition: Q = (spark, dir) =>
+    Streaming.partitionDateRanges(
+      Tables.events(spark, dir)
+        .withColumn("ts_spread",
+          expr("timestampadd(DAY, CAST(event_id % 700 AS INT), ts)")),
+      "ts_spread", maxRows = 2500L)
+
   def queries: Map[String, Q] = Map(
+    "q_st7_rate_partition" -> qSt7RatePartition,
     "q_st_stream_dedup"    -> qStStreamDedup,
     "q_f28_json_roundtrip" -> qF28JsonRoundtrip,
     "q_st6_resume"         -> qSt6Resume,
@@ -93,6 +105,20 @@ object MoreQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_st7_rate_partition" ->
+      """WITH e AS (SELECT ts + (event_id % 700) * INTERVAL 1 DAY AS ts FROM events),
+         m AS (SELECT year(ts) AS y, quarter(ts) AS q, month(ts) AS mo,
+                    count(*) AS n FROM e GROUP BY 1, 2, 3),
+         g AS (SELECT *, sum(n) OVER (PARTITION BY y) AS ny,
+                       sum(n) OVER (PARTITION BY y, q) AS nq FROM m)
+         SELECT DISTINCT
+           CASE WHEN ny <= 2500 THEN 'year'
+                WHEN nq <= 2500 THEN 'quarter' ELSE 'month' END AS granularity,
+           CASE WHEN ny <= 2500 THEN CAST(y AS VARCHAR)
+                WHEN nq <= 2500 THEN CAST(y AS VARCHAR) || 'Q' || CAST(q AS VARCHAR)
+                ELSE CAST(y AS VARCHAR) || '-' || lpad(CAST(mo AS VARCHAR), 2, '0') END AS cell,
+           CASE WHEN ny <= 2500 THEN ny WHEN nq <= 2500 THEN nq ELSE n END AS n
+         FROM g""",
     "q_st_stream_dedup" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus FROM (
            SELECT o_custkey, o_orderkey, o_orderstatus,

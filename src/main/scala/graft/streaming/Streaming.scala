@@ -118,4 +118,36 @@ object Streaming {
   // ---------------------------------------------------------------------
   def resumeWorkList(allWork: DataFrame, eventLog: DataFrame, keys: Seq[String]): DataFrame =
     allWork.join(eventLog.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  // ---------------------------------------------------------------------
+  // ST7 — source rate partitioning (GSMLS.py:2124-2158 detect,
+  // 2210-2309 split): the reference recursively splits a search date
+  // range when it returns >500 rows. Set-based form: one count
+  // aggregation at the finest granularity plus window roll-ups, then
+  // each range picks the coarsest granularity whose count fits the cap
+  // (year if the year fits, else quarter, else month — the finest
+  // level is kept even when still oversized, like the reference's
+  // terminal week split).
+  // ---------------------------------------------------------------------
+  def partitionDateRanges(df: DataFrame, tsCol: String, maxRows: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = df.groupBy(
+        year(col(tsCol)).as("y"), quarter(col(tsCol)).as("q"), month(col(tsCol)).as("m"))
+      .agg(count(lit(1)).as("n"))
+    val g = m
+      .withColumn("ny", sum(col("n")).over(Window.partitionBy(col("y"))))
+      .withColumn("nq", sum(col("n")).over(Window.partitionBy(col("y"), col("q"))))
+    g.select(
+        when(col("ny") <= maxRows, lit("year"))
+          .when(col("nq") <= maxRows, lit("quarter"))
+          .otherwise(lit("month")).as("granularity"),
+        when(col("ny") <= maxRows, col("y").cast("string"))
+          .when(col("nq") <= maxRows, concat(col("y").cast("string"), lit("Q"), col("q").cast("string")))
+          .otherwise(concat(col("y").cast("string"), lit("-"), lpad(col("m").cast("string"), 2, "0")))
+          .as("cell"),
+        when(col("ny") <= maxRows, col("ny"))
+          .when(col("nq") <= maxRows, col("nq"))
+          .otherwise(col("n")).as("n"))
+      .distinct()
+  }
 }
