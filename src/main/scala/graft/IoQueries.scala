@@ -89,7 +89,25 @@ object IoQueries {
         .cast(LongType).as("n_frames"))
   }
 
+  /** S1/F1/P1 — the landing-zone ingest path: write the table to a text
+    * landing format (CSV header files, the .xls analog), read it back
+    * permissively with an explicit schema, uppercase the column names,
+    * and apply the fixed target projection. Oracle = identity over the
+    * source table, proving the landing round-trip is lossless. */
+  private val qS1Landing: Q = (spark, dir) => {
+    val src = Tables.orders(spark, dir)
+    val landing = java.nio.file.Files.createTempDirectory("graft-landing").toString
+    src.write.mode("overwrite").option("header", "true").csv(landing)
+    val raw = spark.read.option("header", "true").schema(src.schema).csv(landing)
+    val upper = graft.functions.Cleaning.upperColumns(raw)
+    upper.select(col("O_ORDERKEY").as("o_orderkey"),
+      col("O_ORDERSTATUS").as("o_orderstatus"),
+      col("O_TOTALPRICE").as("o_totalprice"),
+      col("O_ORDERDATE").cast("timestamp_ntz").as("o_orderdate"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_s1_landing"        -> qS1Landing,
     "q_s2_jdbc_roundtrip" -> qS2JdbcRoundtrip,
     "q_f24_style_split"   -> qF24StyleSplit,
     "q_e3_image_classify" -> qE3ImageClassify,
@@ -101,6 +119,8 @@ object IoQueries {
     }.mkString("CASE ", " ", " ELSE 'Other' END")
 
   def oracleSql: Map[String, String] = Map(
+    "q_s1_landing" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders",
     "q_mm_media" ->
       """SELECT doc_id AS media_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -85,9 +85,70 @@ object PipelineQueries {
       col("LISTPRICE").as("listprice"))
   }
 
-  def queries: Map[String, Q] = Map("q_pipeline_res" -> qPipelineRes)
+  /** TAX pipeline (6 stages: fill → standard → dates → attr → reorder →
+    * escape): sentinel fills, '*' strip, coercing date parse, the W4
+    * prior-sale interval, and control-char escape, end-to-end. */
+  private val qPipelineTax: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val fmt = "MM/dd/yyyy HH:mm:ss"
+    val syn = o.select(
+      k.cast(StringType).as("AUTOROW"),
+      concat(lit("B"), (k % 900).cast(StringType),
+        when(k % 3 === 0, lit("*")).otherwise(lit(""))).as("BLOCKID"),
+      when(k % 6 === 0, concat(lit("MAIN"), lit("\t"), lit("ST")))
+        .otherwise(lit("OAK AVE")).as("LOCSTREET"),
+      when(k % 5 === 0, lit(null).cast(StringType))
+        .otherwise(date_format(col("o_orderdate"), fmt)).as("SALEDATE"),
+      when(k % 7 === 0, lit(null).cast(StringType))
+        .otherwise(date_format(date_sub(col("o_orderdate"), 400), fmt)).as("PRIORSALEDATE"),
+      floor(col("o_totalprice")).cast(LongType).cast(StringType).as("SALEPRICE"))
+    graft.gsmls.Pipeline.taxPropertyCleaning(syn).select(
+      col("AUTOROW").as("autorow"),
+      col("BLOCKID").as("blockid"),
+      col("LOCSTREET").as("locstreet"),
+      col("SALEDATE").cast("timestamp_ntz").as("saledate"),
+      col("PRIORSALEDATE").cast("timestamp_ntz").as("priorsaledate"),
+      round(col("PREVOWN_POSS_TIME (YRS)"), 4).as("prevown_yrs"),
+      col("SALEPRICE").try_cast(LongType).as("saleprice"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_pipeline_res" -> qPipelineRes,
+    "q_pipeline_tax" -> qPipelineTax)
 
   def oracleSql: Map[String, String] = Map(
+    "q_pipeline_tax" ->
+      """WITH syn AS (SELECT
+           CAST(o_orderkey AS VARCHAR) AS autorow,
+           'B' || CAST(o_orderkey % 900 AS VARCHAR) ||
+             (CASE WHEN o_orderkey % 3 = 0 THEN '*' ELSE '' END) AS blockid_raw,
+           CASE WHEN o_orderkey % 6 = 0 THEN 'MAIN' || chr(9) || 'ST'
+                ELSE 'OAK AVE' END AS locstreet_raw,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE strftime(o_orderdate, '%m/%d/%Y %H:%M:%S') END AS saledate_raw,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE strftime(CAST(o_orderdate AS DATE) - 400, '%m/%d/%Y %H:%M:%S') END AS priorsaledate_raw,
+           CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS saleprice_raw
+         FROM orders),
+         filled AS (SELECT autorow,
+           blockid_raw,
+           locstreet_raw,
+           coalesce(saledate_raw, '00/00/0000 00:00:00') AS saledate_s,
+           coalesce(priorsaledate_raw, '00/00/0000 00:00:00') AS priorsaledate_s,
+           saleprice_raw
+         FROM syn),
+         staged AS (SELECT autorow,
+           replace(blockid_raw, '*', '') AS blockid,
+           regexp_replace(locstreet_raw, '[\x00-\x1f]', '', 'g') AS locstreet,
+           try_strptime(saledate_s, '%m/%d/%Y %H:%M:%S') AS saledate,
+           try_strptime(priorsaledate_s, '%m/%d/%Y %H:%M:%S') AS priorsaledate,
+           saleprice_raw
+         FROM filled)
+         SELECT autorow, blockid, locstreet, saledate, priorsaledate,
+           round(date_diff('day', priorsaledate, saledate) / 365.25, 4) AS prevown_yrs,
+           TRY_CAST(saleprice_raw AS BIGINT) AS saleprice
+         FROM staged""",
     "q_pipeline_res" ->
       """WITH syn AS (SELECT
            CAST(o_orderkey AS VARCHAR) AS mlsnum,
