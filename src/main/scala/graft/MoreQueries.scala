@@ -75,6 +75,18 @@ object MoreQueries {
       .select(order.map(col): _*)
   }
 
+  /** O2 (exact shape) — the reference's correlated scalar-subquery
+    * metadata query (GSMLS.py:1006-1015) through the spark.sql surface:
+    * nested scalar subqueries + composite desc sort + limit. */
+  private val qO2ScalarSubquery: Q = (spark, dir) => {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_orderdate FROM orders_v
+         WHERE o_custkey = (SELECT o_custkey FROM orders_v
+                            WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders_v))
+         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2""")
+  }
+
   /** P11 — resume skip-filter: keep only work cells strictly beyond the
     * (year, month) checkpoint (GSMLS.py:2375-2381). */
   private val qP11ResumeFilter: Q = (spark, dir) =>
@@ -101,7 +113,8 @@ object MoreQueries {
     "q_st6_resume"         -> qSt6Resume,
     "q_a4_running_count"   -> qA4RunningCount,
     "q_p234_reshape"       -> qP234Reshape,
-    "q_p11_resume_filter"  -> qP11ResumeFilter
+    "q_p11_resume_filter"  -> qP11ResumeFilter,
+    "q_o2_scalar_subquery" -> qO2ScalarSubquery
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -141,6 +154,11 @@ object MoreQueries {
     "q_p11_resume_filter" ->
       """SELECT o_orderkey, o_orderdate FROM orders
          WHERE year(o_orderdate) > 1997
-            OR (year(o_orderdate) = 1997 AND month(o_orderdate) > 6)"""
+            OR (year(o_orderdate) = 1997 AND month(o_orderdate) > 6)""",
+    "q_o2_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+         WHERE o_custkey = (SELECT o_custkey FROM orders
+                            WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders))
+         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2"""
   )
 }
