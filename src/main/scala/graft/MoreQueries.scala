@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.streaming.Streaming
@@ -106,7 +107,31 @@ object MoreQueries {
           expr("timestampadd(DAY, CAST(event_id % 700 AS INT), ts)")),
       "ts_spread", maxRows = 2500L)
 
+  /** E1 — the producer lifecycle composed end-to-end (GSMLS.py:1347-1413):
+    * target projection → broadcast inner geo merge (J1) → literal column
+    * adds (F2/F14) → Kafka envelope → decode. The oracle computes the
+    * same relation directly, so a pass proves the whole composition
+    * including the wire round-trip. */
+  private val qE1Producer: Q = (spark, dir) => {
+    val k = col("o_orderkey")
+    val listings = Tables.orders(spark, dir).select(
+      k.cast(StringType).as("mlsnum"),
+      col("o_totalprice").as("salesprice"),
+      col("o_orderdate").as("closeddate"))
+    val geo = Tables.orders(spark, dir).filter(k % 3 =!= 0).select(
+      k.cast(StringType).as("mlsnum"),
+      concat(lit("40."), (k % 1000).cast(StringType)).as("latitude"),
+      concat(lit("-74."), (k % 1000).cast(StringType)).as("longitude"))
+    val merged = graft.operators.Relational.enrichInner(listings, geo, Seq("mlsnum"))
+      .withColumn("mls", lit("GSMLS"))
+      .withColumn("qtr", quarter(col("closeddate")).cast(LongType))
+      .withColumn("condition", lit("Unknown"))
+    Streaming.parseEnvelope(
+      Streaming.kafkaEnvelope(merged, col("mlsnum")), merged.schema)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_e1_producer"        -> qE1Producer,
     "q_st7_rate_partition" -> qSt7RatePartition,
     "q_st_stream_dedup"    -> qStStreamDedup,
     "q_f28_json_roundtrip" -> qF28JsonRoundtrip,
@@ -118,6 +143,17 @@ object MoreQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_e1_producer" ->
+      """WITH l AS (SELECT CAST(o_orderkey AS VARCHAR) AS mlsnum,
+                    o_totalprice AS salesprice, o_orderdate AS closeddate FROM orders),
+         g AS (SELECT CAST(o_orderkey AS VARCHAR) AS mlsnum,
+                    '40.' || CAST(o_orderkey % 1000 AS VARCHAR) AS latitude,
+                    '-74.' || CAST(o_orderkey % 1000 AS VARCHAR) AS longitude
+               FROM orders WHERE o_orderkey % 3 <> 0)
+         SELECT l.mlsnum, l.salesprice, l.closeddate, g.latitude, g.longitude,
+                'GSMLS' AS mls, CAST(quarter(l.closeddate) AS BIGINT) AS qtr,
+                'Unknown' AS condition
+         FROM l JOIN g ON l.mlsnum = g.mlsnum""",
     "q_st7_rate_partition" ->
       """WITH e AS (SELECT ts + (event_id % 700) * INTERVAL 1 DAY AS ts FROM events),
          m AS (SELECT year(ts) AS y, quarter(ts) AS q, month(ts) AS mo,
