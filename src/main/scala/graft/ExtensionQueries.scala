@@ -179,9 +179,9 @@ object ExtensionQueries {
 
   private val simhashBitSums: String =
     (0 until Similarity.simhashBits).map { j =>
-      val src = if (j < 32) "h1" else "h2"
-      val pos = (j % 32) + 1
-      s"sum(CASE WHEN substring($src, $pos, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
+      val src = if (j < 32) "v1" else "v2"
+      val bit = j % 32
+      s"sum((($src >> $bit) & 1) * 2 - 1) AS b$j"
     }.mkString(",\n  ")
 
   private val simhashConcat: String =
@@ -257,7 +257,10 @@ object ExtensionQueries {
             ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id""",
     "q_sim_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
-          h AS (SELECT doc_id, md5('a:' || tok) AS h1, md5('b:' || tok) AS h2 FROM toks),
+          h AS (SELECT doc_id,
+            CAST('0x' || substring(md5('a:' || tok), 1, 15) AS BIGINT) AS v1,
+            CAST('0x' || substring(md5('b:' || tok), 1, 15) AS BIGINT) AS v2
+          FROM toks),
           s AS (SELECT doc_id,
           $simhashBitSums
           FROM h GROUP BY doc_id)
