@@ -38,9 +38,17 @@ object Similarity {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
-  /** Exploded (id, shingle) pairs, distinct per doc. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(array_distinct(shinglesArray(col(textCol), n))).as("shingle"))
+  /** Exploded (id, shingle) pairs, distinct per doc. Uses the native
+    * codegen'd `word_shingles` expression when [[graft.GraftExtensions]]
+    * is installed (the HOF composition is interpreted and dominates
+    * minhash/LSH/jaccard cost); built-in fallback is bit-identical. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val arr =
+      if (df.sparkSession.catalog.functionExists("word_shingles"))
+        expr(s"word_shingles($textCol, $n)")
+      else shinglesArray(col(textCol), n)
+    df.select(col(idCol), explode(array_distinct(arr)).as("shingle"))
+  }
 
   // ---------------------------------------------------------------------
   // Exact dedup — hash-groupBy on content hash, keep lowest id.
