@@ -194,6 +194,23 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Session-aware variants: use the native codegen'd `vec_dot`
+    * expression (graft.GraftExtensions) when registered — the HOF
+    * composition above is interpreted and embeddings work evaluates it
+    * per row × per plane/centroid/pair. Same left fold, bit-identical
+    * results, so oracle mirrors are unaffected. */
+  private def hasNative(df: DataFrame): Boolean =
+    df.sparkSession.catalog.functionExists("vec_dot")
+
+  private def dotFor(native: Boolean)(a: Column, b: Column): Column =
+    if (native) call_function("vec_dot", a, b) else dot(a, b)
+
+  private def normFor(native: Boolean)(a: Column): Column =
+    sqrt(dotFor(native)(a, a))
+
+  private def cosineFor(native: Boolean)(a: Column, b: Column): Column =
+    dotFor(native)(a, b) / (normFor(native)(a) * normFor(native)(b))
+
   /** Literal column for a constant query vector. */
   def vecLit(q: Seq[Double]): Column = array(q.map(lit): _*)
 
@@ -203,7 +220,7 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryVec: Column, k: Int, excludeId: Option[Long] = None): DataFrame = {
     val scored = emb
-      .withColumn("cosine_sim", round(cosine(col(vecCol), queryVec), 6))
+      .withColumn("cosine_sim", round(cosineFor(hasNative(emb))(col(vecCol), queryVec), 6))
     val base = excludeId.map(x => scored.filter(col(idCol) =!= x)).getOrElse(scored)
     base.orderBy(col("cosine_sim").desc, col(idCol).asc)
       .select(col(idCol), col("cosine_sim"))
@@ -234,8 +251,12 @@ object Similarity {
 
   /** Bucket of a vector column under the given hyperplanes. */
   def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    hyperplaneBucketFor(native = false)(vec, planes)
+
+  private def hyperplaneBucketFor(native: Boolean)(vec: Column,
+                                                   planes: Seq[Array[Double]]): Column =
     concat(planes.map { w =>
-      when(dot(vec, vecLit(w.toSeq)) >= 0, lit("1")).otherwise(lit("0"))
+      when(dotFor(native)(vec, vecLit(w.toSeq)) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
   /** Driver-side bucket of a constant query vector (pure arithmetic —
@@ -259,7 +280,8 @@ object Similarity {
   }
 
   def withBuckets(emb: DataFrame, vecCol: String, numPlanes: Int, dims: Int): DataFrame =
-    emb.withColumn("bucket", hyperplaneBucket(col(vecCol), hyperplaneWeights(numPlanes, dims)))
+    emb.withColumn("bucket",
+      hyperplaneBucketFor(hasNative(emb))(col(vecCol), hyperplaneWeights(numPlanes, dims)))
 
   /** ANN top-k: candidates = vectors in the query's probe buckets, ranked
     * by exact cosine. */
@@ -270,7 +292,7 @@ object Similarity {
     val probes = probeBuckets(bucketOf(query, planes), probeRadius)
     withBuckets(emb, vecCol, numPlanes, query.length)
       .filter(col("bucket").isin(probes: _*))
-      .withColumn("cosine_sim", round(cosine(col(vecCol), vecLit(query)), 6))
+      .withColumn("cosine_sim", round(cosineFor(hasNative(emb))(col(vecCol), vecLit(query)), 6))
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .select(col(idCol), col("bucket"), col("cosine_sim"))
       .limit(k)
@@ -298,14 +320,15 @@ object Similarity {
     * instead of per (row, centroid) pair. */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
                 centroidStep: Int): DataFrame = {
+    val native = hasNative(emb)
     val cent = centroids(emb, idCol, vecCol, centroidStep)
-      .withColumn("__cn", norm(col("cvec")))
+      .withColumn("__cn", normFor(native)(col("cvec")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__ccos").desc, col("cid").asc)
-    emb.withColumn("__vn", norm(col(vecCol)))
+    emb.withColumn("__vn", normFor(native)(col(vecCol)))
       .join(broadcast(cent))
       .withColumn("__ccos",
-        round(dot(col(vecCol), col("cvec")) / (col("__vn") * col("__cn")), 6))
+        round(dotFor(native)(col(vecCol), col("cvec")) / (col("__vn") * col("__cn")), 6))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col(vecCol), col("cid").as("cell"))
@@ -316,13 +339,13 @@ object Similarity {
   def ivfAnnTopK(emb: DataFrame, idCol: String, vecCol: String,
                  query: Seq[Double], centroidStep: Int, nprobe: Int, k: Int): DataFrame = {
     val probeCells = centroids(emb, idCol, vecCol, centroidStep)
-      .withColumn("__qcos", round(cosine(col("cvec"), vecLit(query)), 6))
+      .withColumn("__qcos", round(cosineFor(hasNative(emb))(col("cvec"), vecLit(query)), 6))
       .orderBy(col("__qcos").desc, col("cid").asc)
       .limit(nprobe)
       .select(col("cid").as("cell"))
     ivfAssign(emb, idCol, vecCol, centroidStep)
       .join(broadcast(probeCells), "cell")
-      .withColumn("cosine_sim", round(cosine(col(vecCol), vecLit(query)), 6))
+      .withColumn("cosine_sim", round(cosineFor(hasNative(emb))(col(vecCol), vecLit(query)), 6))
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .select(col(idCol), col("cell"), col("cosine_sim"))
       .limit(k)
@@ -341,12 +364,13 @@ object Similarity {
     // folds are interpreted (CodegenFallback), so each avoided fold is
     // real per-pair CPU. Same IEEE value as computing inline — the
     // oracle mirror is unaffected.
+    val native = hasNative(emb)
     val b = withBuckets(emb, vecCol, numPlanes, dims)
-      .select(col(idCol), col(vecCol), col("bucket"), norm(col(vecCol)).as("__n"))
+      .select(col(idCol), col(vecCol), col("bucket"), normFor(native)(col(vecCol)).as("__n"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("cosine_sim",
-        round(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) / (col("a.__n") * col("b.__n")), 6))
+        round(dotFor(native)(col(s"a.$vecCol"), col(s"b.$vecCol")) / (col("a.__n") * col("b.__n")), 6))
       .filter(col("cosine_sim") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cosine_sim"))
   }
