@@ -6,6 +6,9 @@ import org.apache.spark.sql.SparkSession
   * datasource (every projection/expression executes, nothing is written):
   * a bare `.count()` would let Catalyst prune all unused projections and
   * measure parquet row-counting instead of the actual expression work.
+  * One untimed warmup pass precedes the timed pass so measurements are
+  * steady-state (single-run numbers attribute multi-second JVM/codegen
+  * warmup to whichever query happens to run first).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,10 +23,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+    SparkEntry.queries.foreach { case (name, fn) => runOnce(name, fn) } // warmup
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      runOnce(name, fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
