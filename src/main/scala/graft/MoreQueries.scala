@@ -166,7 +166,7 @@ object MoreQueries {
            CASE WHEN ny <= 2500 THEN CAST(y AS VARCHAR)
                 WHEN nq <= 2500 THEN CAST(y AS VARCHAR) || 'Q' || CAST(q AS VARCHAR)
                 ELSE CAST(y AS VARCHAR) || '-' || lpad(CAST(mo AS VARCHAR), 2, '0') END AS cell,
-           CASE WHEN ny <= 2500 THEN ny WHEN nq <= 2500 THEN nq ELSE n END AS n
+           CAST(CASE WHEN ny <= 2500 THEN ny WHEN nq <= 2500 THEN nq ELSE n END AS BIGINT) AS n
          FROM g""",
     "q_st_stream_dedup" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus FROM (
