@@ -113,11 +113,72 @@ object PipelineQueries {
       col("SALEPRICE").try_cast(LongType).as("saleprice"))
   }
 
+  /** RNT pipeline (7 stages): the rental branch — RENTEDDATE is the
+    * YEAR/MONTH anchor, RP/LP% takes the -100 shift, baths patch and
+    * typed casts apply, SUBDIVISION gets the control-char escape. */
+  private val qPipelineRnt: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val fmt = "MM/dd/yyyy HH:mm:ss"
+    val syn = o.select(
+      k.cast(StringType).as("MLSNUM"),
+      when(k % 5 === 0, lit(null).cast(StringType))
+        .otherwise(date_format(col("o_orderdate"), fmt)).as("RENTEDDATE"),
+      when(k % 4 === 0, lit(null).cast(StringType))
+        .otherwise(concat((lit(90) + k % 20).cast(StringType), lit("%"))).as("RP/LP%"),
+      when(k % 3 === 0, lit("0.0")).otherwise(lit("2.0")).as("BATHSTOTAL"),
+      lit("1.5").as("BATHSFULLTOTAL"),
+      floor(col("o_totalprice") / 100).cast(LongType).cast(StringType).as("LP"),
+      when(k % 6 === 0, concat(lit("Oak"), lit("\u0001"), lit("Park")))
+        .otherwise(lit(null).cast(StringType)).as("SUBDIVISION"),
+      when(k % 3 === 0, lit("Wood,Tile")).otherwise(lit("Carpet")).as("FLOORS_SHORT"))
+    graft.gsmls.Pipeline.rntPropertyCleaning(syn).select(
+      col("MLSNUM").as("mlsnum"),
+      col("YEAR").as("yr"),
+      col("MONTH").as("mon"),
+      col("RP/LP%").as("rp_lp_pct"),
+      col("BATHSTOTAL").try_cast(DoubleType).as("bathstotal"),
+      col("LP").as("lp"),
+      col("SUBDIVISION").as("subdivision"),
+      col("WOOD_FLOORS").as("wood_floors"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_pipeline_res" -> qPipelineRes,
-    "q_pipeline_tax" -> qPipelineTax)
+    "q_pipeline_tax" -> qPipelineTax,
+    "q_pipeline_rnt" -> qPipelineRnt)
 
   def oracleSql: Map[String, String] = Map(
+    "q_pipeline_rnt" ->
+      """WITH syn AS (SELECT
+           CAST(o_orderkey AS VARCHAR) AS mlsnum,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE strftime(o_orderdate, '%m/%d/%Y %H:%M:%S') END AS renteddate_raw,
+           CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                ELSE CAST(90 + o_orderkey % 20 AS VARCHAR) || '%' END AS rplp_raw,
+           CASE WHEN o_orderkey % 3 = 0 THEN '0.0' ELSE '2.0' END AS baths_raw,
+           '1.5' AS bathsfull,
+           CAST(CAST(floor(o_totalprice / 100) AS BIGINT) AS VARCHAR) AS lp_raw,
+           CASE WHEN o_orderkey % 6 = 0 THEN 'Oak' || chr(1) || 'Park' ELSE NULL END AS subdivision_raw,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'Wood,Tile' ELSE 'Carpet' END AS floors
+         FROM orders),
+         filled AS (SELECT mlsnum,
+           coalesce(renteddate_raw, '00/00/0000 00:00:00') AS renteddate,
+           coalesce(rplp_raw, '0') AS rplp,
+           baths_raw, bathsfull, lp_raw,
+           coalesce(subdivision_raw, 'Unknown') AS subdivision_s,
+           floors
+         FROM syn)
+         SELECT mlsnum,
+           CAST(substring(string_split(renteddate, '/')[3], 1, 4) AS BIGINT) AS yr,
+           CAST(string_split(renteddate, '/')[1] AS BIGINT) AS mon,
+           TRY_CAST(replace(rplp, '%', '') AS DOUBLE) - 100.0 AS rp_lp_pct,
+           TRY_CAST(CASE WHEN TRY_CAST(baths_raw AS DOUBLE) = 0.0
+                         THEN bathsfull ELSE baths_raw END AS DOUBLE) AS bathstotal,
+           TRY_CAST(lp_raw AS BIGINT) AS lp,
+           regexp_replace(subdivision_s, '[\x00-\x1f]', '', 'g') AS subdivision,
+           coalesce(list_contains(string_split(floors, ','), 'Wood'), false) AS wood_floors
+         FROM filled""",
     "q_pipeline_tax" ->
       """WITH syn AS (SELECT
            CAST(o_orderkey AS VARCHAR) AS autorow,

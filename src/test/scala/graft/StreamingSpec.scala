@@ -91,6 +91,59 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() == 1 && back.filter(col("id").isNull).count() == 1)
   }
 
+  test("ST3 stateful: dropDuplicatesWithinWatermark dedups across micro-batches") {
+    val in = tmp("graft-wmdedup-in")
+    val out = tmp("graft-wmdedup-out")
+    val ckpt = tmp("graft-wmdedup-ckpt")
+    Seq(("k1", "2024-01-01 10:00:00"), ("k2", "2024-01-01 10:05:00"))
+      .toDF("key", "ts_s").withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.parquet(s"$in/b1")
+    Seq(("k1", "2024-01-01 10:01:00"), ("k3", "2024-01-01 10:06:00")) // k1 redelivered
+      .toDF("key", "ts_s").withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.parquet(s"$in/b2")
+    val schema = spark.read.parquet(s"$in/b1").schema
+    val q = Streaming.parquetSource(spark, s"$in/*", schema)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("key")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val keys = spark.read.parquet(out).select("key").as[String].collect().sorted.toSeq
+    assert(keys == Seq("k1", "k2", "k3")) // cross-batch duplicate dropped by state
+  }
+
+  test("ST4: watermarked tumbling-window aggregation finalizes closed windows") {
+    val in = tmp("graft-wmwin-in")
+    val out = tmp("graft-wmwin-out")
+    val ckpt = tmp("graft-wmwin-ckpt")
+    Seq("2024-01-01 10:00:00", "2024-01-01 10:20:00", "2024-01-01 10:40:00")
+      .toDF("ts_s").withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.parquet(s"$in/b1")
+    // batch 2 advances the watermark past the 10:00 window's end
+    Seq("2024-01-01 12:30:00").toDF("ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.parquet(s"$in/b2")
+    val schema = spark.read.parquet(s"$in/b1").schema
+    val q = Streaming.parquetSource(spark, s"$in/*", schema)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).count()
+      .selectExpr("window.start AS ws", "count")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    // the 10:00 window finalized with 3 events; the 12:00 window is
+    // still open at stream end (append mode emits only closed windows)
+    assert(rows.keys.exists(_.startsWith("2024-01-01 10:00")) )
+    assert(rows("2024-01-01 10:00:00.0") == 3L)
+    assert(!rows.keys.exists(_.startsWith("2024-01-01 12:00")))
+  }
+
   test("ST6: resumeWorkList = full grid minus event-log entries") {
     val all = Seq((2020, "Essex"), (2020, "Morris"), (2021, "Essex"), (2021, "Morris"))
       .toDF("year", "county")
