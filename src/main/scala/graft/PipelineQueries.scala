@@ -143,12 +143,145 @@ object PipelineQueries {
       col("WOOD_FLOORS").as("wood_floors"))
   }
 
+  /** MUL pipeline (12 stages = RES minus sub_property_type): multi-unit
+    * income casts, remarks/fixer/investment, lp-diff, dates. */
+  private val qPipelineMul: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val fmt = "MM/dd/yyyy HH:mm:ss"
+    val syn = o.select(
+      k.cast(StringType).as("MLSNUM"),
+      when(k % 7 === 0, lit("Shore Rentals Inc")).otherwise(lit("Jane Doe")).as("OWNERNAME"),
+      when(k % 5 === 0, lit("fixer upper, investor special"))
+        .otherwise(lit("well maintained duplex")).as("REMARKSPUBLIC"),
+      lit(null).cast(StringType).as("REMARKSAGENT"),
+      lit(null).cast(StringType).as("SHOWSPECIAL"),
+      when(k % 4 === 0, lit(null).cast(StringType))
+        .otherwise((k % 90000).cast(StringType)).as("INCOMEGROSSOPERATING"),
+      (lit(2) + k % 3).cast(StringType).as("NUMUNITS"),
+      floor(col("o_totalprice")).cast(LongType).cast(StringType).as("ORIGLISTPRICE"),
+      floor(col("o_totalprice") * 0.97).cast(LongType).cast(StringType).as("LISTPRICE"),
+      floor(col("o_totalprice") * 0.93).cast(LongType).cast(StringType).as("SALESPRICE"),
+      when(k % 5 === 0, lit(null).cast(StringType))
+        .otherwise(date_format(col("o_orderdate"), fmt)).as("CLOSEDDATE"),
+      date_format(date_sub(col("o_orderdate"), 30), fmt).as("PENDINGDATE"))
+    graft.gsmls.Pipeline.mulPropertyCleaning(syn).select(
+      col("MLSNUM").as("mlsnum"),
+      col("SELLERNAME").as("sellername"),
+      col("INVESTMENT_SALE").as("investment_sale"),
+      col("CONDITION").as("condition"),
+      col("INCOMEGROSSOPERATING").as("income_gross"),
+      col("NUMUNITS").as("numunits"),
+      col("YEAR").as("yr"),
+      col("DAYS_TO_CLOSE").as("days_to_close"),
+      col("OLP/LP%").as("olp_lp_pct"),
+      col("LISTING_REMARKS").as("listing_remarks"))
+  }
+
+  /** LND pipeline (11 stages = MUL minus fixer_upper): no distress
+    * flags, but lot-size conversion and investment label still apply. */
+  private val qPipelineLnd: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    val fmt = "MM/dd/yyyy HH:mm:ss"
+    val syn = o.select(
+      k.cast(StringType).as("MLSNUM"),
+      when(k % 3 === 0, lit("Pinelands Group")).otherwise(lit("A Farmer")).as("OWNERNAME"),
+      when(k % 4 === 0, lit("5 AC")).when(k % 4 === 1, lit("200x400"))
+        .otherwise(lit(null).cast(StringType)).as("LOTSIZE"),
+      when(k % 2 === 0, lit("3.0")).otherwise(lit("0.0")).as("ACRES"),
+      lit(null).cast(StringType).as("REMARKSPUBLIC"),
+      lit(null).cast(StringType).as("REMARKSAGENT"),
+      lit(null).cast(StringType).as("SHOWSPECIAL"),
+      floor(col("o_totalprice") * 0.5).cast(LongType).cast(StringType).as("ORIGLISTPRICE"),
+      floor(col("o_totalprice") * 0.45).cast(LongType).cast(StringType).as("LISTPRICE"),
+      when(k % 5 === 0, lit(null).cast(StringType))
+        .otherwise(date_format(col("o_orderdate"), fmt)).as("CLOSEDDATE"))
+    graft.gsmls.Pipeline.lndPropertyCleaning(syn).select(
+      col("MLSNUM").as("mlsnum"),
+      col("SELLERNAME").as("sellername"),
+      col("INVESTMENT_SALE").as("investment_sale"),
+      col("LOTSIZE (SQFT)").as("lot_sqft"),
+      col("YEAR").as("yr"),
+      col("MONTH").as("mon"),
+      col("OLP/LP%").as("olp_lp_pct"),
+      col("LISTING_REMARKS").as("listing_remarks"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_pipeline_res" -> qPipelineRes,
     "q_pipeline_tax" -> qPipelineTax,
-    "q_pipeline_rnt" -> qPipelineRnt)
+    "q_pipeline_rnt" -> qPipelineRnt,
+    "q_pipeline_mul" -> qPipelineMul,
+    "q_pipeline_lnd" -> qPipelineLnd)
 
   def oracleSql: Map[String, String] = Map(
+    "q_pipeline_mul" ->
+      """WITH syn AS (SELECT
+           CAST(o_orderkey AS VARCHAR) AS mlsnum,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'Shore Rentals Inc' ELSE 'Jane Doe' END AS ownername,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'fixer upper, investor special'
+                ELSE 'well maintained duplex' END AS remarkspublic,
+           CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                ELSE CAST(o_orderkey % 90000 AS VARCHAR) END AS income_raw,
+           CAST(2 + o_orderkey % 3 AS VARCHAR) AS numunits,
+           CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS olp_raw,
+           CAST(CAST(floor(o_totalprice * 0.97) AS BIGINT) AS VARCHAR) AS lp_raw,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE strftime(o_orderdate, '%m/%d/%Y %H:%M:%S') END AS closeddate_raw,
+           strftime(CAST(o_orderdate AS DATE) - 30, '%m/%d/%Y %H:%M:%S') AS pendingdate
+         FROM orders),
+         f AS (SELECT *,
+           coalesce(closeddate_raw, '00/00/0000 00:00:00') AS closeddate,
+           remarkspublic || '. None. None' AS lr
+         FROM syn)
+         SELECT mlsnum, ownername AS sellername,
+           coalesce(regexp_matches(ownername, '(?i)llc|investment|builders|inc|corp|group'), false) AS investment_sale,
+           CASE WHEN regexp_matches(lr, '(?i)fixer\s?upper|handyman|tlc|as[- ]is|needs? work|bring your tools|investor special')
+                THEN 'Fixer Upper' ELSE 'Unknown' END AS condition,
+           TRY_CAST(coalesce(income_raw, '0.0') AS DOUBLE) AS income_gross,
+           numunits,
+           CAST(substring(string_split(closeddate, '/')[3], 1, 4) AS BIGINT) AS yr,
+           date_diff('day', try_strptime(pendingdate, '%m/%d/%Y %H:%M:%S'),
+                     try_strptime(closeddate, '%m/%d/%Y %H:%M:%S')) AS days_to_close,
+           round((TRY_CAST(lp_raw AS BIGINT) - TRY_CAST(olp_raw AS BIGINT))
+                 / TRY_CAST(olp_raw AS BIGINT) * 100, 0) AS olp_lp_pct,
+           lr AS listing_remarks
+         FROM f""",
+    "q_pipeline_lnd" ->
+      """WITH syn AS (SELECT
+           CAST(o_orderkey AS VARCHAR) AS mlsnum,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'Pinelands Group' ELSE 'A Farmer' END AS ownername,
+           CASE WHEN o_orderkey % 4 = 0 THEN '5 AC'
+                WHEN o_orderkey % 4 = 1 THEN '200x400' ELSE NULL END AS lotsize_raw,
+           CASE WHEN o_orderkey % 2 = 0 THEN '3.0' ELSE '0.0' END AS acres,
+           CAST(CAST(floor(o_totalprice * 0.5) AS BIGINT) AS VARCHAR) AS olp_raw,
+           CAST(CAST(floor(o_totalprice * 0.45) AS BIGINT) AS VARCHAR) AS lp_raw,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE strftime(o_orderdate, '%m/%d/%Y %H:%M:%S') END AS closeddate_raw
+         FROM orders),
+         f AS (SELECT *,
+           coalesce(lotsize_raw, '0x0') AS lotsize,
+           coalesce(closeddate_raw, '00/00/0000 00:00:00') AS closeddate
+         FROM syn),
+         s AS (SELECT *,
+           CASE WHEN regexp_matches(lotsize, '^\s*(\d+(?:\.\d+)?)\s*[xX]\s*(\d+(?:\.\d+)?)\s*$')
+                THEN CAST(regexp_extract(lotsize, '^\s*(\d+(?:\.\d+)?)\s*[xX]\s*(\d+(?:\.\d+)?)\s*$', 1) AS DOUBLE)
+                   * CAST(regexp_extract(lotsize, '^\s*(\d+(?:\.\d+)?)\s*[xX]\s*(\d+(?:\.\d+)?)\s*$', 2) AS DOUBLE)
+                WHEN regexp_matches(lotsize, '(?i)^\s*(\d+(?:\.\d+)?)\s*AC(?:RES?)?\.?\s*$')
+                THEN CAST(regexp_extract(lotsize, '(?i)^\s*(\d+(?:\.\d+)?)\s*AC(?:RES?)?\.?\s*$', 1) AS DOUBLE) * 43560.0
+                ELSE 0.0 END AS lot_base
+         FROM f)
+         SELECT mlsnum, ownername AS sellername,
+           coalesce(regexp_matches(ownername, '(?i)llc|investment|builders|inc|corp|group'), false) AS investment_sale,
+           CASE WHEN lot_base = 0.0 AND coalesce(TRY_CAST(acres AS DOUBLE), 0.0) > 0.0
+                THEN TRY_CAST(acres AS DOUBLE) * 43560.0 ELSE lot_base END AS lot_sqft,
+           CAST(substring(string_split(closeddate, '/')[3], 1, 4) AS BIGINT) AS yr,
+           CAST(string_split(closeddate, '/')[1] AS BIGINT) AS mon,
+           round((TRY_CAST(lp_raw AS BIGINT) - TRY_CAST(olp_raw AS BIGINT))
+                 / TRY_CAST(olp_raw AS BIGINT) * 100, 0) AS olp_lp_pct,
+           'None. None. None' AS listing_remarks
+         FROM s""",
     "q_pipeline_rnt" ->
       """WITH syn AS (SELECT
            CAST(o_orderkey AS VARCHAR) AS mlsnum,
