@@ -67,6 +67,38 @@ class PropertySpec extends SparkSpec {
     assert(out.forall(r => !r.isNullAt(0))) // always an array, possibly empty
   }
 
+  test("fingerprint is invariant under token permutation and duplication") {
+    val docs = sample(for {
+      toks <- Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (toks.mkString(" "),
+             new scala.util.Random(seed).shuffle(toks ++ toks.headOption).mkString(" ")), 150)
+    val df = docs.toDF("a", "b")
+    val bad = df.filter(
+      graft.functions.Text.fingerprint(col("a")) =!=
+        graft.functions.Text.fingerprint(col("b"))).count()
+    assert(bad == 0)
+  }
+
+  test("identical documents always become LSH candidate pairs") {
+    val texts = sample(Gen.listOfN(6, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" ")), 20)
+    val df = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i.toLong * 2, t), (i.toLong * 2 + 1, t)) // every doc duplicated
+    }.toDF("id", "text")
+    val pairs = Similarity.minhashLsh(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every (2i, 2i+1) twin must surface (signatures are identical)
+    val missing = texts.indices.map(i => (i.toLong * 2, i.toLong * 2 + 1))
+      .filterNot(pairs.contains)
+    assert(missing.isEmpty, s"missing twin pairs: $missing")
+  }
+
+  test("probeBuckets(radius 1) has exactly planes+1 distinct buckets") {
+    val buckets = sample(Gen.listOfN(8, Gen.oneOf('0', '1')).map(_.mkString), 50)
+    assert(buckets.forall(b => Similarity.probeBuckets(b, 1).size == b.length + 1))
+    assert(buckets.forall(b => Similarity.probeBuckets(b, 1).toSet.size == b.length + 1))
+  }
+
   test("F27 fillSentinels leaves no nulls in covered columns") {
     val rows = sample(Gen.option(Gen.alphaStr), 200)
     val df = rows.map(o => Tuple1(o.orNull)).toDF("c")
