@@ -17,14 +17,22 @@ object IoQueries {
     * (batched append), read it back through the JDBC source with a
     * pushed-down predicate. The oracle computes the same relation from
     * the parquet directly, so a pass proves the sink+source round-trip
-    * is lossless and the pushdown filter semantics match. */
+    * is lossless and the pushdown filter semantics match.
+    *
+    * One fixed in-memory DB, dropped and recreated per invocation —
+    * in-memory Derby DBs live until JVM exit, so a fresh name per call
+    * (warmup + timed bench = 2 calls) would pin a table copy per
+    * invocation on the driver heap. The drop can't go in a `finally`:
+    * the returned read is lazy and executes after this builder returns. */
   private val qS2JdbcRoundtrip: Q = (spark, dir) => {
-    val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    val db = "jdbc:derby:memory:graftrt"
+    try java.sql.DriverManager.getConnection(s"$db;drop=true")
+    catch { case _: java.sql.SQLException => () } // 08006 on drop, XJ004 if absent
     val subset = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    Jdbc.append(subset, url, "ORDERS_F")
-    Jdbc.read(spark, url, "ORDERS_F")
+    Jdbc.append(subset, s"$db;create=true", "ORDERS_F")
+    Jdbc.read(spark, db, "ORDERS_F")
       .filter(col("o_totalprice") > 200000.0)
   }
 
@@ -96,7 +104,7 @@ object IoQueries {
     * source table, proving the landing round-trip is lossless. */
   private val qS1Landing: Q = (spark, dir) => {
     val src = Tables.orders(spark, dir)
-    val landing = java.nio.file.Files.createTempDirectory("graft-landing").toString
+    val landing = graft.io.TempDirs.registered("graft-landing").toString
     src.write.mode("overwrite").option("header", "true").csv(landing)
     val raw = spark.read.option("header", "true").schema(src.schema).csv(landing)
     val upper = graft.functions.Cleaning.upperColumns(raw)

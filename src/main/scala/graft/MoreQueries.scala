@@ -21,9 +21,9 @@ object MoreQueries {
     * computes the same relation. */
   private val qStStreamDedup: Q = (spark, dir) => {
     val batch = Tables.orders(spark, dir)
-    val in = Files.createTempDirectory("graft-q-st-in")
-    val out = Files.createTempDirectory("graft-q-st-out").toString
-    val ckpt = Files.createTempDirectory("graft-q-st-ckpt").toString
+    val in = graft.io.TempDirs.registered("graft-q-st-in")
+    val out = graft.io.TempDirs.registered("graft-q-st-out").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st-ckpt").toString
     // file streaming sources take directories; land the table as one
     Files.copy(java.nio.file.Paths.get(s"$dir/orders.parquet"),
                in.resolve("batch-0.parquet"))

@@ -25,6 +25,8 @@ case class VecDot(a: Expression, b: Expression) extends BinaryExpression {
   override def right: Expression = b
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // Null even for non-null inputs: length mismatch / null elements.
+  override def nullable: Boolean = true
 
   private def elemOk(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -43,8 +45,14 @@ case class VecDot(a: Expression, b: Expression) extends BinaryExpression {
     VecDot.dot(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData], aFloat, bFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (x, y) =>
-      s"graft.plans.VecDot.dot($x, $y, $aFloat, $bFloat)")
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      java.lang.Double ${ev.value}Box =
+        graft.plans.VecDot.dot($x, $y, $aFloat, $bFloat);
+      if (${ev.value}Box == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}Box.doubleValue();
+      }""")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): VecDot =
@@ -53,19 +61,22 @@ case class VecDot(a: Expression, b: Expression) extends BinaryExpression {
 
 object VecDot {
   /** Left-to-right double accumulation from 0.0 — the exact fold of the
-    * built-in aggregate/zip_with composition (zip_with truncates to the
-    * shorter... no: zip_with pads with null, and null products poison the
-    * sum to null; we require equal lengths and match the non-null case). */
-  def dot(x: ArrayData, y: ArrayData, xFloat: Boolean, yFloat: Boolean): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    * built-in aggregate/zip_with composition. zip_with null-pads the
+    * shorter array and a null product poisons the whole sum, so a length
+    * mismatch (or a null element) yields NULL, not a partial dot — a
+    * truncated embedding must surface as null, not a plausible score. */
+  def dot(x: ArrayData, y: ArrayData, xFloat: Boolean, yFloat: Boolean): java.lang.Double = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 }

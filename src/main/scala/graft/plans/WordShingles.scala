@@ -1,8 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -38,11 +40,37 @@ case class WordShingles(text: Expression, n: Expression)
       TypeCheckResult.TypeCheckFailure(
         s"word_shingles expects (STRING, INT), got (${text.dataType}, ${n.dataType})")
 
-  override def nullSafeEval(t: Any, size: Any): Any =
-    WordShingles.build(t.asInstanceOf[UTF8String], size.asInstanceOf[Int])
+  // Null text yields an EMPTY array, not null — shinglesArray's
+  // when(size >= n, ...).otherwise(empty) falls to otherwise on a null
+  // condition, and the bit-identical invariant must hold at the column
+  // level. Only a null n propagates null.
+  override def nullable: Boolean = n.nullable
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (t, s) => s"graft.plans.WordShingles.build($t, $s)")
+  override def eval(input: InternalRow): Any = {
+    val nv = n.eval(input)
+    if (nv == null) null
+    else {
+      val tv = text.eval(input)
+      if (tv == null) WordShingles.EMPTY
+      else WordShingles.build(tv.asInstanceOf[UTF8String], nv.asInstanceOf[Int])
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tGen = text.genCode(ctx)
+    val nGen = n.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${nGen.code}
+      boolean ${ev.isNull} = ${nGen.isNull};
+      $javaType ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${tGen.code}
+        ${ev.value} = ${tGen.isNull}
+          ? graft.plans.WordShingles.EMPTY()
+          : graft.plans.WordShingles.build(${tGen.value}, ${nGen.value});
+      }""")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): WordShingles =
@@ -50,6 +78,10 @@ case class WordShingles(text: Expression, n: Expression)
 }
 
 object WordShingles {
+  /** Shared empty result for null text (accessed from generated code via
+    * the static forwarder `EMPTY()`). */
+  val EMPTY: ArrayData = new GenericArrayData(Array.empty[Any])
+
   /** Exact replica of the built-in composition's semantics:
     * split on `\s+` with limit -1 (Spark's `split` keeps trailing
     * empties), windows of n tokens joined by single spaces, fully-empty

@@ -65,7 +65,7 @@ class CleaningSpec extends SparkSpec {
       ("THIS IS NOT A SHORT SALE", false),
       ("regular listing", false),
       ("Short Sale! bank must approve", true)).toDF("remarks", "expected")
-    val bad = df.filter(Cleaning.shortSaleFlag(col("remarks")) =!= col("expected")).count()
+    val bad = df.filter(!(Cleaning.shortSaleFlag(col("remarks")) <=> col("expected"))).count()
     assert(bad == 0)
   }
 
@@ -153,7 +153,7 @@ class CleaningSpec extends SparkSpec {
       ("Colonial", "Ranch", "SinglFam"),
       ("Colonial", null, "SinglFam")).toDF("prim", "list", "expected")
     val bad = df.filter(
-      Cleaning.subPropTypeSfh(col("prim"), col("list")) =!= col("expected")).count()
+      !(Cleaning.subPropTypeSfh(col("prim"), col("list")) <=> col("expected"))).count()
     assert(bad == 0)
   }
 
@@ -181,7 +181,7 @@ class CleaningSpec extends SparkSpec {
     val df = Seq((Some("x"), None: Option[String]), (None, None))
       .toDF("a", "b")
     val out = Cleaning.fillSentinels(df, Map("b" -> "Unknown", "zzz" -> "nope"))
-    assert(out.filter(col("b") =!= "Unknown").count() == 0)
+    assert(out.filter(!(col("b") <=> "Unknown")).count() == 0)
     assert(out.filter(col("a").isNull).count() == 1) // 'a' untouched
   }
 }

@@ -75,8 +75,8 @@ class PropertySpec extends SparkSpec {
              new scala.util.Random(seed).shuffle(toks ++ toks.headOption).mkString(" ")), 150)
     val df = docs.toDF("a", "b")
     val bad = df.filter(
-      graft.functions.Text.fingerprint(col("a")) =!=
-        graft.functions.Text.fingerprint(col("b"))).count()
+      !(graft.functions.Text.fingerprint(col("a")) <=>
+        graft.functions.Text.fingerprint(col("b")))).count()
     assert(bad == 0)
   }
 

@@ -13,7 +13,7 @@ class TextSpec extends SparkSpec {
       ("der hund ist nicht mit der katze und das haus", "de"),
       ("le chat est dans la maison et il est pour les amis", "fr"),
       ("xyzzy qwerty plugh", "und")).toDF("text", "expected")
-    val bad = df.filter(Text.langId(col("text")) =!= col("expected")).count()
+    val bad = df.filter(!(Text.langId(col("text")) <=> col("expected"))).count()
     assert(bad == 0)
   }
 

@@ -26,13 +26,45 @@ class WordShinglesSpec extends SparkSpec {
     val both = df.select(
       expr("word_shingles(text, 3)").as("native"),
       Similarity.shinglesArray(col("text"), 3).as("builtin"))
-    val bad = both.filter(col("native") =!= col("builtin")).count()
+    val bad = both.filter(!(col("native") <=> col("builtin"))).count()
     assert(bad == 0)
     // n=1 exercises the empty-shingle filter branch
     val both1 = df.select(
       expr("word_shingles(text, 1)").as("native"),
       Similarity.shinglesArray(col("text"), 1).as("builtin"))
-    assert(both1.filter(col("native") =!= col("builtin")).count() == 0)
+    assert(both1.filter(!(col("native") <=> col("builtin"))).count() == 0)
+  }
+
+  test("null text yields an empty array on both native and built-in paths") {
+    val df = Seq(Some("a b c d"), None, Some("")).toDF("text")
+    val both = df.select(
+      expr("word_shingles(text, 2)").as("native"),
+      Similarity.shinglesArray(col("text"), 2).as("builtin"))
+    assert(both.filter(!(col("native") <=> col("builtin"))).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 0)
+    val nullRow = df.filter(col("text").isNull)
+      .select(expr("word_shingles(text, 2)").as("sh")).head
+    assert(nullRow.getSeq[String](0).isEmpty)
+  }
+
+  test("vec_dot matches the built-in fold on malformed input (null, not partial)") {
+    val rows = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),   // equal lengths → 32.0
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0)),        // truncated → null
+      (Array.empty[Double], Array(1.0)))              // empty vs non-empty → null
+      .toDF("a", "b")
+    val both = rows.select(
+      expr("vec_dot(a, b)").as("native"),
+      Similarity.dot(col("a"), col("b")).as("builtin"))
+    assert(both.filter(!(col("native") <=> col("builtin"))).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 2)
+    // null element poisons the sum on both paths
+    val withNullElem = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE)) AS a, array(2.0D, 3.0D) AS b")
+    val r = withNullElem.select(
+      expr("vec_dot(a, b)").as("native"),
+      Similarity.dot(col("a"), col("b")).as("builtin")).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
   test("expression runs inside a codegen stage over a non-literal source") {
