@@ -36,6 +36,55 @@ object IoQueries {
       .filter(col("o_totalprice") > 200000.0)
   }
 
+  /** S3 — partitioned parallel JDBC read: numPartitions concurrent range
+    * scans on the key column (the 100 TB read path for big JDBC tables;
+    * the reference's server-side cursor, RealEstateImages.py:222-227).
+    * Bounds only set the stride — rows outside land in the edge
+    * partitions — so a generous fixed upper bound is correct at any SF.
+    * Oracle = the same relation from parquet: a pass proves the range
+    * scans cover the table exactly once. */
+  private val qS3JdbcPartitioned: Q = (spark, dir) => {
+    val db = "jdbc:derby:memory:graftpart"
+    try java.sql.DriverManager.getConnection(s"$db;drop=true")
+    catch { case _: java.sql.SQLException => () }
+    val subset = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Jdbc.append(subset, s"$db;create=true", "ORDERS_P")
+    Jdbc.readPartitioned(spark, db, "ORDERS_P", "O_ORDERKEY",
+        lowerBound = 1L, upperBound = 1L << 20, numPartitions = 8)
+      .filter(col("o_totalprice") > 150000.0)
+      .select(col("O_ORDERKEY").as("o_orderkey"),
+        col("O_CUSTKEY").as("o_custkey"),
+        col("O_TOTALPRICE").as("o_totalprice"))
+  }
+
+  /** S8/E3 — nested-document sink round-trip: flat image rows →
+    * assembleDocuments (map(section → array of {Condition,URL,Directory}))
+    * → JSON document sink → read back → flatten. The oracle computes the
+    * flat relation directly, so a pass proves the nested rebuild and the
+    * document codec are lossless — the Mongo insert_one analog
+    * (RealEstateImages.py:590-687) under the correctness gate. */
+  private val qS8DocRoundtrip: Q = (spark, dir) => {
+    val flat = qE3ImageClassify(spark, dir)
+      .select(col("mlsnum").as("MLSNum"), lit("Unknown").as("Condition"),
+        col("section"), col("url"), col("directory"))
+    val docs = ImagesDoc.assembleDocuments(flat)
+    val path = graft.io.TempDirs.registered("graft-docs").toString
+    ImagesDoc.writeDocuments(docs, path)
+    val schema = StructType(Seq(
+      StructField("MLSNum", StringType),
+      StructField("Condition", StringType),
+      StructField("Images", MapType(StringType, ArrayType(StructType(Seq(
+        StructField("Condition", StringType),
+        StructField("URL", StringType),
+        StructField("Directory", StringType))))))))
+    spark.read.schema(schema).json(path)
+      .select(col("MLSNum"), explode(col("Images")).as(Seq("section", "imgs")))
+      .select(col("MLSNum"), col("section"), explode(col("imgs")).as("img"))
+      .select(col("MLSNum").as("mlsnum"), col("section"),
+        col("img.URL").as("url"), col("img.Directory").as("directory"))
+  }
+
   /** F24 — style split/priority with the reference's exact quirks. */
   private val qF24StyleSplit: Q = (spark, dir) => {
     val k = col("p_partkey")
@@ -115,11 +164,13 @@ object IoQueries {
   }
 
   def queries: Map[String, Q] = Map(
-    "q_s1_landing"        -> qS1Landing,
-    "q_s2_jdbc_roundtrip" -> qS2JdbcRoundtrip,
-    "q_f24_style_split"   -> qF24StyleSplit,
-    "q_e3_image_classify" -> qE3ImageClassify,
-    "q_mm_media"          -> qMmMedia)
+    "q_s1_landing"          -> qS1Landing,
+    "q_s2_jdbc_roundtrip"   -> qS2JdbcRoundtrip,
+    "q_s3_jdbc_partitioned" -> qS3JdbcPartitioned,
+    "q_s8_doc_roundtrip"    -> qS8DocRoundtrip,
+    "q_f24_style_split"     -> qF24StyleSplit,
+    "q_e3_image_classify"   -> qE3ImageClassify,
+    "q_mm_media"            -> qMmMedia)
 
   private val homeSectionsCase: String =
     graft.functions.Cleaning.homeSections.map { case (label, pat) =>
@@ -138,6 +189,34 @@ object IoQueries {
     "q_s2_jdbc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0""",
+    "q_s3_jdbc_partitioned" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_totalprice > 150000.0""",
+    "q_s8_doc_roundtrip" ->
+      s"""WITH t AS (SELECT p_partkey,
+            CASE WHEN p_partkey % 5 = 0 THEN 'Kitchen view'
+                 WHEN p_partkey % 5 = 1 THEN 'Master Bathroom'
+                 WHEN p_partkey % 5 = 2 THEN 'Front of house'
+                 WHEN p_partkey % 5 = 3 THEN 'floor plan'
+                 ELSE 'mystery room' END AS cap_a,
+            CASE WHEN p_partkey % 4 = 0 THEN 'Dining area'
+                 WHEN p_partkey % 4 = 1 THEN 'Finished basement'
+                 WHEN p_partkey % 4 = 2 THEN 'Two car garage'
+                 ELSE 'odd corner space' END AS cap_b
+          FROM part),
+          pairs AS (
+            SELECT p_partkey AS mlsnum, cap_a AS caption,
+                   'http://img/' || CAST(p_partkey AS VARCHAR) || 'a.png' AS url FROM t
+            UNION ALL
+            SELECT p_partkey, cap_b, 'http://img/' || CAST(p_partkey AS VARCHAR) || 'b.png' FROM t),
+          classified AS (SELECT *, $homeSectionsCase AS section FROM pairs),
+          seqd AS (SELECT *,
+            row_number() OVER (PARTITION BY mlsnum, section ORDER BY url) AS seq
+          FROM classified)
+          SELECT CAST(mlsnum AS VARCHAR) AS mlsnum, section, url,
+                 'imgs/' || section || '/Unknown/' || CAST(mlsnum AS VARCHAR)
+                   || ' - ' || section || '_' || CAST(seq AS VARCHAR) || '.png' AS directory
+          FROM seqd""",
     "q_f24_style_split" ->
       """WITH t AS (SELECT p_partkey,
            CASE WHEN p_partkey % 9 = 0 THEN 'Duplex,TwoStory'

@@ -34,6 +34,36 @@ object MoreQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"))
   }
 
+  /** ST5 — stream fan-out: the same foreachBatch commits the cleaned
+    * batch to the primary sink AND a projection to a second sink (the
+    * reference's image re-publish, Kafka_GSMLSConsumer.py:897-926,
+    * :1278-1279). The query reads the FAN-OUT sink; the oracle computes
+    * the projected keep-last dedup directly, proving the second sink sees
+    * exactly the deduped batch. */
+  private val qSt5Fanout: Q = (spark, dir) => {
+    val batch = Tables.orders(spark, dir)
+    val in = graft.io.TempDirs.registered("graft-q-st5-in")
+    val out = graft.io.TempDirs.registered("graft-q-st5-out").toString
+    val fan = graft.io.TempDirs.registered("graft-q-st5-fan").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st5-ckpt").toString
+    Files.copy(java.nio.file.Paths.get(s"$dir/orders.parquet"),
+               in.resolve("batch-0.parquet"))
+    val src = Streaming.parquetSource(spark, in.toString, batch.schema)
+    Streaming.runAvailableNow(src, identity,
+      Streaming.StreamConfig(Seq("o_custkey"), "o_orderkey", out, ckpt,
+        fanOut = Some((df => df.select(col("o_orderkey"), col("o_totalprice")), fan))))
+    spark.read.parquet(fan).select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** P6 — point lookup by business key (RealEstateImages.py:477): a
+    * single-key equality filter that prunes to one parquet row group via
+    * min/max stats at scale. */
+  private val qP6PointLookup: Q = (spark, dir) =>
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") === 32L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+
   /** F28/S5/S4 — Kafka envelope round-trip: row → JSON value → typed row.
     * Oracle is the identity projection, proving the codec is lossless
     * (timestamps to the microsecond, doubles bit-exact). */
@@ -134,6 +164,8 @@ object MoreQueries {
     "q_e1_producer"        -> qE1Producer,
     "q_st7_rate_partition" -> qSt7RatePartition,
     "q_st_stream_dedup"    -> qStStreamDedup,
+    "q_st5_fanout"         -> qSt5Fanout,
+    "q_p6_point_lookup"    -> qP6PointLookup,
     "q_f28_json_roundtrip" -> qF28JsonRoundtrip,
     "q_st6_resume"         -> qSt6Resume,
     "q_a4_running_count"   -> qA4RunningCount,
@@ -175,6 +207,14 @@ object MoreQueries {
            FROM orders) t WHERE rn = 1""",
     "q_f28_json_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    "q_st5_fanout" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+           SELECT o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+           FROM orders) t WHERE rn = 1""",
+    "q_p6_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey = 32""",
     "q_st6_resume" ->
       """WITH years AS (SELECT unnest(range(1995, 1999)) AS year),
          grid AS (SELECT CAST(year AS INTEGER) AS year, n_nationkey, n_name FROM years, nation)
