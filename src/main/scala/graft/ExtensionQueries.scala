@@ -32,69 +32,69 @@ object ExtensionQueries {
 
   /** Token counting: whitespace + BPE-ish regex (Text ops T-token). */
   private val qTTokens: Q = (spark, dir) =>
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"),
         Text.tokenCount(col("text")).cast(LongType).as("n_ws"),
         Text.bpeTokenCount(col("text")).cast(LongType).as("n_bpe"))
 
   /** Language ID via stopword-hit argmax with declaration-order ties. */
   private val qTLangId: Q = (spark, dir) =>
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
 
   /** Composite quality score. */
   private val qTQuality: Q = (spark, dir) =>
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
 
   /** Order-insensitive bag-of-words fingerprint. */
   private val qTFingerprint: Q = (spark, dir) =>
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
 
   /** Exact content-hash dedup groups. */
   private val qSimExactDedup: Q = (spark, dir) =>
-    Similarity.exactDedup(Tables.documents(spark, dir), "doc_id", "text")
+    Similarity.exactDedup(Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text")
 
   /** MinHash signatures (16 hashes over distinct 3-shingles). */
   private val qSimMinhash: Q = (spark, dir) =>
     Similarity.minhashSignature(
-      Similarity.shingles(Tables.documents(spark, dir), "doc_id", "text", 3),
+      Similarity.shingles(Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text", 3),
       "doc_id", minhashN)
 
   /** LSH candidate near-duplicate pairs (4 bands × 4 rows, bucket cap). */
   private val qSimLshPairs: Q = (spark, dir) =>
-    Similarity.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
+    Similarity.minhashLsh(Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text",
       shingleN = 3, numHashes = minhashN, rowsPerBand = rowsPerBand,
       maxBucketSize = lshBucketCap)
 
   /** 64-bit SimHash fingerprints. */
   private val qSimSimhash: Q = (spark, dir) =>
-    Similarity.simhashFingerprint(Tables.documents(spark, dir), "doc_id", "text")
+    Similarity.simhashFingerprint(Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text")
 
   /** Exact n-gram Jaccard pairs above threshold (shingle-freq capped). */
   private val qSimJaccard: Q = (spark, dir) =>
-    Similarity.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+    Similarity.ngramJaccardPairs(Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text",
       n = 3, threshold = jaccardThreshold, maxShingleFreq = shingleFreqCap)
 
   /** Brute-force cosine top-10 against the constant query vector. */
   private val qSimCosineTopk: Q = (spark, dir) =>
-    Similarity.bruteForceTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+    Similarity.bruteForceTopK(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
       Similarity.vecLit(queryVec), 10)
 
   /** Hyperplane-LSH ANN top-10 with Hamming-radius-1 multi-probe. */
   private val qSimAnnLsh: Q = (spark, dir) =>
-    Similarity.lshAnnTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+    Similarity.lshAnnTopK(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
       queryVec, numPlanes, 10, probeRadius = 1)
 
   /** IVF ANN top-10: deterministic coarse centroids, 3-cell probe. */
   private val qSimIvfAnn: Q = (spark, dir) =>
-    Similarity.ivfAnnTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+    Similarity.ivfAnnTopK(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
       queryVec, centroidStep = 50, nprobe = 3, k = 10)
 
   /** Embedding-cosine near-dup pairs, bucket-blocked self-join. */
   private val qSimEmbedDedup: Q = (spark, dir) =>
-    Similarity.embedNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+    Similarity.embedNearDupPairs(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
       numPlanes, queryVec.length, threshold = 0.4)
 
   def queries: Map[String, Q] = Map(

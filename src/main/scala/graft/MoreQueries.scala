@@ -68,7 +68,7 @@ object MoreQueries {
     * Oracle is the identity projection, proving the codec is lossless
     * (timestamps to the microsecond, doubles bit-exact). */
   private val qF28JsonRoundtrip: Q = (spark, dir) => {
-    val ev = Tables.events(spark, dir)
+    val ev = Tables.fanOut(Tables.events(spark, dir))
     Streaming.parseEnvelope(Streaming.kafkaEnvelope(ev, col("event_id")), ev.schema)
       .select(col("event_id"), col("ts"), col("user_id"),
               col("event_type"), col("value"), col("props"))
@@ -144,7 +144,7 @@ object MoreQueries {
     * including the wire round-trip. */
   private val qE1Producer: Q = (spark, dir) => {
     val k = col("o_orderkey")
-    val listings = Tables.orders(spark, dir).select(
+    val listings = Tables.fanOut(Tables.orders(spark, dir)).select(
       k.cast(StringType).as("mlsnum"),
       col("o_totalprice").as("salesprice"),
       col("o_orderdate").as("closeddate"))

@@ -17,7 +17,7 @@ object PipelineQueries {
   private type Q = (SparkSession, String) => DataFrame
 
   private val qPipelineRes: Q = (spark, dir) => {
-    val o = Tables.orders(spark, dir)
+    val o = Tables.fanOut(Tables.orders(spark, dir))
     val k = col("o_orderkey")
     val fmt = "MM/dd/yyyy HH:mm:ss"
     val syn = o.select(
@@ -89,7 +89,7 @@ object PipelineQueries {
     * escape): sentinel fills, '*' strip, coercing date parse, the W4
     * prior-sale interval, and control-char escape, end-to-end. */
   private val qPipelineTax: Q = (spark, dir) => {
-    val o = Tables.orders(spark, dir)
+    val o = Tables.fanOut(Tables.orders(spark, dir))
     val k = col("o_orderkey")
     val fmt = "MM/dd/yyyy HH:mm:ss"
     val syn = o.select(
@@ -117,7 +117,7 @@ object PipelineQueries {
     * YEAR/MONTH anchor, RP/LP% takes the -100 shift, baths patch and
     * typed casts apply, SUBDIVISION gets the control-char escape. */
   private val qPipelineRnt: Q = (spark, dir) => {
-    val o = Tables.orders(spark, dir)
+    val o = Tables.fanOut(Tables.orders(spark, dir))
     val k = col("o_orderkey")
     val fmt = "MM/dd/yyyy HH:mm:ss"
     val syn = o.select(
@@ -146,7 +146,7 @@ object PipelineQueries {
   /** MUL pipeline (12 stages = RES minus sub_property_type): multi-unit
     * income casts, remarks/fixer/investment, lp-diff, dates. */
   private val qPipelineMul: Q = (spark, dir) => {
-    val o = Tables.orders(spark, dir)
+    val o = Tables.fanOut(Tables.orders(spark, dir))
     val k = col("o_orderkey")
     val fmt = "MM/dd/yyyy HH:mm:ss"
     val syn = o.select(
@@ -181,7 +181,7 @@ object PipelineQueries {
   /** LND pipeline (11 stages = MUL minus fixer_upper): no distress
     * flags, but lot-size conversion and investment label still apply. */
   private val qPipelineLnd: Q = (spark, dir) => {
-    val o = Tables.orders(spark, dir)
+    val o = Tables.fanOut(Tables.orders(spark, dir))
     val k = col("o_orderkey")
     val fmt = "MM/dd/yyyy HH:mm:ss"
     val syn = o.select(

@@ -18,6 +18,19 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Ingest fan-out for CPU-bound narrow pipelines: when the scan yields
+    * fewer splits than the cluster's parallelism (the testdata tables are
+    * single-row-group parquet files — one task no matter the core count),
+    * redistribute before the heavy per-row work. A round-robin exchange
+    * of a few MB buys full-width execution of the regex/date/cleaning
+    * stages downstream; on a real 100 TB table the scan already yields
+    * thousands of splits, the predicate is false, and no shuffle is
+    * added. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
