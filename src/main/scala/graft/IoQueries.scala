@@ -146,6 +146,24 @@ object IoQueries {
         .cast(LongType).as("n_frames"))
   }
 
+  /** Multimodal feature extraction: opaque payload → 4 deterministic
+    * feature channels + the vector's L2 norm — the binary→embedding
+    * bridge (columnar, shuffle-free), proven value-exact against the
+    * oracle computing the same salted-hash channels. */
+  private val qMmFeatures: Q = (spark, dir) => {
+    val media = graft.operators.Multimodal.asMedia(
+      Tables.fanOut(Tables.documents(spark, dir)),
+      col("doc_id"), col("text"), lit("text/plain"), col("source"),
+      col("n_chars").cast(LongType))
+    val feats = (0 until 4).map(j =>
+      graft.operators.Multimodal.hashFeature(col("content"), j).as(s"f$j"))
+    media.select(
+      (col("media_id") +: feats :+
+        round(sqrt((0 until 4).map(j =>
+          graft.operators.Multimodal.hashFeature(col("content"), j))
+          .map(c => c * c).reduce(_ + _)), 6).as("feat_norm")): _*)
+  }
+
   /** S1/F1/P1 — the landing-zone ingest path: write the table to a text
     * landing format (CSV header files, the .xls analog), read it back
     * permissively with an explicit schema, uppercase the column names,
@@ -170,7 +188,8 @@ object IoQueries {
     "q_s8_doc_roundtrip"    -> qS8DocRoundtrip,
     "q_f24_style_split"     -> qF24StyleSplit,
     "q_e3_image_classify"   -> qE3ImageClassify,
-    "q_mm_media"            -> qMmMedia)
+    "q_mm_media"            -> qMmMedia,
+    "q_mm_features"         -> qMmFeatures)
 
   private val homeSectionsCase: String =
     graft.functions.Cleaning.homeSections.map { case (label, pat) =>
@@ -189,6 +208,15 @@ object IoQueries {
     "q_s2_jdbc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0""",
+    "q_mm_features" -> {
+      def f(j: Int) =
+        s"round(CAST('0x' || substring(md5('f$j:' || hex(encode(text))), 1, 15) AS BIGINT)" +
+          " % 1000000 / 1000000.0, 6)"
+      s"""SELECT doc_id AS media_id,
+          ${(0 until 4).map(j => s"${f(j)} AS f$j").mkString(",\n          ")},
+          round(sqrt(${(0 until 4).map(j => s"${f(j)} * ${f(j)}").mkString(" + ")}), 6) AS feat_norm
+          FROM documents"""
+    },
     "q_s3_jdbc_partitioned" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_totalprice > 150000.0""",

@@ -56,6 +56,21 @@ object Multimodal {
   def frameOffsets(durationMs: Column, stepMs: Int): Column =
     sequence(lit(0L), durationMs, lit(stepMs.toLong))
 
+  /** Deterministic feature channel j in [0, 1) from the payload bytes —
+    * the columnar feature-extract stand-in (a real extractor would
+    * replace the hash with codec output via [[decodePartition]]). Salted
+    * md5 over the hex payload, top 60 bits, scaled; engine-portable, so
+    * the whole binary→feature-vector path sits under the DuckDB oracle. */
+  def hashFeature(content: Column, channel: Int): Column =
+    round(
+      conv(substring(md5(concat(lit(s"f$channel:"), hex(content))), 1, 15), 16, 10)
+        .cast(LongType) % 1000000L / 1000000.0, 6)
+
+  /** Feature vector: `dims` hash channels as an Array[Double] column —
+    * the bridge from opaque media payloads to the ANN/similarity stack. */
+  def hashFeatures(content: Column, dims: Int): Column =
+    array((0 until dims).map(hashFeature(content, _)): _*)
+
   // ------------------------------------------------------------------
   // Decode plumbing — real signature, stubbed codec
   // ------------------------------------------------------------------

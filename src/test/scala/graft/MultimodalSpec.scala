@@ -43,6 +43,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.repartitionForDecode(media, 2).rdd.getNumPartitions == 2)
   }
 
+  test("hashFeatures: dims channels in [0,1), deterministic, null-safe") {
+    val f = media.select(col("media_id"),
+      Multimodal.hashFeatures(col("content"), 4).as("feat"))
+      .orderBy("media_id").collect()
+    assert(f.forall(_.getSeq[Double](1).length == 4))
+    assert(f.forall(_.getSeq[Double](1).forall(v => v >= 0.0 && v < 1.0)))
+    val again = media.select(col("media_id"),
+      Multimodal.hashFeatures(col("content"), 4).as("feat"))
+      .orderBy("media_id").collect()
+    assert(f.map(_.getSeq[Double](1)).toSeq == again.map(_.getSeq[Double](1)).toSeq)
+    // distinct payloads produce distinct feature vectors
+    assert(f.map(_.getSeq[Double](1)).distinct.length == 3)
+  }
+
   test("metadata-only projection does not read the binary column (pruned scan)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(dir)
