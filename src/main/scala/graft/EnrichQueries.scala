@@ -72,10 +72,36 @@ object EnrichQueries {
     Cleaning.lowerColumns(up.select(col("N_NATIONKEY"), col("N_NAME")))
   }
 
+  /** Skew-safe salted join: the salt spreads each hot fact key over 8
+    * reducers and cancels out of the result — the oracle is the PLAIN
+    * join, so a pass proves salting is semantics-preserving. */
+  private val qJSalted: Q = (spark, dir) => {
+    val fact = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("okey"), col("l_linenumber"), col("l_quantity"))
+    val dim = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("okey"), col("o_totalprice"))
+    Relational.saltedJoin(fact, dim, "okey", salts = 8)
+      .select(col("okey"), col("l_linenumber"), col("l_quantity"), col("o_totalprice"))
+  }
+
+  /** Two-phase salted aggregation over the genuinely skewed
+    * `event_type` key (a handful of distinct values for the whole
+    * table). DECIMAL accumulation keeps the sum order-independent, so
+    * the two-phase merge is value-exact vs the one-shot oracle. */
+  private val qAggSalted: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .withColumn("value", col("value").cast(DecimalType(18, 6)))
+    Relational.saltedSumCount(ev, Seq("event_type"), "value", salts = 32)
+      .select(col("event_type"),
+        col("value_sum").cast(DoubleType).as("value_sum"), col("n"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_j2_tax_enrich" -> qJ2TaxEnrich,
     "q_w2_top"        -> qW2Top,
-    "q_f1_upper_cols" -> qF1UpperCols)
+    "q_f1_upper_cols" -> qF1UpperCols,
+    "q_j_salted"      -> qJSalted,
+    "q_agg_salted"    -> qAggSalted)
 
   def oracleSql: Map[String, String] = Map(
     "q_j2_tax_enrich" ->
@@ -126,5 +152,13 @@ object EnrichQueries {
                  o_orderdate) / 365.25, 10.0), 4) AS top_years
          FROM orders""",
     "q_f1_upper_cols" ->
-      "SELECT n_nationkey, n_name FROM nation")
+      "SELECT n_nationkey, n_name FROM nation",
+    "q_j_salted" ->
+      """SELECT l.l_orderkey AS okey, l.l_linenumber, l.l_quantity, o.o_totalprice
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+    "q_agg_salted" ->
+      """SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+         count(*) AS n
+         FROM events GROUP BY event_type""")
 }

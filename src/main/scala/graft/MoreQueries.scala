@@ -55,6 +55,36 @@ object MoreQueries {
     spark.read.parquet(fan).select(col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** ST4 — watermarked tumbling-window aggregation through the real
+    * streaming engine (EventTimeWatermark + stateful window agg), read
+    * back from a complete-mode memory sink so every window is emitted
+    * and the oracle is the plain hourly GROUP BY. */
+  private val qSt4Windowed: Q = (spark, dir) => {
+    val in = graft.io.TempDirs.registered("graft-q-st4-in")
+    val ckpt = graft.io.TempDirs.registered("graft-q-st4-ckpt").toString
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+               in.resolve("batch-0.parquet"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // Watermarks require TIMESTAMP (not NTZ); the session is pinned UTC,
+    // so epoch arithmetic gives the same wall-clock and the final cast
+    // back to NTZ is lossless.
+    val src = Streaming.parquetSource(spark, in.toString, raw.schema)
+      .withColumn("ts",
+        expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP '1970-01-01 00:00:00')"))
+    val agg = src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = "graft_st4_windowed"
+    spark.catalog.dropTempView(name)
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(name).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("w.start").cast("timestamp_ntz").as("hour_ts"),
+        col("event_type"), col("n"))
+  }
+
   /** P6 — point lookup by business key (RealEstateImages.py:477): a
     * single-key equality filter that prunes to one parquet row group via
     * min/max stats at scale. */
@@ -165,6 +195,7 @@ object MoreQueries {
     "q_st7_rate_partition" -> qSt7RatePartition,
     "q_st_stream_dedup"    -> qStStreamDedup,
     "q_st5_fanout"         -> qSt5Fanout,
+    "q_st4_windowed"       -> qSt4Windowed,
     "q_p6_point_lookup"    -> qP6PointLookup,
     "q_f28_json_roundtrip" -> qF28JsonRoundtrip,
     "q_st6_resume"         -> qSt6Resume,
@@ -212,6 +243,9 @@ object MoreQueries {
            SELECT o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
            FROM orders) t WHERE rn = 1""",
+    "q_st4_windowed" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2""",
     "q_p6_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders WHERE o_orderkey = 32""",

@@ -105,6 +105,42 @@ object Relational {
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
   // ---------------------------------------------------------------------
+  // Skew handling — the explicit fallbacks for when AQE can't help:
+  // a broadcast isn't possible (dim too big) and runtime skew-join
+  // splitting doesn't apply (e.g. the hot key feeds an aggregation).
+  // Both are deterministic (content-hash salt), so results are
+  // reproducible and oracle-checkable.
+  // ---------------------------------------------------------------------
+
+  /** Skew-safe equi inner join: spread each hot fact key over `salts`
+    * sub-keys (content-hash salt on the fact side; dim side replicated
+    * `salts`×). One hot key then lands on `salts` reducers instead of
+    * one. Dim replication costs |dim|×salts rows — use only when the
+    * dim is too big to broadcast but far smaller than the fact. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    val salt = pmod(hash(fact.columns.map(col): _*), lit(salts))
+    val saltedFact = fact.withColumn("__salt", salt)
+    val repDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(repDim, Seq(key, "__salt"), "inner").drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation for low-cardinality hot group keys:
+    * phase 1 aggregates on (keys, salt) — spreading each hot key over
+    * `salts` reducers — phase 2 merges the partials. sum/count merge by
+    * sum; avg = merged sum / merged count. Map-side partial aggregation
+    * already does this within a task; the salt does it across tasks. */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                     salts: Int): DataFrame = {
+    val salt = pmod(hash(df.columns.map(col): _*), lit(salts))
+    df.withColumn("__salt", salt)
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as("value_sum"), sum(col("__pcnt")).as("n"))
+  }
+
+  // ---------------------------------------------------------------------
   // S6 prep — pre-validation split replacing the reference's per-row
   // DataError salvage (Kafka_GSMLSConsumer.py:1232-1254): rows failing the
   // predicate go to a quarantine sink instead of silently dropping

@@ -81,6 +81,34 @@ class RelationalSpec extends SparkSpec {
     assert(out(2).getDouble(out(2).length - 1) == 10.0)            // only p2 row -> default
   }
 
+  test("saltedJoin equals the plain join and spreads a hot key") {
+    val fact = (1 to 200).map(i => (if (i <= 190) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val dim = Seq(("hot", 1.0), ("k195", 2.0)).toDF("k", "w")
+    val salted = Relational.saltedJoin(fact, dim, "k", salts = 4)
+      .select("k", "v", "w")
+    val plain = fact.join(dim, Seq("k"), "inner").select("k", "v", "w")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+    // the hot key really occupies multiple salt cells
+    val cells = fact.filter(col("k") === "hot")
+      .withColumn("s", pmod(hash(col("k"), col("v")), lit(4)))
+      .select("s").distinct().count()
+    assert(cells > 1)
+  }
+
+  test("saltedSumCount merges partials to the one-shot aggregate") {
+    val df = (1 to 500).map(i => (if (i % 10 == 0) "rare" else "hot", i.toLong))
+      .toDF("g", "v")
+    val out = Relational.saltedSumCount(df, Seq("g"), "v", salts = 8)
+      .orderBy("g").collect()
+    val expect = df.groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("g").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      expect.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("S9 pendingWorkQueue: null-flag filter + group-first + desc order") {
     val df = Seq(
       ("m1", Some("Yes"), 1), ("m2", None, 2), ("m2", None, 1), ("m3", None, 7))
