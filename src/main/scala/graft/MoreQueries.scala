@@ -55,6 +55,47 @@ object MoreQueries {
     spark.read.parquet(fan).select(col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** E2 — the consumer lifecycle end-to-end (Kafka_GSMLSConsumer.main,
+    * SURVEY §3 E2): two micro-batch deliveries — the second re-delivers
+    * every 4th key with a bumped SALEPRICE (the reference's re-scrape
+    * overlap) — through AvailableNow foreachBatch keep-last dedup → the
+    * full TAX cleaning pipeline → parquet sink → cross-batch keep-last
+    * batch view. The oracle computes the cleaned relation with
+    * redelivered values winning, proving stream + dedup + pipeline + sink
+    * compose into exactly the reference's consume loop semantics. */
+  private val qE2Consumer: Q = (spark, dir) => {
+    val fmt = "MM/dd/yyyy HH:mm:ss"
+    val o = Tables.fanOut(Tables.orders(spark, dir))
+    val k = col("o_orderkey")
+    def syn(src: DataFrame, bump: Int): DataFrame = src.select(
+      k.cast(StringType).as("AUTOROW"),
+      concat(lit("B"), (k % 900).cast(StringType),
+        when(k % 3 === 0, lit("*")).otherwise(lit(""))).as("BLOCKID"),
+      when(k % 6 === 0, concat(lit("MAIN"), lit("\t"), lit("ST")))
+        .otherwise(lit("OAK AVE")).as("LOCSTREET"),
+      when(k % 5 === 0, lit(null).cast(StringType))
+        .otherwise(date_format(col("o_orderdate"), fmt)).as("SALEDATE"),
+      (floor(col("o_totalprice")).cast(LongType) + bump).cast(StringType).as("SALEPRICE"))
+    val in = graft.io.TempDirs.registered("graft-q-e2-in").toString
+    val out = graft.io.TempDirs.registered("graft-q-e2-out").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-e2-ckpt").toString
+    val first = syn(o, 0)
+    first.write.mode("append").parquet(in)
+    syn(o.filter(k % 4 === 0), 1).write.mode("append").parquet(in)
+    val src = Streaming.parquetSource(spark, in, first.schema)
+    Streaming.runAvailableNow(src, graft.gsmls.Pipeline.taxPropertyCleaning,
+      Streaming.StreamConfig(Seq("AUTOROW"), "SALEPRICE", out, ckpt))
+    // exactly-once-per-key view; numeric order so the bumped redelivery wins
+    val sunk = spark.read.parquet(out)
+      .withColumn("__ord", col("SALEPRICE").try_cast(LongType))
+    graft.operators.Relational.dedupKeepLast(sunk, Seq("AUTOROW"), col("__ord"))
+      .select(col("AUTOROW").as("autorow"),
+        col("BLOCKID").as("blockid"),
+        col("LOCSTREET").as("locstreet"),
+        col("SALEDATE").cast("timestamp_ntz").as("saledate"),
+        col("SALEPRICE").try_cast(LongType).as("saleprice"))
+  }
+
   /** ST4 — watermarked tumbling-window aggregation through the real
     * streaming engine (EventTimeWatermark + stateful window agg), read
     * back from a complete-mode memory sink so every window is emitted
@@ -196,6 +237,7 @@ object MoreQueries {
     "q_st_stream_dedup"    -> qStStreamDedup,
     "q_st5_fanout"         -> qSt5Fanout,
     "q_st4_windowed"       -> qSt4Windowed,
+    "q_e2_consumer"        -> qE2Consumer,
     "q_p6_point_lookup"    -> qP6PointLookup,
     "q_f28_json_roundtrip" -> qF28JsonRoundtrip,
     "q_st6_resume"         -> qSt6Resume,
@@ -246,6 +288,25 @@ object MoreQueries {
     "q_st4_windowed" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n
          FROM events GROUP BY 1, 2""",
+    "q_e2_consumer" ->
+      """WITH syn AS (SELECT
+           CAST(o_orderkey AS VARCHAR) AS autorow,
+           'B' || CAST(o_orderkey % 900 AS VARCHAR) ||
+             (CASE WHEN o_orderkey % 3 = 0 THEN '*' ELSE '' END) AS blockid_raw,
+           CASE WHEN o_orderkey % 6 = 0 THEN 'MAIN' || chr(9) || 'ST'
+                ELSE 'OAK AVE' END AS locstreet_raw,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE strftime(o_orderdate, '%m/%d/%Y %H:%M:%S') END AS saledate_raw,
+           CAST(floor(o_totalprice) AS BIGINT) +
+             (CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS saleprice
+         FROM orders)
+         SELECT autorow,
+           replace(blockid_raw, '*', '') AS blockid,
+           regexp_replace(locstreet_raw, '[\x00-\x1f]', '', 'g') AS locstreet,
+           try_strptime(coalesce(saledate_raw, '00/00/0000 00:00:00'),
+                        '%m/%d/%Y %H:%M:%S') AS saledate,
+           saleprice
+         FROM syn""",
     "q_p6_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders WHERE o_orderkey = 32""",
