@@ -7,18 +7,32 @@ import org.apache.spark.sql.SparkSession
   * formatted plan for the first. Not part of the driver contract. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = args.drop(1)
-    val spark = SparkSession.builder()
+    val vanilla = args.contains("--vanilla")
+    val rest = args.filterNot(_ == "--vanilla")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (rest.drop(1).isEmpty && vanilla) SparkEntry.queries.keys.toSeq.sorted
+                else rest.drop(1).toSeq
+    val b = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    val spark = (if (vanilla) b else b.config("spark.sql.extensions", "graft.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    names.foreach { n =>
+    if (vanilla) {
+      println(s"[scratch] vanilla smoke over ${names.size} queries + entry")
+      assert(SparkEntry.entry(spark).count() > 0, "entry returned no rows")
+      names.foreach { n =>
+        try {
+          SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+          println(s"[scratch] OK $n")
+        } catch {
+          case e: Throwable => println(s"[scratch] VANILLA-FAIL $n: ${e.getMessage}")
+        }
+      }
+    } else names.foreach { n =>
       val fn = SparkEntry.queries(n)
       println(s"\n===== $n =====")
       fn(spark, sfDir).explain("formatted")
