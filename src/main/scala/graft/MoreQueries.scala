@@ -67,6 +67,9 @@ object MoreQueries {
     val fmt = "MM/dd/yyyy HH:mm:ss"
     val o = Tables.fanOut(Tables.orders(spark, dir))
     val k = col("o_orderkey")
+    // SEQ is the explicit delivery-order column (SURVEY §7.4(1)) — a
+    // string compare on SALEPRICE would mis-order across digit rollover
+    // when both deliveries land in the same micro-batch.
     def syn(src: DataFrame, bump: Int): DataFrame = src.select(
       k.cast(StringType).as("AUTOROW"),
       concat(lit("B"), (k % 900).cast(StringType),
@@ -75,16 +78,21 @@ object MoreQueries {
         .otherwise(lit("OAK AVE")).as("LOCSTREET"),
       when(k % 5 === 0, lit(null).cast(StringType))
         .otherwise(date_format(col("o_orderdate"), fmt)).as("SALEDATE"),
-      (floor(col("o_totalprice")).cast(LongType) + bump).cast(StringType).as("SALEPRICE"))
+      (floor(col("o_totalprice")).cast(LongType) + bump).cast(StringType).as("SALEPRICE"),
+      lit(bump.toString).as("SEQ"))
     val in = graft.io.TempDirs.registered("graft-q-e2-in").toString
     val out = graft.io.TempDirs.registered("graft-q-e2-out").toString
     val ckpt = graft.io.TempDirs.registered("graft-q-e2-ckpt").toString
     val first = syn(o, 0)
     first.write.mode("append").parquet(in)
     syn(o.filter(k % 4 === 0), 1).write.mode("append").parquet(in)
-    val src = Streaming.parquetSource(spark, in, first.schema)
+    // drain all delivery files in one trigger: per-micro-batch cost is
+    // planning + checkpoint commit, so batch count should track the
+    // trigger cadence, not the landing file count
+    val src = Streaming.parquetSource(spark, in, first.schema,
+      maxFilesPerTrigger = 256)
     Streaming.runAvailableNow(src, graft.gsmls.Pipeline.taxPropertyCleaning,
-      Streaming.StreamConfig(Seq("AUTOROW"), "SALEPRICE", out, ckpt))
+      Streaming.StreamConfig(Seq("AUTOROW"), "SEQ", out, ckpt))
     // exactly-once-per-key view; numeric order so the bumped redelivery wins
     val sunk = spark.read.parquet(out)
       .withColumn("__ord", col("SALEPRICE").try_cast(LongType))
