@@ -85,6 +85,41 @@ object IoQueries {
         col("img.URL").as("url"), col("img.Directory").as("directory"))
   }
 
+  /** S6 — JDBC sink with quarantine: rows failing validation land in a
+    * parquet quarantine path instead of poisoning a JDBC batch (the
+    * reference's per-row DataError salvage, Kafka_GSMLSConsumer.py:
+    * 1244-1254, made deterministic). The query reads back the sunk
+    * table; the oracle is the valid subset — a pass proves the split
+    * kept exactly the valid rows and the sink round-trip is lossless. */
+  private val qS6Quarantine: Q = (spark, dir) => {
+    val db = "jdbc:derby:memory:graftq6"
+    try java.sql.DriverManager.getConnection(s"$db;drop=true")
+    catch { case _: java.sql.SQLException => () }
+    val src = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+    val quarantine = graft.io.TempDirs.registered("graft-quarantine").toString
+    Jdbc.writeWithQuarantine(src,
+      col("o_totalprice") > 50000.0 && col("o_orderstatus") =!= "P",
+      s"$db;create=true", "ORDERS_Q", quarantine)
+    Jdbc.read(spark, db, "ORDERS_Q")
+      .select(col("O_ORDERKEY").as("o_orderkey"),
+        col("O_CUSTKEY").as("o_custkey"),
+        col("O_TOTALPRICE").as("o_totalprice"),
+        col("O_ORDERSTATUS").as("o_orderstatus"))
+  }
+
+  /** S7 — parquet checkpoint save/load as the engine API (the
+    * reference's xlsx snapshots); oracle = identity projection. */
+  private val qS7Checkpoint: Q = (spark, dir) => {
+    val ck = graft.io.TempDirs.registered("graft-q-s7").toString
+    graft.io.Checkpoint.save(
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+      ck, "cust")
+    graft.io.Checkpoint.load(spark, ck, "cust")
+  }
+
   /** F24 — style split/priority with the reference's exact quirks. */
   private val qF24StyleSplit: Q = (spark, dir) => {
     val k = col("p_partkey")
@@ -185,6 +220,8 @@ object IoQueries {
     "q_s1_landing"          -> qS1Landing,
     "q_s2_jdbc_roundtrip"   -> qS2JdbcRoundtrip,
     "q_s3_jdbc_partitioned" -> qS3JdbcPartitioned,
+    "q_s6_quarantine"       -> qS6Quarantine,
+    "q_s7_checkpoint"       -> qS7Checkpoint,
     "q_s8_doc_roundtrip"    -> qS8DocRoundtrip,
     "q_f24_style_split"     -> qF24StyleSplit,
     "q_e3_image_classify"   -> qE3ImageClassify,
@@ -220,6 +257,11 @@ object IoQueries {
     "q_s3_jdbc_partitioned" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_totalprice > 150000.0""",
+    "q_s6_quarantine" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+         WHERE o_totalprice > 50000.0 AND o_orderstatus <> 'P'""",
+    "q_s7_checkpoint" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "q_s8_doc_roundtrip" ->
       s"""WITH t AS (SELECT p_partkey,
             CASE WHEN p_partkey % 5 = 0 THEN 'Kitchen view'
