@@ -77,6 +77,14 @@ object ExtensionQueries {
     Similarity.ngramJaccardPairs(Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text",
       n = 3, threshold = jaccardThreshold, maxShingleFreq = shingleFreqCap)
 
+  /** LSH-gated exact jaccard: banding prunes the pair space, exact
+    * jaccard verifies survivors — the documented corpus-scale dedup
+    * composition, end-to-end under the oracle. */
+  private val qSimLshJaccard: Q = (spark, dir) =>
+    Similarity.lshJaccard(Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text",
+      shingleN = 3, numHashes = minhashN, rowsPerBand = rowsPerBand,
+      maxBucketSize = lshBucketCap, threshold = jaccardThreshold)
+
   /** Brute-force cosine top-10 against the constant query vector. */
   private val qSimCosineTopk: Q = (spark, dir) =>
     Similarity.bruteForceTopK(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
@@ -107,6 +115,7 @@ object ExtensionQueries {
     "q_sim_lsh_pairs"   -> qSimLshPairs,
     "q_sim_simhash"     -> qSimSimhash,
     "q_sim_jaccard"     -> qSimJaccard,
+    "q_sim_lsh_jaccard" -> qSimLshJaccard,
     "q_sim_cosine_topk" -> qSimCosineTopk,
     "q_sim_ann_lsh"     -> qSimAnnLsh,
     "q_sim_ivf_ann"     -> qSimIvfAnn,
@@ -279,6 +288,29 @@ object ExtensionQueries {
                  round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
           FROM co JOIN sizes sa ON co.id_a = sa.doc_id
                   JOIN sizes sb ON co.id_b = sb.doc_id
+          WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= $jaccardThreshold""",
+    "q_sim_lsh_jaccard" ->
+      s"""WITH $shingleCte,
+          $minhashBase,
+          sig AS (SELECT doc_id, $minhashAggs FROM shb GROUP BY doc_id),
+          banded AS ($bandedSql),
+          capped AS (SELECT doc_id, band, band_key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM banded)
+            WHERE bsz <= $lshBucketCap),
+          cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                   FROM capped l JOIN capped r
+                     ON l.band = r.band AND l.band_key = r.band_key
+                    AND l.doc_id < r.doc_id),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+                    FROM cand c
+                    JOIN sh a ON a.doc_id = c.id_a
+                    JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+                    GROUP BY 1, 2)
+          SELECT i.id_a, i.id_b,
+                 round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+          FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+                       JOIN sizes sb ON i.id_b = sb.doc_id
           WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= $jaccardThreshold""",
     "q_sim_cosine_topk" ->
       s"""SELECT vec_id, ${cosineSql("embedding")} AS cosine_sim

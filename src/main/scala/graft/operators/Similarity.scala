@@ -180,6 +180,38 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact jaccard restricted to a candidate pair set — the corpus-scale
+    * composition: LSH prunes the O(n²) pair space, exact jaccard
+    * verifies the survivors. Join cost is Σ_pairs |shingles| rows (pair-
+    * gated), not Σ_shingle freq² (the raw self-join). */
+  def jaccardForPairs(pairs: DataFrame, shingled: DataFrame, idCol: String,
+                      threshold: Double): DataFrame = {
+    val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = shingled.withColumnRenamed(idCol, "id_a")
+    val b = shingled.withColumnRenamed(idCol, "id_b")
+    val inter = pairs.join(a, "id_a").join(b, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** LSH-gated exact near-dup detection end-to-end: candidates from
+    * banding, exact jaccard on just those pairs. The shingle relation
+    * feeds both branches — at corpus scale persist it (or let exchange
+    * reuse kick in) rather than recomputing. */
+  def lshJaccard(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int, numHashes: Int, rowsPerBand: Int,
+                 maxBucketSize: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val cands = lshCandidatePairs(minhashSignature(sh, idCol, numHashes),
+      idCol, numHashes, rowsPerBand, maxBucketSize)
+    jaccardForPairs(cands, sh, idCol, threshold)
+  }
+
   // ---------------------------------------------------------------------
   // Embedding cosine similarity — double-precision dot/norms over
   // Array[Float] columns with zip_with/aggregate (codegen'd; no UDF).

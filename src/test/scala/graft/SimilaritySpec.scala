@@ -63,6 +63,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 0.5)))
   }
 
+  test("lshJaccard is contained in the raw exact jaccard with equal scores") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),   // identical
+      (3L, "w1 w2 w3 w4 w5 zz"),                               // near-dup of 1/2
+      (4L, "a b c d e f g h")).toDF("id", "text")              // unrelated
+    val gated = Similarity.lshJaccard(df, "id", "text",
+        shingleN = 2, numHashes = 16, rowsPerBand = 4,
+        maxBucketSize = 100, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val raw = Similarity.ngramJaccardPairs(df, "id", "text", n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gated.subsetOf(raw))          // the gate only prunes, never invents
+    assert(gated.contains((1L, 2L, 1.0))) // identical docs always survive
+  }
+
   test("simhash is 64 bits, deterministic, and equal for equal token bags") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta")).toDF("id", "text")
     val out = Similarity.simhashFingerprint(df, "id", "text").orderBy("id").collect()
