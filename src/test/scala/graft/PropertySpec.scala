@@ -31,6 +31,23 @@ class PropertySpec extends SparkSpec {
     assert(out.forall(_ >= 0.0))
   }
 
+  test("lshJaccard ⊆ raw jaccard with equal scores on generated corpora") {
+    // small vocab -> plenty of genuine near-dups for the gate to find
+    val doc = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" "))
+    val docs = sample(doc, 60).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    val gated = Similarity.lshJaccard(df, "id", "text",
+        shingleN = 2, numHashes = 16, rowsPerBand = 4,
+        maxBucketSize = 1000, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val raw = Similarity.ngramJaccardPairs(df, "id", "text", n = 2,
+        threshold = 0.3, maxShingleFreq = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gated.keySet.subsetOf(raw.keySet))
+    assert(gated.forall { case (k, j) => raw(k) == j }) // same exact score
+    assert(gated.nonEmpty)                              // the gate finds dups here
+  }
+
   test("F3 parseCurrency never throws over arbitrary strings") {
     val inputs = sample(weird, 300)
     val out = inputs.toDF("v")
