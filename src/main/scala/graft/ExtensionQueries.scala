@@ -85,6 +85,25 @@ object ExtensionQueries {
       shingleN = 3, numHashes = minhashN, rowsPerBand = rowsPerBand,
       maxBucketSize = lshBucketCap, threshold = jaccardThreshold)
 
+  /** End-to-end curation composition — the LLM-pipeline analog of E2:
+    * language filter → quality gate → exact content dedup (keep lowest
+    * id) → per-source corpus stats. Filters and projections stay on the
+    * scan; the only shuffles are the dedup's content-hash exchange and
+    * the final small aggregation. */
+  private val qCurate: Q = (spark, dir) => {
+    val enriched = Tables.fanOut(Tables.documents(spark, dir)).select(
+      col("doc_id"), col("source"), col("text"),
+      Text.langId(col("text")).as("lang"),
+      Text.qualityScore(col("text")).as("q"),
+      Text.tokenCount(col("text")).as("n_tok"))
+    val gated = enriched.filter(col("lang") === "en" && col("q") >= 0.3)
+    val kept = graft.operators.Relational.dedupKeepFirst(
+      gated.withColumn("ch", md5(col("text"))), Seq("ch"), col("doc_id"))
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("n_tokens"))
+  }
+
   /** Brute-force cosine top-10 against the constant query vector. */
   private val qSimCosineTopk: Q = (spark, dir) =>
     Similarity.bruteForceTopK(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
@@ -116,6 +135,7 @@ object ExtensionQueries {
     "q_sim_simhash"     -> qSimSimhash,
     "q_sim_jaccard"     -> qSimJaccard,
     "q_sim_lsh_jaccard" -> qSimLshJaccard,
+    "q_curate"          -> qCurate,
     "q_sim_cosine_topk" -> qSimCosineTopk,
     "q_sim_ann_lsh"     -> qSimAnnLsh,
     "q_sim_ivf_ann"     -> qSimIvfAnn,
@@ -289,6 +309,39 @@ object ExtensionQueries {
           FROM co JOIN sizes sa ON co.id_a = sa.doc_id
                   JOIN sizes sb ON co.id_b = sb.doc_id
           WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= $jaccardThreshold""",
+    "q_curate" ->
+      s"""WITH langs AS (SELECT doc_id, source, text,
+            ${hitsExpr("en")} AS h_en, ${hitsExpr("de")} AS h_de,
+            ${hitsExpr("fr")} AS h_fr, ${hitsExpr("es")} AS h_es,
+            ${hitsExpr("zh")} AS h_zh
+          FROM documents),
+          l2 AS (SELECT doc_id, source, text,
+            CASE WHEN h_en = mx AND mx > 0 THEN 'en'
+                 WHEN h_de = mx AND mx > 0 THEN 'de'
+                 WHEN h_fr = mx AND mx > 0 THEN 'fr'
+                 WHEN h_es = mx AND mx > 0 THEN 'es'
+                 WHEN h_zh = mx AND mx > 0 THEN 'zh'
+                 ELSE 'und' END AS lang
+          FROM (SELECT *, greatest(h_en, h_de, h_fr, h_es, h_zh) AS mx FROM langs)),
+          qf AS (SELECT doc_id, source, text, lang,
+            len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) AS alpha_ratio,
+            ${hitsExpr("en")} / greatest(len(string_split_regex(text, '\\s+')), 1) AS en_ratio,
+            len(string_split_regex(text, '\\s+')) AS n_tok,
+            length(regexp_replace(text, '\\s+', '', 'g')) / CAST(greatest(len(string_split_regex(text, '\\s+')), 1) AS DOUBLE) AS mean_tok_len,
+            len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1) AS punct_ratio
+          FROM l2),
+          scored AS (SELECT doc_id, source, text, lang, n_tok,
+            round(alpha_ratio * 0.4
+              + least(en_ratio * 4.0, 1.0) * 0.3
+              + (CASE WHEN n_tok BETWEEN 20 AND 100000 THEN 0.2 ELSE 0.0 END)
+              + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 0.1 ELSE 0.0 END)
+              - punct_ratio * 0.4, 4) AS q
+          FROM qf),
+          kept AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM scored WHERE lang = 'en' AND q >= 0.3) WHERE rn = 1)
+          SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          FROM kept GROUP BY source""",
     "q_sim_lsh_jaccard" ->
       s"""WITH $shingleCte,
           $minhashBase,
