@@ -199,6 +199,20 @@ object IoQueries {
           .map(c => c * c).reduce(_ + _)), 6).as("feat_norm")): _*)
   }
 
+  /** Distributed media decode through the real partition-iterator
+    * plumbing (the JVM analog of mapInPandas) with the deterministic
+    * stub codec. No oracle SQL — Scala-side logic has no DuckDB mirror —
+    * so the driver records a rows-only check; value-level behavior is
+    * pinned by MultimodalSpec. */
+  private val qMmDecode: Q = (spark, dir) => {
+    val media = graft.operators.Multimodal.asMedia(
+      Tables.documents(spark, dir),
+      col("doc_id"), col("text"), lit("text/plain"), col("source"),
+      col("n_chars").cast(LongType))
+    graft.operators.Multimodal.decode(spark, media,
+      spark.sparkContext.defaultParallelism)
+  }
+
   /** S1/F1/P1 — the landing-zone ingest path: write the table to a text
     * landing format (CSV header files, the .xls analog), read it back
     * permissively with an explicit schema, uppercase the column names,
@@ -226,7 +240,8 @@ object IoQueries {
     "q_f24_style_split"     -> qF24StyleSplit,
     "q_e3_image_classify"   -> qE3ImageClassify,
     "q_mm_media"            -> qMmMedia,
-    "q_mm_features"         -> qMmFeatures)
+    "q_mm_features"         -> qMmFeatures,
+    "q_mm_decode"           -> qMmDecode)
 
   private val homeSectionsCase: String =
     graft.functions.Cleaning.homeSections.map { case (label, pat) =>
