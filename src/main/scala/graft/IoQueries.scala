@@ -201,16 +201,21 @@ object IoQueries {
 
   /** Distributed media decode through the real partition-iterator
     * plumbing (the JVM analog of mapInPandas) with the deterministic
-    * stub codec. No oracle SQL — Scala-side logic has no DuckDB mirror —
-    * so the driver records a rows-only check; value-level behavior is
-    * pinned by MultimodalSpec. */
+    * stub codec. The stub derives fake dimensions from payload bytes
+    * (first and middle byte, `64 + (b & 0x7f)`) — byte arithmetic DuckDB
+    * mirrors over hex(encode(text)), so even the mapPartitions path sits
+    * under the value-level oracle. */
   private val qMmDecode: Q = (spark, dir) => {
     val media = graft.operators.Multimodal.asMedia(
       Tables.documents(spark, dir),
       col("doc_id"), col("text"), lit("text/plain"), col("source"),
       col("n_chars").cast(LongType))
     graft.operators.Multimodal.decode(spark, media,
-      spark.sparkContext.defaultParallelism)
+        spark.sparkContext.defaultParallelism)
+      .select(col("mediaId").as("media_id"),
+        col("width").cast(LongType).as("width"),
+        col("height").cast(LongType).as("height"),
+        col("ok"))
   }
 
   /** S1/F1/P1 — the landing-zone ingest path: write the table to a text
@@ -260,6 +265,16 @@ object IoQueries {
     "q_s2_jdbc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0""",
+    "q_mm_decode" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+           coalesce(octet_length(encode(text)), 0) AS n FROM documents)
+         SELECT doc_id AS media_id,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE 64 + CAST('0x' || substring(hx, 1, 2) AS INT) % 128 END AS BIGINT) AS width,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE 64 + CAST('0x' || substring(hx, 2 * (n // 2) + 1, 2) AS INT) % 128 END AS BIGINT) AS height,
+           n > 0 AS ok
+         FROM b""",
     "q_mm_features" -> {
       def f(j: Int) =
         s"round(CAST('0x' || substring(md5('f$j:' || hex(encode(text))), 1, 15) AS BIGINT)" +

@@ -182,8 +182,8 @@ object Cleaning {
 
   // ---------------------------------------------------------------------
   // F18 — APN / zero-pad normalization (GSMLS.py:694-754, 2316-2324)
-  // town-block-lot segments each left-padded to width 5 ->
-  // 'TTTTT-BBBBB-QQQQQ-LLLLL-QQQQQ' (missing qualifiers default '00000').
+  // town pads to width 4, the block/lot/qualifier segments to width 5 ->
+  // 'TTTT-BBBBB-QQQQQ-LLLLL-QQQQQ' (missing qualifiers default '00000').
   // ---------------------------------------------------------------------
   def zeroPad(c: Column, width: Int): Column = lpad(c.cast(StringType), width, "0")
 

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Relational
@@ -44,19 +44,28 @@ object Jdbc {
 
   /** S6 — batched append with quarantine: rows failing `valid` land in a
     * parquet quarantine path instead of poisoning a JDBC batch. Returns
-    * (written, quarantined) counts (A4 bookkeeping). */
+    * (written, quarantined) counts (A4 bookkeeping).
+    *
+    * Single-pass per sink: the counts ride the write jobs as observed
+    * metrics ([[Observation]]) instead of separate `count()` actions —
+    * eager counts would recompute the cleaned batch twice more, a real
+    * tax when every consumed batch crosses this path. The quarantine
+    * side is written unconditionally (an empty parquet dir, not a
+    * skipped write) so its count comes off the same job too. */
   def writeWithQuarantine(df: DataFrame, valid: Column,
                           url: String, table: String,
                           quarantinePath: String,
                           batchSize: Int = 500): (Long, Long) = {
     val (ok, bad) = Relational.validSplit(df, valid)
-    val okCount = ok.count()
-    val badCount = bad.count()
-    ok.write.mode("append")
+    val okObs = Observation()
+    val badObs = Observation()
+    ok.observe(okObs, count(lit(1)).as("n"))
+      .write.mode("append")
       .option("batchsize", batchSize)
       .jdbc(url, table, new java.util.Properties())
-    if (badCount > 0) bad.write.mode("append").parquet(quarantinePath)
-    (okCount, badCount)
+    bad.observe(badObs, count(lit(1)).as("n"))
+      .write.mode("append").parquet(quarantinePath)
+    (okObs.get("n").asInstanceOf[Long], badObs.get("n").asInstanceOf[Long])
   }
 
   /** Plain batched append (no validation) — GSMLS.py:1704 event-log path. */

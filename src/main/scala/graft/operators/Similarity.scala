@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication & similarity-search operators for training-data
   * pipelines: exact hash dedup, MinHash+LSH, SimHash, n-gram Jaccard,
@@ -200,16 +201,27 @@ object Similarity {
   }
 
   /** LSH-gated exact near-dup detection end-to-end: candidates from
-    * banding, exact jaccard on just those pairs. The shingle relation
-    * feeds both branches — at corpus scale persist it (or let exchange
-    * reuse kick in) rather than recomputing. */
+    * banding, exact jaccard on just those pairs.
+    *
+    * The shingle relation feeds three consumers (the signature branch and
+    * both sides of the pair verify), so it is persisted for the duration
+    * of the job — without it the corpus is scanned + split + exploded +
+    * deduped ~3x. The small pair result is materialized (and persisted)
+    * while the shingles are cached, then the shingle cache is released;
+    * the result keeps its lineage, so a lost partition recomputes rather
+    * than fails. */
   def lshJaccard(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int, numHashes: Int, rowsPerBand: Int,
                  maxBucketSize: Int, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(minhashSignature(sh, idCol, numHashes),
       idCol, numHashes, rowsPerBand, maxBucketSize)
-    jaccardForPairs(cands, sh, idCol, threshold)
+    val out = jaccardForPairs(cands, sh, idCol, threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the (near-dup pairs << corpus) result now
+    sh.unpersist(blocking = false)
+    out
   }
 
   // ---------------------------------------------------------------------
@@ -349,21 +361,41 @@ object Similarity {
 
   /** Assign every vector to its max-cosine cell (ties -> lowest cid).
     * Norms are precomputed per row / per centroid (one fold each)
-    * instead of per (row, centroid) pair. */
+    * instead of per (row, centroid) pair.
+    *
+    * The argmax is a plain `max` aggregation over a packed long, not a
+    * row_number window (shuffles AND sorts the full n*k relation) and
+    * not max_by over structs (struct buffers force SortAggregate —
+    * local sorts of n*k rows). Packing (rounded cosine, B-1-cid) into
+    * one long keeps the mutable-buffer HashAggregate: partial (map-side)
+    * combine reduces n*k to n before the exchange and nothing ever
+    * sorts. The pack order reproduces the window's tie-break exactly
+    * (highest cosine, then lowest cid): cosine is already rounded to 6
+    * decimals so *1e6 is integral, and a 1-step cosine difference
+    * outweighs any cid difference because cid < B = 2^40. */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
-                centroidStep: Int): DataFrame = {
+                centroidStep: Int): DataFrame =
+    ivfAssignTo(emb, idCol, vecCol,
+      centroids(emb, idCol, vecCol, centroidStep))
+
+  /** Assignment against an explicit centroid set (cid, cvec) — shared by
+    * the every-Nth coarse quantizer and the trained k-means one.
+    * Requires 0 <= cid < 2^40. */
+  def ivfAssignTo(emb: DataFrame, idCol: String, vecCol: String,
+                  cent: DataFrame): DataFrame = {
     val native = hasNative(emb)
-    val cent = centroids(emb, idCol, vecCol, centroidStep)
-      .withColumn("__cn", normFor(native)(col("cvec")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__ccos").desc, col("cid").asc)
+    val centN = cent.withColumn("__cn", normFor(native)(col("cvec")))
+    val b = 1L << 40
     emb.withColumn("__vn", normFor(native)(col(vecCol)))
-      .join(broadcast(cent))
+      .join(broadcast(centN))
       .withColumn("__ccos",
         round(dotFor(native)(col(vecCol), col("cvec")) / (col("__vn") * col("__cn")), 6))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("cid").as("cell"))
+      .withColumn("__packed",
+        round(col("__ccos") * 1e6).cast(LongType) * b + (lit(b - 1) - col("cid")))
+      .groupBy(col(idCol), col(vecCol))
+      .agg(max(col("__packed")).as("__mp"))
+      .select(col(idCol), col(vecCol),
+        (lit(b - 1) - pmod(col("__mp"), lit(b))).as("cell"))
   }
 
   /** IVF ANN top-k: probe the `nprobe` cells nearest the query, exact

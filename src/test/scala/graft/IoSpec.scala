@@ -33,6 +33,19 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(q).count() == 2)
   }
 
+  test("S6: writeWithQuarantine is single-pass — one job per sink, none for the counts") {
+    val url = derbyUrl()
+    val q = Files.createTempDirectory("graft-quar-jobs").toString
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(-1.0))).toDF("id", "v")
+    val group = s"quarantine-jobs-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "quarantine single-pass check")
+    val (ok, bad) = try Jdbc.writeWithQuarantine(df, col("v") > 0.0, url, "TJ", q)
+      finally spark.sparkContext.clearJobGroup()
+    assert(ok == 1 && bad == 2) // counts still correct, observed off the writes
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+    assert(jobs.length == 2, s"expected 2 write jobs, saw ${jobs.length}")
+  }
+
   test("S3: partitioned JDBC read returns the full table across range scans") {
     val url = derbyUrl()
     val df = (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v")

@@ -142,6 +142,17 @@ class SimilaritySpec extends SparkSpec {
     assert(top.nonEmpty && top.head.getLong(0) % 2 == 1)
   }
 
+  test("ivfAssign plan is HashAggregate-only — no Window, no sorts") {
+    val vecs = (0L to 9L).map(i => (i, Seq(1.0f + i, 2.0f, 3.0f)))
+    val df = vecs.toDF("id", "vec")
+    val plan = Similarity.ivfAssign(df, "id", "vec", centroidStep = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.contains("SortAggregate") && !plan.contains("Sort ["),
+      s"sort in plan:\n$plan")
+    assert(plan.contains("HashAggregate"))
+  }
+
   test("embedNearDupPairs == driver-computed same-bucket high-cosine pairs") {
     val vecs: Seq[(Long, Seq[Double])] = Seq(
       1L -> (0 until 8).map(i => 0.5 + 0.01 * i),
