@@ -104,6 +104,34 @@ object MoreQueries {
         col("SALEPRICE").try_cast(LongType).as("saleprice"))
   }
 
+  /** ST3 (full strength) — cross-trigger stateful dedup through the
+    * engine's state store: two landing files, the second re-delivering
+    * every 4th key with an identical payload, drained ONE FILE PER
+    * MICRO-BATCH so the redelivery arrives in a later trigger.
+    * dropDuplicatesWithinWatermark must drop it across the trigger
+    * boundary — were dedup per-batch only, every 4th key would appear
+    * twice and the row count would diverge from the oracle (the plain
+    * one-row-per-key relation). */
+  private val qSt3StatefulDedup: Q = (spark, dir) => {
+    val k = col("o_orderkey")
+    def syn(src: DataFrame): DataFrame = src.select(
+      k.cast(StringType).as("dkey"),
+      expr("timestampadd(MINUTE, CAST(o_orderkey % 60 AS INT), TIMESTAMP '2024-06-01 00:00:00')")
+        .as("ts"),
+      floor(col("o_totalprice")).cast(LongType).as("price"))
+    val in = graft.io.TempDirs.registered("graft-q-st3-in").toString
+    val out = graft.io.TempDirs.registered("graft-q-st3-out").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st3-ckpt").toString
+    val o = Tables.orders(spark, dir)
+    val d1 = syn(o)
+    d1.coalesce(1).write.mode("append").parquet(in)
+    syn(o.filter(k % 4 === 0)).coalesce(1).write.mode("append").parquet(in)
+    val src = Streaming.parquetSource(spark, in, d1.schema, maxFilesPerTrigger = 1)
+    Streaming.runStatefulDedup(src, Seq("dkey"), "ts", "30 days", out, ckpt)
+    spark.read.parquet(out)
+      .select(col("dkey"), col("ts").cast("timestamp_ntz").as("ts"), col("price"))
+  }
+
   /** ST4 — watermarked tumbling-window aggregation through the real
     * streaming engine (EventTimeWatermark + stateful window agg), read
     * back from a complete-mode memory sink so every window is emitted
@@ -243,6 +271,7 @@ object MoreQueries {
     "q_e1_producer"        -> qE1Producer,
     "q_st7_rate_partition" -> qSt7RatePartition,
     "q_st_stream_dedup"    -> qStStreamDedup,
+    "q_st3_stateful_dedup" -> qSt3StatefulDedup,
     "q_st5_fanout"         -> qSt5Fanout,
     "q_st4_windowed"       -> qSt4Windowed,
     "q_e2_consumer"        -> qE2Consumer,
@@ -293,6 +322,11 @@ object MoreQueries {
            SELECT o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
            FROM orders) t WHERE rn = 1""",
+    "q_st3_stateful_dedup" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS dkey,
+         TIMESTAMP '2024-06-01 00:00:00' + (o_orderkey % 60) * INTERVAL 1 MINUTE AS ts,
+         CAST(floor(o_totalprice) AS BIGINT) AS price
+         FROM orders""",
     "q_st4_windowed" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n
          FROM events GROUP BY 1, 2""",

@@ -111,6 +111,30 @@ object Streaming {
                   keys: Seq[String], orderCol: String): DataFrame =
     Relational.dedupKeepLast(spark.read.parquet(path), keys, col(orderCol))
 
+  /** ST3 full strength — cross-trigger keep-one dedup INSIDE the engine:
+    * `dropDuplicatesWithinWatermark` holds per-key state in the streaming
+    * state store, so a key re-delivered in a later micro-batch is dropped
+    * by the engine itself (the reference resolves re-scrape overlap at
+    * consume time, Kafka_GSMLSConsumer.py:196-219), not collapsed
+    * afterwards in a batch view. State is bounded by the watermark: at
+    * streaming scale the store holds only keys inside the lateness
+    * horizon, never the full delivery history — the reason this variant,
+    * not an unbounded dropDuplicates, is the 100 TB operator. */
+  def runStatefulDedup(src: DataFrame, keys: Seq[String], tsCol: String,
+                       watermarkDelay: String, sinkPath: String,
+                       checkpointPath: String): Unit = {
+    val q = src.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .option("path", sinkPath)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start()
+    q.awaitTermination()
+  }
+
   // ---------------------------------------------------------------------
   // ST6 — resume work-list (GSMLS.py:991-1047, 2375-2381): the full work
   // grid minus what the event log already records — a left anti join,

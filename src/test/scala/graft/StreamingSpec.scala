@@ -102,16 +102,14 @@ class StreamingSpec extends SparkSpec {
       .toDF("key", "ts_s").withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
       .coalesce(1).write.parquet(s"$in/b2")
     val schema = spark.read.parquet(s"$in/b1").schema
-    val q = Streaming.parquetSource(spark, s"$in/*", schema)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("key")
-      .writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val src = Streaming.parquetSource(spark, s"$in/*", schema) // 1 file per trigger
+    Streaming.runStatefulDedup(src, Seq("key"), "ts", "1 hour", out, ckpt)
     val keys = spark.read.parquet(out).select("key").as[String].collect().sorted.toSeq
     assert(keys == Seq("k1", "k2", "k3")) // cross-batch duplicate dropped by state
+    // prove the duplicate really crossed a trigger boundary: the offset
+    // log committed (at least) two micro-batches
+    val batches = new java.io.File(s"$ckpt/offsets").list().count(!_.endsWith(".tmp"))
+    assert(batches >= 2, s"expected >=2 committed micro-batches, saw $batches")
   }
 
   test("ST4: watermarked tumbling-window aggregation finalizes closed windows") {
