@@ -58,31 +58,52 @@ object IoQueries {
         col("O_TOTALPRICE").as("o_totalprice"))
   }
 
-  /** S8/E3 — nested-document sink round-trip: flat image rows →
-    * assembleDocuments (map(section → array of {Condition,URL,Directory}))
-    * → JSON document sink → read back → flatten. The oracle computes the
-    * flat relation directly, so a pass proves the nested rebuild and the
-    * document codec are lossless — the Mongo insert_one analog
-    * (RealEstateImages.py:590-687) under the correctness gate. */
+  /** S8/E3 — nested-document sink round-trip with the reference's FULL
+    * document field set {MLSNum, Date, Address, Town, State, Zipcode,
+    * CountyCode, BlockID, LotID, Condition, Prop_Style, Images}
+    * (RealEstateImages.py:603-687): flat image rows + synthesized
+    * listing fields → assembleDocuments → JSON document sink → read
+    * back → flatten. The oracle computes the flat relation directly, so
+    * a pass proves the nested rebuild carries every listing field and
+    * the document codec is lossless — the Mongo insert_one analog under
+    * the correctness gate. */
+  private val listingFields = Seq("Date", "Address", "Town", "State",
+    "Zipcode", "CountyCode", "BlockID", "LotID", "Prop_Style")
+
   private val qS8DocRoundtrip: Q = (spark, dir) => {
+    val kk = col("mlsnum").cast(LongType)
     val flat = qE3ImageClassify(spark, dir)
       .select(col("mlsnum").as("MLSNum"), lit("Unknown").as("Condition"),
+        date_format(date_add(lit("2024-01-01").cast(DateType),
+          (kk % 365).cast(IntegerType)), "MM/dd/yyyy").as("Date"),
+        concat(col("mlsnum"), lit(" OAK AVE")).as("Address"),
+        concat(lit("TOWN"), (kk % 25).cast(StringType)).as("Town"),
+        lit("NJ").as("State"),
+        lpad(((kk * 7) % 100000).cast(StringType), 5, "0").as("Zipcode"),
+        lpad((kk % 21).cast(StringType), 2, "0").as("CountyCode"),
+        concat(lit("B"), (kk % 900).cast(StringType)).as("BlockID"),
+        concat(lit("L"), (kk % 50).cast(StringType)).as("LotID"),
+        when(kk % 3 === 0, lit("Colonial")).when(kk % 3 === 1, lit("Ranch"))
+          .otherwise(lit("MultiFam")).as("Prop_Style"),
         col("section"), col("url"), col("directory"))
-    val docs = ImagesDoc.assembleDocuments(flat)
+    val docs = ImagesDoc.assembleDocuments(flat, listingFields)
     val path = graft.io.TempDirs.registered("graft-docs").toString
     ImagesDoc.writeDocuments(docs, path)
-    val schema = StructType(Seq(
-      StructField("MLSNum", StringType),
-      StructField("Condition", StringType),
+    val schema = StructType(
+      Seq(StructField("MLSNum", StringType), StructField("Condition", StringType)) ++
+      listingFields.map(StructField(_, StringType)) :+
       StructField("Images", MapType(StringType, ArrayType(StructType(Seq(
         StructField("Condition", StringType),
         StructField("URL", StringType),
-        StructField("Directory", StringType))))))))
+        StructField("Directory", StringType)))))))
+    val carried = Seq("MLSNum") ++ listingFields
     spark.read.schema(schema).json(path)
-      .select(col("MLSNum"), explode(col("Images")).as(Seq("section", "imgs")))
-      .select(col("MLSNum"), col("section"), explode(col("imgs")).as("img"))
-      .select(col("MLSNum").as("mlsnum"), col("section"),
-        col("img.URL").as("url"), col("img.Directory").as("directory"))
+      .select(carried.map(col) :+ explode(col("Images")).as(Seq("section", "imgs")): _*)
+      .select(carried.map(col) ++ Seq(col("section"), explode(col("imgs")).as("img")): _*)
+      .select(col("MLSNum").as("mlsnum") +:
+        listingFields.map(f => col(f).as(f.toLowerCase)) :+
+        col("section") :+ col("img.URL").as("url") :+
+        col("img.Directory").as("directory"): _*)
   }
 
   /** S6 — JDBC sink with quarantine: rows failing validation land in a
@@ -313,7 +334,19 @@ object IoQueries {
           seqd AS (SELECT *,
             row_number() OVER (PARTITION BY mlsnum, section ORDER BY url) AS seq
           FROM classified)
-          SELECT CAST(mlsnum AS VARCHAR) AS mlsnum, section, url,
+          SELECT CAST(mlsnum AS VARCHAR) AS mlsnum,
+                 strftime(DATE '2024-01-01' + CAST(mlsnum % 365 AS INT), '%m/%d/%Y') AS "date",
+                 CAST(mlsnum AS VARCHAR) || ' OAK AVE' AS address,
+                 'TOWN' || CAST(mlsnum % 25 AS VARCHAR) AS town,
+                 'NJ' AS "state",
+                 lpad(CAST((mlsnum * 7) % 100000 AS VARCHAR), 5, '0') AS zipcode,
+                 lpad(CAST(mlsnum % 21 AS VARCHAR), 2, '0') AS countycode,
+                 'B' || CAST(mlsnum % 900 AS VARCHAR) AS blockid,
+                 'L' || CAST(mlsnum % 50 AS VARCHAR) AS lotid,
+                 CASE WHEN mlsnum % 3 = 0 THEN 'Colonial'
+                      WHEN mlsnum % 3 = 1 THEN 'Ranch'
+                      ELSE 'MultiFam' END AS prop_style,
+                 section, url,
                  'imgs/' || section || '/Unknown/' || CAST(mlsnum AS VARCHAR)
                    || ' - ' || section || '_' || CAST(seq AS VARCHAR) || '.png' AS directory
           FROM seqd""",

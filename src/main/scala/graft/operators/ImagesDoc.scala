@@ -87,17 +87,26 @@ object ImagesDoc {
 
   /** Nested per-listing document: Images = map(section -> array of
     * {Condition, URL, Directory}) — the Mongo document shape
-    * (RealEstateImages.py:603-687). Two aggregations, both partial-agg
-    * friendly; the map rebuild is exactly the reference's dict nesting. */
-  def assembleDocuments(flat: DataFrame): DataFrame =
-    flat.groupBy(col("MLSNum"), col("Condition"), col("section"))
+    * (RealEstateImages.py:603-687). The reference's full document also
+    * carries the flat listing fields {Date, Address, Town, State,
+    * Zipcode, CountyCode, BlockID, LotID, Prop_Style}; pass them as
+    * `listingCols` and they ride the group keys (each is functionally
+    * dependent on MLSNum, so the key widening never changes the
+    * grouping — it just carries the fields through). Two aggregations,
+    * both partial-agg friendly; the map rebuild is exactly the
+    * reference's dict nesting. */
+  def assembleDocuments(flat: DataFrame,
+                        listingCols: Seq[String] = Seq.empty): DataFrame = {
+    val keys = (Seq("MLSNum", "Condition") ++ listingCols).map(col)
+    flat.groupBy(keys :+ col("section"): _*)
       .agg(sort_array(collect_list(struct(
         col("Condition").as("Condition"),
         col("url").as("URL"),
         col("directory").as("Directory")))).as("imgs"))
-      .groupBy(col("MLSNum"), col("Condition"))
+      .groupBy(keys: _*)
       .agg(map_from_entries(sort_array(collect_list(struct(col("section"), col("imgs")))))
         .as("Images"))
+  }
 
   /** S8 — document sink: JSON lines (one document per line), the
     * connector-agnostic stand-in for insert_one (RealEstateImages.py:687). */
