@@ -124,6 +124,19 @@ object ExtensionQueries {
     Similarity.embedNearDupPairs(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
       numPlanes, queryVec.length, threshold = 0.4)
 
+  /** Multi-probe near-dup pairs: Hamming-radius-1 bucket expansion on
+    * one side of the blocked self-join recovers boundary-crossing
+    * neighbours the same-bucket block misses. */
+  private val qSimEmbedProbed: Q = (spark, dir) =>
+    Similarity.embedNearDupPairsProbed(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "vec_id", "embedding", numPlanes, queryVec.length, threshold = 0.4)
+
+  /** IVF ANN over the TRAINED coarse quantizer: 2 deterministic Lloyd
+    * iterations from the every-50th seed, then 3-cell probe. */
+  private val qSimIvfKmeans: Q = (spark, dir) =>
+    Similarity.ivfKmeansAnnTopK(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "vec_id", "embedding", queryVec, centroidStep = 50, iters = 2, nprobe = 3, k = 10)
+
   def queries: Map[String, Q] = Map(
     "q_t_tokens"        -> qTTokens,
     "q_t_lang_id"       -> qTLangId,
@@ -139,7 +152,9 @@ object ExtensionQueries {
     "q_sim_cosine_topk" -> qSimCosineTopk,
     "q_sim_ann_lsh"     -> qSimAnnLsh,
     "q_sim_ivf_ann"     -> qSimIvfAnn,
-    "q_sim_embed_dedup" -> qSimEmbedDedup
+    "q_sim_ivf_kmeans"  -> qSimIvfKmeans,
+    "q_sim_embed_dedup" -> qSimEmbedDedup,
+    "q_sim_embed_probed" -> qSimEmbedProbed
   )
 
   // =====================================================================
@@ -216,6 +231,37 @@ object ExtensionQueries {
   private val simhashConcat: String =
     (0 until Similarity.simhashBits)
       .map(j => s"(CASE WHEN b$j > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  /** One Lloyd iteration in SQL — assignment vs `prevCent` (same rounded
+    * cosine + lowest-cid tie-break as ivfAssignTo, expressed as the
+    * equivalent window), then the quantized integer component means of
+    * kmeansCentroids, bit-for-bit: round(x*1e6) summed exactly, scaled
+    * back, rounded to 6. */
+  private def kmeansIterSql(prevCent: String, tag: String): String =
+    s"""a$tag AS (SELECT vec_id, embedding, cid AS cell FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosine2Sql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+          FROM embeddings e CROSS JOIN $prevCent c) t WHERE rn = 1),
+        q$tag AS (SELECT cell, i AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS q
+          FROM a$tag, unnest(range(1, len(embedding)+1)) AS u(i)),
+        m$tag AS (SELECT cell, pos,
+                 round(CAST(sum(q) AS DOUBLE) / count(*) / 1e6, 6) AS comp
+          FROM q$tag GROUP BY cell, pos),
+        cent$tag AS (SELECT cell AS cid, list(comp ORDER BY pos) AS cvec
+          FROM m$tag GROUP BY cell)"""
+
+  /** Hamming-radius-1 probe list of the bucket column (bucket itself
+    * plus each single-plane flip), as a SQL list literal. */
+  private val probeListSql: String = {
+    val flips = (1 to numPlanes).map { i =>
+      s"substring(bucket, 1, ${i - 1}) || " +
+        s"(CASE WHEN substring(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) || " +
+        s"substring(bucket, ${i + 1}, $numPlanes)"
+    }
+    (Seq("bucket") ++ flips).mkString("[", ", ", "]")
+  }
 
   private val bandedSql: String =
     (0 until minhashN / rowsPerBand).map { b =>
@@ -395,6 +441,30 @@ object ExtensionQueries {
                  ${cosine2Sql("a.embedding", "b2.embedding")} AS cosine_sim
           FROM b a JOIN b b2
             ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-          WHERE ${cosine2Sql("a.embedding", "b2.embedding")} >= 0.4"""
+          WHERE ${cosine2Sql("a.embedding", "b2.embedding")} >= 0.4""",
+    "q_sim_embed_probed" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+          p AS (SELECT vec_id, embedding, unnest($probeListSql) AS probe FROM b)
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 ${cosine2Sql("a.embedding", "b2.embedding")} AS cosine_sim
+          FROM p a JOIN b b2
+            ON a.probe = b2.bucket AND a.vec_id < b2.vec_id
+          WHERE ${cosine2Sql("a.embedding", "b2.embedding")} >= 0.4""",
+    "q_sim_ivf_kmeans" ->
+      s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id % 50 = 0),
+          ${kmeansIterSql("cent0", "1")},
+          ${kmeansIterSql("cent1", "2")},
+          probe AS (SELECT cid AS cell FROM (
+            SELECT cid, ${cosineSql("cvec")} AS qcos FROM cent2)
+            ORDER BY qcos DESC, cid ASC LIMIT 3),
+          af AS (SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosine2Sql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent2 c) t WHERE rn = 1)
+          SELECT af.vec_id, af.cell, ${cosineSql("af.embedding")} AS cosine_sim
+          FROM af JOIN probe p ON af.cell = p.cell
+          ORDER BY cosine_sim DESC, af.vec_id ASC LIMIT 10"""
   )
 }

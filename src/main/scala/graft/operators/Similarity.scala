@@ -288,9 +288,16 @@ object Similarity {
   // 1) instead of scanning the corpus — the filter below pushes straight
   // into such a layout.
   // ---------------------------------------------------------------------
+  /** The p*d cross term matters: a plane family affine in p (the old
+    * p*73 + d*139 form) makes planes p and p+2 exact negations mod 97,
+    * so bucket bits pair up complementarily, Hamming distances are
+    * always even, and radius-1 multi-probe can never match anything —
+    * half the signature carries zero information. With the cross term
+    * no plane pair is equal or negated and each plane splits the dims
+    * near 50/50. */
   def hyperplaneWeights(planes: Int, dims: Int): Seq[Array[Double]] =
     (0 until planes).map { p =>
-      Array.tabulate(dims)(d => if ((p * 73 + d * 139) % 97 < 48) 1.0 else -1.0)
+      Array.tabulate(dims)(d => if ((p * 53 + d * 139 + p * d * 17) % 97 < 48) 1.0 else -1.0)
     }
 
   /** Bucket of a vector column under the given hyperplanes. */
@@ -398,6 +405,62 @@ object Similarity {
         (lit(b - 1) - pmod(col("__mp"), lit(b))).as("cell"))
   }
 
+  /** Trained coarse quantizer: deterministic Lloyd's k-means over the
+    * corpus, initialized from the every-`centroidStep`-th seed and
+    * refined for `iters` assignment/mean rounds.
+    *
+    * Engine-parity-safe means: each component is quantized per row
+    * (`round(x*1e6)` as long), integer-summed (exact, order-independent
+    * — a double sum would drift with partition order), then scaled back
+    * and rounded to 6 decimals. So the trained centroids are bit-stable
+    * across engines and partitionings and the whole loop sits under a
+    * SQL oracle. Each iteration's k-row centroid relation is persisted
+    * and materialized (it is the broadcast side of the next assignment);
+    * the corpus itself is never collected to the driver. Cells that end
+    * an iteration empty drop out (standard Lloyd behavior). */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      centroidStep: Int, iters: Int): DataFrame = {
+    var cent = centroids(emb, idCol, vecCol, centroidStep)
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssignTo(emb, idCol, vecCol, cent)
+      val comps = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .withColumn("q", round(col("x").cast(DoubleType) * 1e6).cast(LongType))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("c"))
+        .withColumn("comp", round(col("s").cast(DoubleType) / col("c") / 1e6, 6))
+      val next = comps.groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+          e => e.getField("comp")).as("cvec"))
+        .select(col("cell").as("cid"), col("cvec"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      cent = next
+    }
+    cent
+  }
+
+  /** IVF ANN top-k over the TRAINED quantizer: k-means centroids, then
+    * the standard probe/assign/verify — the production-real IVF (the
+    * every-Nth variant remains as the cheap bootstrap). */
+  def ivfKmeansAnnTopK(emb: DataFrame, idCol: String, vecCol: String,
+                       query: Seq[Double], centroidStep: Int, iters: Int,
+                       nprobe: Int, k: Int): DataFrame = {
+    val native = hasNative(emb)
+    val cent = kmeansCentroids(emb, idCol, vecCol, centroidStep, iters)
+    val probeCells = cent
+      .withColumn("__qcos", round(cosineFor(native)(col("cvec"), vecLit(query)), 6))
+      .orderBy(col("__qcos").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid").as("cell"))
+    ivfAssignTo(emb, idCol, vecCol, cent)
+      .join(broadcast(probeCells), "cell")
+      .withColumn("cosine_sim", round(cosineFor(native)(col(vecCol), vecLit(query)), 6))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .select(col(idCol), col("cell"), col("cosine_sim"))
+      .limit(k)
+  }
+
   /** IVF ANN top-k: probe the `nprobe` cells nearest the query, exact
     * cosine within them. */
   def ivfAnnTopK(emb: DataFrame, idCol: String, vecCol: String,
@@ -433,6 +496,34 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("bucket"), normFor(native)(col(vecCol)).as("__n"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cosine_sim",
+        round(dotFor(native)(col(s"a.$vecCol"), col(s"b.$vecCol")) / (col("a.__n") * col("b.__n")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cosine_sim"))
+  }
+
+  /** Multi-probe near-dup pairs: the LEFT side of the self-join explodes
+    * each vector to its bucket plus all Hamming-radius-1 flips, so pairs
+    * whose buckets differ in at most one plane are compared — the
+    * standard recall fix for near neighbours split by one hyperplane.
+    * Cost is (planes+1)x the left side of the blocked join, still
+    * nowhere near n². No pair is scored twice: a probe set contains the
+    * partner's bucket at most once and `id_a < id_b` kills the
+    * symmetric match, so no post-join dedup shuffle is needed. */
+  def embedNearDupPairsProbed(emb: DataFrame, idCol: String, vecCol: String,
+                              numPlanes: Int, dims: Int, threshold: Double): DataFrame = {
+    val native = hasNative(emb)
+    val b = withBuckets(emb, vecCol, numPlanes, dims)
+      .select(col(idCol), col(vecCol), col("bucket"), normFor(native)(col(vecCol)).as("__n"))
+    val flips = (0 until numPlanes).map { i =>
+      val ch = substring(col("bucket"), i + 1, 1)
+      concat(substring(col("bucket"), 1, i),
+        when(ch === "1", lit("0")).otherwise(lit("1")),
+        substring(col("bucket"), i + 2, numPlanes))
+    }
+    val probed = b.withColumn("probe", explode(array(col("bucket") +: flips: _*)))
+    probed.as("a").join(b.as("b"),
+        col("a.probe") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("cosine_sim",
         round(dotFor(native)(col(s"a.$vecCol"), col(s"b.$vecCol")) / (col("a.__n") * col("b.__n")), 6))
       .filter(col("cosine_sim") >= threshold)

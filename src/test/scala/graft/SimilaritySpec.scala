@@ -180,6 +180,55 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("multi-probe near-dup == driver mirror; strictly more recall than same-bucket") {
+    val rnd = new scala.util.Random(42)
+    val vecs: Seq[(Long, Seq[Double])] =
+      (0L until 40L).map(i => i -> Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    val planes = Similarity.hyperplaneWeights(4, 8)
+    val rounded = vecs.map { case (i, v) => i -> v.map(x => x.toFloat.toDouble) }
+    def cos(x: Seq[Double], y: Seq[Double]) = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    }
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val close = for {
+      (i, vi) <- rounded; (j, vj) <- rounded if i < j
+      if math.rint(cos(vi, vj) * 1e6) / 1e6 >= 0.5
+    } yield (i, j, hamming(Similarity.bucketOf(vi, planes), Similarity.bucketOf(vj, planes)))
+    val expectSame = close.collect { case (i, j, h) if h == 0 => (i, j) }.toSet
+    val expectProbed = close.collect { case (i, j, h) if h <= 1 => (i, j) }.toSet
+    // seed sanity: at least one qualifying pair is split by exactly one plane
+    assert(expectProbed.size > expectSame.size)
+    val df = vecs.map { case (i, v) => (i, v.map(_.toFloat)) }.toDF("id", "vec")
+    val same = Similarity.embedNearDupPairs(df, "id", "vec", 4, 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = Similarity.embedNearDupPairsProbed(df, "id", "vec", 4, 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(same == expectSame)
+    assert(probed == expectProbed) // superset of same-bucket, subset of brute force
+  }
+
+  test("k-means quantizer: deterministic, means in quantized space, cells cover corpus") {
+    val vecs = (0L until 30L).map { i =>
+      val base = if (i % 3 == 0) Seq(1.0, 0.0, 0.0)
+                 else if (i % 3 == 1) Seq(0.0, 1.0, 0.0) else Seq(0.0, 0.0, 1.0)
+      (i, base.map(x => (x + i * 0.001).toFloat))
+    }
+    val df = vecs.toDF("id", "vec")
+    val c1 = Similarity.kmeansCentroids(df, "id", "vec", centroidStep = 10, iters = 2)
+      .orderBy("cid").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val c2 = Similarity.kmeansCentroids(df, "id", "vec", centroidStep = 10, iters = 2)
+      .orderBy("cid").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(c1.toSeq == c2.toSeq) // bit-identical across runs
+    assert(c1.nonEmpty && c1.forall(_._2.length == 3))
+    // every centroid component is a 6-decimal quantized mean
+    assert(c1.forall(_._2.forall(x => (math.rint(x * 1e6) / 1e6) == x)))
+    // trained assignment still covers every vector exactly once
+    val assigned = Similarity.ivfAssignTo(df, "id", "vec",
+      Similarity.kmeansCentroids(df, "id", "vec", 10, 2))
+    assert(assigned.count() == 30 && assigned.select("id").distinct().count() == 30)
+  }
+
   test("lshAnnTopK finds the query's own bucket neighbours") {
     val base = ExtensionQueries.queryVec
     val near = base.map(_ * 0.9 + 0.001)           // same bucket, cosine ~1
