@@ -24,10 +24,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // clearCache after every run: operators that persist intermediates
+    // (lshJaccard's pair result, kmeansCentroids' centroid frames) would
+    // otherwise leave InMemoryRelations registered, and (a) the timed pass
+    // would silently substitute warmup caches for compute — q_sim_lsh_jaccard
+    // once "measured" faster than its strict work-subset q_sim_lsh_pairs —
+    // and (b) caches accumulating across 90 queries pressure executor
+    // memory and distort later queries' numbers.
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+      } catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
     SparkEntry.queries.foreach { case (name, fn) => runOnce(name, fn) } // warmup
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       runOnce(name, fn)

@@ -111,7 +111,10 @@ object IoQueries {
     * reference's per-row DataError salvage, Kafka_GSMLSConsumer.py:
     * 1244-1254, made deterministic). The query reads back the sunk
     * table; the oracle is the valid subset — a pass proves the split
-    * kept exactly the valid rows and the sink round-trip is lossless. */
+    * kept exactly the valid rows and the sink round-trip is lossless.
+    * Note the quarantine dir is written unconditionally (empty parquet
+    * when all rows are valid): check the returned quarantined COUNT,
+    * not the path's existence, to decide whether anything was bad. */
   private val qS6Quarantine: Q = (spark, dir) => {
     val db = "jdbc:derby:memory:graftq6"
     try java.sql.DriverManager.getConnection(s"$db;drop=true")

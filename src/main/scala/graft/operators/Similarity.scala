@@ -391,8 +391,15 @@ object Similarity {
   def ivfAssignTo(emb: DataFrame, idCol: String, vecCol: String,
                   cent: DataFrame): DataFrame = {
     val native = hasNative(emb)
-    val centN = cent.withColumn("__cn", normFor(native)(col("cvec")))
     val b = 1L << 40
+    // Enforce the packing invariant at runtime, not just in the doc: a cid
+    // outside [0, 2^40) would silently corrupt the packed argmax. The check
+    // rides the per-centroid norm projection (k rows, not n×k) — assert_true
+    // returns null on success, so the `when` keeps it from being pruned.
+    val centN = cent.withColumn("__cn",
+      when(assert_true(col("cid") >= 0 && col("cid") < b,
+             lit(s"ivfAssignTo: centroid cid must be in [0, 2^40)")).isNull,
+           normFor(native)(col("cvec"))))
     emb.withColumn("__vn", normFor(native)(col(vecCol)))
       .join(broadcast(centN))
       .withColumn("__ccos",
@@ -421,6 +428,7 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
                       centroidStep: Int, iters: Int): DataFrame = {
     var cent = centroids(emb, idCol, vecCol, centroidStep)
+    var prev: Option[DataFrame] = None // persisted frame of the prior iteration
     for (_ <- 0 until iters) {
       val assigned = ivfAssignTo(emb, idCol, vecCol, cent)
       val comps = assigned
@@ -435,10 +443,20 @@ object Similarity {
         .select(col("cell").as("cid"), col("cvec"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
+      // Iteration i+1's plan no longer references iteration i's frame once
+      // `next` is materialized — release it so a long-lived session doesn't
+      // accumulate one cached k-row frame per iteration per invocation.
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(next)
       cent = next
     }
     cent
   }
+
+  /** Release the cache of a frame returned by [[lshJaccard]] or
+    * [[kmeansCentroids]] once the caller has consumed it. The lineage
+    * survives, so late re-use recomputes rather than fails. */
+  def release(df: DataFrame): Unit = df.unpersist(blocking = false)
 
   /** IVF ANN top-k over the TRAINED quantizer: k-means centroids, then
     * the standard probe/assign/verify — the production-real IVF (the
