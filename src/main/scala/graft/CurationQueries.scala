@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Text
+import graft.operators.{Curation, Relational, Similarity}
+
+/** Corpus-curation and time-series queries with DuckDB oracles:
+  * duplicate-cluster resolution, benchmark decontamination,
+  * deterministic stratified sampling, token-budget shard packing,
+  * per-stratum quality tiers, and the as-of join.
+  *
+  * The duplicate-cluster oracle is an INDEPENDENT formulation
+  * (recursive-CTE transitive closure) of what Spark computes by
+  * iterated label propagation — a pass proves the algorithm, not just
+  * that two copies of the same code agree.
+  */
+object CurationQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val shingleN = 3          // must match ExtensionQueries.shingleCte
+  private val decontamN = 5         // n-gram width for decontamination
+  private val decontamMinShared = 3 // flag docs sharing >= this many n-grams
+  private val benchMod = 25         // doc_id % benchMod == benchRem -> benchmark set
+  private val benchRem = 7
+  private val sampleSalt = "round5"
+  private val shardBudget = 2000L   // tokens per training shard
+  private val nTiers = 4
+
+  // =====================================================================
+  // Spark queries
+  // =====================================================================
+
+  /** Duplicate-cluster resolution: near-dup PAIRS from the LSH-gated
+    * jaccard stage -> transitive CLUSTERS via connected components, so
+    * exactly one representative per template family survives even when
+    * A~B and B~C but A~C was never scored. Every document gets a
+    * component id (its cluster's minimum doc_id; singletons map to
+    * themselves). */
+  private val qDupComponents: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val pairs = Similarity.lshJaccard(docs, "doc_id", "text",
+      shingleN, ExtensionQueries.minhashN, ExtensionQueries.rowsPerBand,
+      ExtensionQueries.lshBucketCap, ExtensionQueries.jaccardThreshold)
+    Curation.connectedComponents(docs, "doc_id", pairs)
+  }
+
+  /** Benchmark decontamination: training docs sharing >= 3 distinct
+    * 5-grams with the (broadcast) benchmark slice are flagged with
+    * their overlap count. */
+  private val qDecontaminate: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val bench = docs.filter(col("doc_id") % benchMod === benchRem)
+    val corpus = docs.filter(col("doc_id") % benchMod =!= benchRem)
+    Curation.contaminationReport(corpus, bench, "doc_id", "text",
+      decontamN, decontamMinShared)
+  }
+
+  /** Deterministic stratified sample: per-source keep rates in basis
+    * points (even-numbered sources 3000bp = 30%, odd 1000bp = 10%),
+    * gated by a salted content hash — reproducible across engines,
+    * runs, and partitionings. */
+  private val qStratSample: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val rates = spark.createDataFrame(
+      (0 until 20).map(i => (s"src$i", if (i % 2 == 0) 3000L else 1000L)))
+      .toDF("source", "rate_bp")
+    Curation.stratifiedSample(docs, "source", col("doc_id"), rates, sampleSalt)
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Token-budget shard packing: per-source exclusive running token
+    * total in doc_id order, shard = total div 2000. */
+  private val qShardPack: Q = (spark, dir) =>
+    Curation.packShards(Tables.fanOut(Tables.documents(spark, dir)),
+        "source", "doc_id", Text.tokenCount(col("text")), shardBudget)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("shard"))
+
+  /** Per-source quality quartiles (equal-depth, deterministic ties). */
+  private val qQualityTiers: Q = (spark, dir) =>
+    Curation.qualityTiers(
+        Tables.fanOut(Tables.documents(spark, dir))
+          .select(col("doc_id"), col("source"),
+            Text.qualityScore(col("text")).as("q")),
+        "source", "doc_id", col("q"), nTiers)
+      .select(col("doc_id"), col("source"), col("q"),
+        col("tier").cast(LongType).as("tier"))
+
+  /** As-of join: every purchase event picks the latest strictly-prior
+    * click of the same user (null payload when no click precedes). */
+  private val qAsofJoin: Q = (spark, dir) => {
+    val ev = Tables.fanOut(Tables.events(spark, dir))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    Relational.asofJoin(purchases, clicks, Seq("user_id"), "ts",
+        payload = Seq("click_id", "click_value"), tiebreak = "click_id")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("purchase_value"), col("click_id"), col("click_value"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_dup_components" -> qDupComponents,
+    "q_decontaminate"  -> qDecontaminate,
+    "q_strat_sample"   -> qStratSample,
+    "q_shard_pack"     -> qShardPack,
+    "q_quality_tiers"  -> qQualityTiers,
+    "q_asof_join"      -> qAsofJoin
+  )
+
+  // =====================================================================
+  // Oracle SQL (DuckDB 1.0)
+  // =====================================================================
+
+  /** Distinct (doc_id, 5-gram) pairs — the decontamination shingle CTE.
+    * Window starts i in 1..len-n+1 -> range upper is len-n+2. */
+  private val shingle5Cte =
+    s"""tk5 AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |sh5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+${decontamN - 1}], ' ') AS shingle
+       |        FROM tk5, unnest(range(1, greatest(len(t)-${decontamN - 2}, 1))) AS u(i)
+       |        WHERE array_to_string(t[i:i+${decontamN - 1}], ' ') <> '')""".stripMargin
+
+  /** Quality-score expression over a `documents`-shaped relation —
+    * mirrors Text.qualityScore (same formula as the q_t_quality oracle). */
+  private val qualityCte =
+    s"""qf AS (SELECT doc_id, source,
+       |    len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) AS alpha_ratio,
+       |    ${ExtensionQueries.hitsExpr("en")} / greatest(len(string_split_regex(text, '\\s+')), 1) AS en_ratio,
+       |    len(string_split_regex(text, '\\s+')) AS n_tok,
+       |    length(regexp_replace(text, '\\s+', '', 'g')) / CAST(greatest(len(string_split_regex(text, '\\s+')), 1) AS DOUBLE) AS mean_tok_len,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1) AS punct_ratio
+       |  FROM documents),
+       |scored AS (SELECT doc_id, source,
+       |    round(alpha_ratio * 0.4
+       |      + least(en_ratio * 4.0, 1.0) * 0.3
+       |      + (CASE WHEN n_tok BETWEEN 20 AND 100000 THEN 0.2 ELSE 0.0 END)
+       |      + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 0.1 ELSE 0.0 END)
+       |      - punct_ratio * 0.4, 4) AS q
+       |  FROM qf)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    // Independent formulation: transitive closure over the symmetrized
+    // near-dup edges, component = min reachable id. Spark's label
+    // propagation must converge to exactly this relation.
+    "q_dup_components" ->
+      s"""WITH RECURSIVE ${ExtensionQueries.lshJaccardCtes},
+          edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
+                    UNION SELECT id_b, id_a FROM lsh_pairs),
+          reach(src, dst) AS (SELECT a, b FROM edges
+                    UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+          comp AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+          SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
+          FROM documents d LEFT JOIN comp c ON c.src = d.doc_id""",
+    "q_decontaminate" ->
+      s"""WITH $shingle5Cte,
+          bsh AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % $benchMod = $benchRem)
+          SELECT s.doc_id, count(*) AS n_shared
+          FROM sh5 s JOIN bsh ON s.shingle = bsh.shingle
+          WHERE s.doc_id % $benchMod <> $benchRem
+          GROUP BY s.doc_id
+          HAVING count(*) >= $decontamMinShared""",
+    "q_strat_sample" ->
+      s"""SELECT doc_id, source FROM documents
+          WHERE CAST('0x' || substring(md5('$sampleSalt' || ':' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000
+              < (CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 3000 ELSE 1000 END)""",
+    "q_shard_pack" ->
+      s"""WITH t AS (SELECT doc_id, source,
+            CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+          FROM documents)
+          SELECT doc_id, source, n_tok,
+            CAST(floor(CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / $shardBudget) AS BIGINT) AS shard
+          FROM t""",
+    "q_quality_tiers" ->
+      s"""WITH $qualityCte
+          SELECT doc_id, source, q,
+            ntile($nTiers) OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS tier
+          FROM scored""",
+    "q_asof_join" ->
+      s"""WITH l AS (SELECT event_id, user_id, ts, value AS purchase_value
+            FROM events WHERE event_type = 'purchase'),
+          r0 AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+            FROM events WHERE event_type = 'click'),
+          r AS (SELECT user_id, ts, click_id, click_value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY click_id DESC) AS rn
+            FROM r0) WHERE rn = 1)
+          SELECT l.event_id, l.user_id, l.ts, l.purchase_value, r.click_id, r.click_value
+          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts < l.ts"""
+  )
+}

@@ -20,10 +20,10 @@ object ExtensionQueries {
   // 0.1 in [-0.9, 0.9], exactly representable in SQL literals.
   val queryVec: Seq[Double] = (0 until 64).map(d => ((d * 37 % 19) - 9) / 10.0)
   private val numPlanes = 8
-  private val minhashN = 16
-  private val rowsPerBand = 4
-  private val lshBucketCap = 100
-  private val jaccardThreshold = 0.8
+  private[graft] val minhashN = 16
+  private[graft] val rowsPerBand = 4
+  private[graft] val lshBucketCap = 100
+  private[graft] val jaccardThreshold = 0.8
   private val shingleFreqCap = 1000L
 
   // =====================================================================
@@ -187,7 +187,7 @@ object ExtensionQueries {
       lang -> ws.map(w => s"'$w'").mkString("(", ",", ")")
     }
 
-  private def hitsExpr(lang: String): String =
+  private[graft] def hitsExpr(lang: String): String =
     s"len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ${stopwordsSqlIn(lang)}))"
 
   private def sqlList(xs: Seq[Double]): String =
@@ -269,6 +269,35 @@ object ExtensionQueries {
         .map(i => s"CAST(mh$i AS VARCHAR)")
       s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || '|' || ")}) AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
+
+  /** The full LSH-gated exact-jaccard pipeline as a reusable CTE chain
+    * ending in `lsh_pairs(id_a, id_b, jaccard)` — the oracle mirror of
+    * [[Similarity.lshJaccard]], shared by q_sim_lsh_jaccard and the
+    * duplicate-cluster query (CurationQueries), so both stay in
+    * lockstep with the Spark constants by construction. */
+  private[graft] val lshJaccardCtes: String =
+    s"""$shingleCte,
+          $minhashBase,
+          sig AS (SELECT doc_id, $minhashAggs FROM shb GROUP BY doc_id),
+          banded AS ($bandedSql),
+          capped AS (SELECT doc_id, band, band_key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM banded)
+            WHERE bsz <= $lshBucketCap),
+          cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                   FROM capped l JOIN capped r
+                     ON l.band = r.band AND l.band_key = r.band_key
+                    AND l.doc_id < r.doc_id),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+                    FROM cand c
+                    JOIN sh a ON a.doc_id = c.id_a
+                    JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+                    GROUP BY 1, 2),
+          lsh_pairs AS (SELECT i.id_a, i.id_b,
+                 round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+          FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+                       JOIN sizes sb ON i.id_b = sb.doc_id
+          WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= $jaccardThreshold)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_t_tokens" ->
@@ -389,28 +418,8 @@ object ExtensionQueries {
           SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
           FROM kept GROUP BY source""",
     "q_sim_lsh_jaccard" ->
-      s"""WITH $shingleCte,
-          $minhashBase,
-          sig AS (SELECT doc_id, $minhashAggs FROM shb GROUP BY doc_id),
-          banded AS ($bandedSql),
-          capped AS (SELECT doc_id, band, band_key FROM (
-            SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM banded)
-            WHERE bsz <= $lshBucketCap),
-          cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-                   FROM capped l JOIN capped r
-                     ON l.band = r.band AND l.band_key = r.band_key
-                    AND l.doc_id < r.doc_id),
-          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-          inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
-                    FROM cand c
-                    JOIN sh a ON a.doc_id = c.id_a
-                    JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-                    GROUP BY 1, 2)
-          SELECT i.id_a, i.id_b,
-                 round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
-          FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
-                       JOIN sizes sb ON i.id_b = sb.doc_id
-          WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= $jaccardThreshold""",
+      s"""WITH $lshJaccardCtes
+          SELECT id_a, id_b, jaccard FROM lsh_pairs""",
     "q_sim_cosine_topk" ->
       s"""SELECT vec_id, ${cosineSql("embedding")} AS cosine_sim
           FROM embeddings

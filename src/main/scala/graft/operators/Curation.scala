@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond pairwise similarity: duplicate-cluster resolution (connected
+  * components), benchmark decontamination, deterministic stratified
+  * sampling, and token-budget shard packing.
+  *
+  * All of them are declarative relational plans (joins / aggregations /
+  * windows) — no collect, no UDFs — and every random-looking choice is a
+  * content hash, so results are reproducible and oracle-checkable.
+  */
+object Curation {
+
+  /** First 15 hex chars of a 32-char md5 as a 60-bit non-negative long —
+    * the engine-portable uniform hash used across the similarity stack. */
+  private def hex60(c: Column): Column =
+    conv(substring(c, 1, 15), 16, 10).cast(LongType)
+
+  // ---------------------------------------------------------------------
+  // Connected components — duplicate-cluster resolution.
+  //
+  // Near-dup detection yields PAIRS; dedup needs CLUSTERS (a keeps-one
+  // representative per transitive group: if A~B and B~C, exactly one of
+  // {A,B,C} survives even though A~C was never scored). Component id =
+  // min node id reachable, computed by iterated min-label propagation
+  // with a pointer-jumping step:
+  //
+  //   neighbor step : lbl(x) <- min(lbl(x), min_{(x,y) in E} lbl(y))
+  //   jump step     : lbl(x) <- lbl(lbl(x))
+  //
+  // The jump halves the distance a label still has to travel each
+  // round (the hash-to-min idea), so convergence is O(log diameter)
+  // iterations, not O(diameter) — dup chains hundreds of docs long
+  // (template families) converge in a handful of rounds. Each round is
+  // two hash-shuffles (join on dst, groupBy node); the symmetrized edge
+  // relation is persisted once and reused. Labels only ever decrease,
+  // so a stable checksum (sum of labels) proves the fixpoint — one
+  // scalar action per round, no data to the driver.
+  // ---------------------------------------------------------------------
+  def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame,
+                          maxIters: Int = 16): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).cast(LongType).as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Labels are monotone non-increasing, so the label sum strictly
+    // decreases until the fixpoint; DECIMAL(38,0) keeps the checksum
+    // exact at any node-id magnitude.
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var sum0 = checksum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("lbl"))
+      val afterNeighbor = labels.select(col("node"), col("lbl"))
+        .union(neighborMin)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      // pointer jump: follow the label one hop (label ids ARE node ids)
+      val l2 = afterNeighbor.select(col("node").as("n2"), col("lbl").as("l2"))
+      val next = afterNeighbor
+        .join(l2, afterNeighbor("lbl") === l2("n2"), "left")
+        .select(col("node"), coalesce(col("l2"), col("lbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sum1 = checksum(next)
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = sum1.compareTo(sum0) == 0
+      sum0 = sum1
+      it += 1
+    }
+    sym.unpersist(blocking = false)
+    labels.select(col("node").as(idCol), col("lbl").as("component"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Benchmark decontamination — flag training docs sharing >= minShared
+  // distinct word n-grams with any benchmark document.
+  //
+  // The benchmark shingle set is tiny next to the corpus (eval suites
+  // are KBs-to-MBs vs TBs), so it is DISTINCT-ed and broadcast: the
+  // corpus side is never shuffled — shingling is a projection, the
+  // broadcast join a map-side probe, and the per-doc overlap count a
+  // partial aggregation on doc_id. At 100 TB that is one pass over the
+  // corpus with no exchange until the (already-small) overlap counts.
+  // ---------------------------------------------------------------------
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int, minShared: Long): DataFrame = {
+    val corpusSh = Similarity.shingles(corpus, idCol, textCol, shingleN)
+    val benchSh = Similarity.shingles(bench, idCol, textCol, shingleN)
+      .select(col("shingle")).distinct()
+    corpusSh.join(broadcast(benchSh), "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+      .filter(col("n_shared") >= minShared)
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic stratified sampling — per-stratum Bernoulli keep with
+  // a content-hash gate instead of an RNG: the decision for a row is a
+  // pure function of (salt, stratum, key), so the sample is reproducible
+  // across runs/engines/partitionings, new data never perturbs old
+  // decisions, and changing the salt draws an independent sample.
+  // Per-stratum rates ride a broadcast join; the filter itself is a
+  // no-shuffle projection that pushes down to the scan.
+  //
+  // Rates are integer BASIS POINTS (keep if hash-bucket < rate_bp of
+  // 10000), not float fractions: 0.3*10000 is 2999.999… in binary and
+  // engines disagree on cast (Spark truncates, SQL engines round) —
+  // integer thresholds make the keep decision exact everywhere.
+  // ---------------------------------------------------------------------
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: Column,
+                       ratesBp: DataFrame, salt: String): DataFrame = {
+    val bucket = pmod(
+      hex60(md5(concat_ws(":", lit(salt), col(stratumCol), keyCol))), lit(10000L))
+    df.join(broadcast(ratesBp), Seq(stratumCol))
+      .filter(bucket < col("rate_bp").cast(LongType))
+      .drop("rate_bp")
+  }
+
+  // ---------------------------------------------------------------------
+  // Token-budget shard packing — assign documents to training shards so
+  // each shard carries ~`budgetTokens` tokens: shard = floor(exclusive
+  // running token total / budget) per group, in deterministic id order.
+  // One window per group (hash-shuffle on the group key, per-partition
+  // sort) — groups are independent, so a 100 TB corpus packs in
+  // parallel across sources; a single global sequence would serialize
+  // into one partition, which is why the group key is mandatory.
+  // ---------------------------------------------------------------------
+  def packShards(df: DataFrame, groupCol: String, idCol: String,
+                 tokCol: Column, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tok", tokCol.cast(LongType))
+      .withColumn("shard",
+        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / budgetTokens))
+  }
+
+  // ---------------------------------------------------------------------
+  // Quality tiers — equal-depth quality quartiles per stratum (curation
+  // by relative quality WITHIN each source, so one high-quality domain
+  // doesn't monopolize the kept set). ntile per stratum = one shuffle on
+  // the stratum key + per-partition sort; ties broken by id so the tier
+  // assignment is deterministic. A GLOBAL ntile would funnel the corpus
+  // through one partition — always tier within a partitionable stratum.
+  // ---------------------------------------------------------------------
+  def qualityTiers(df: DataFrame, stratumCol: String, idCol: String,
+                   scoreCol: Column, tiers: Int): DataFrame =
+    df.withColumn("tier",
+      ntile(tiers).over(Window.partitionBy(col(stratumCol))
+        .orderBy(scoreCol.desc, col(idCol).asc)))
+}

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Relational operators — SURVEY.md §2.2–§2.7.
   *
@@ -138,6 +139,47 @@ object Relational {
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__psum")).as("value_sum"), sum(col("__pcnt")).as("n"))
+  }
+
+  // ---------------------------------------------------------------------
+  // As-of join — each left row picks the latest right row strictly
+  // before it (per key): the time-series enrichment primitive (last
+  // quote before a trade, last click before a purchase, last assessment
+  // before a sale).
+  //
+  // Spark-first shape: instead of a range join (BroadcastNestedLoop or
+  // an O(n·m) per-key explosion), TAG both sides, UNION them, and take
+  // `last(payload ignoring nulls)` over a per-key time-ordered window.
+  // That is ONE hash-shuffle on the key + one per-partition sort for
+  // both inputs together — the same plan a sort-merge join would need,
+  // but with no pairwise matching step, and it holds at any key
+  // cardinality. Ordering is (time, side, tiebreak) with left rows
+  // BEFORE right rows at equal times, so a right row at exactly t is
+  // not visible to a left row at t (strict <); among equal-time right
+  // rows the largest tiebreak wins, deterministically.
+  //
+  // Left columns and `payload` (right-side) columns must be disjoint;
+  // both sides must carry `keys` and `timeCol`.
+  // ---------------------------------------------------------------------
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               timeCol: String, payload: Seq[String],
+               tiebreak: String): DataFrame = {
+    val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == timeCol)
+    val l = left.withColumn("__side", lit(0))
+      .withColumn("__tb", lit(null).cast(LongType))
+    val lPadded = payload.foldLeft(l)((d, c) =>
+      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val r = right.withColumn("__side", lit(1))
+      .withColumn("__tb", col(tiebreak).cast(LongType))
+    val rPadded = leftOnly.foldLeft(r)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = lPadded.unionByName(rPadded.select(lPadded.columns.map(col): _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__side").asc, col("__tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = payload.foldLeft(unioned)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === 0).drop("__side", "__tb")
   }
 
   // ---------------------------------------------------------------------

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.{Curation, Relational}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -----------------------------------------------------------------
+  // Connected components
+  // -----------------------------------------------------------------
+  test("connectedComponents resolves transitive clusters to min id") {
+    // chain 1-2-3-4, pair 10-11, singletons 20, 21
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Curation.connectedComponents(nodes, "id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("connectedComponents handles a long chain (pointer jumping)") {
+    // path 0-1-2-...-30: min label must traverse the full diameter,
+    // which plain propagation would need 30 rounds for; the jump step
+    // must get there within the default iteration cap.
+    val n = 31
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val edges = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val out = Curation.connectedComponents(nodes, "id", edges)
+      .agg(max(col("component")), min(col("component"))).head()
+    assert(out.getLong(0) == 0L && out.getLong(1) == 0L)
+  }
+
+  test("connectedComponents with no edges maps every node to itself") {
+    val nodes = Seq(5L, 6L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Curation.connectedComponents(nodes, "id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(5L -> 5L, 6L -> 6L))
+  }
+
+  // -----------------------------------------------------------------
+  // Decontamination
+  // -----------------------------------------------------------------
+  test("contaminationReport counts distinct shared n-grams per doc") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over me"), // shares 3-grams
+      (2L, "completely different words entirely here"),
+      (3L, "the quick brown cat sat")            // shares only 1 three-gram
+    ).toDF("id", "text")
+    val out = Curation.contaminationReport(corpus, bench, "id", "text", 3, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "the quick brown","quick brown fox","brown fox jumps" = 3
+    assert(out == Map(1L -> 3L))
+  }
+
+  // -----------------------------------------------------------------
+  // Stratified sampling
+  // -----------------------------------------------------------------
+  test("stratifiedSample is deterministic and rate-proportional") {
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val rates = Seq(("a", 5000L), ("b", 1000L)).toDF("stratum", "rate_bp")
+    val s1 = Curation.stratifiedSample(df, "stratum", col("id"), rates, "s")
+    val s2 = Curation.stratifiedSample(df, "stratum", col("id"), rates, "s")
+    assert(s1.collect().toSet == s2.collect().toSet) // reproducible
+    val counts = s1.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 candidates per stratum at 50% / 10%: expect ~500 / ~100
+    assert(counts("a") > 400 && counts("a") < 600)
+    assert(counts("b") > 50 && counts("b") < 160)
+    // different salt draws a different sample
+    val s3 = Curation.stratifiedSample(df, "stratum", col("id"), rates, "t")
+    assert(s3.collect().toSet != s1.collect().toSet)
+  }
+
+  // -----------------------------------------------------------------
+  // Shard packing
+  // -----------------------------------------------------------------
+  test("packShards assigns shards by exclusive running token total") {
+    val df = Seq(
+      ("g", 1L, 600L), ("g", 2L, 600L), ("g", 3L, 600L), ("g", 4L, 600L),
+      ("h", 1L, 2500L), ("h", 2L, 10L)
+    ).toDF("grp", "id", "tok")
+    val out = Curation.packShards(df, "grp", "id", col("tok"), 1000L)
+      .select(col("grp"), col("id"), col("shard"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // g: cum_excl 0,600,1200,1800 -> shards 0,0,1,1
+    assert(out(("g", 1L)) == 0L && out(("g", 2L)) == 0L)
+    assert(out(("g", 3L)) == 1L && out(("g", 4L)) == 1L)
+    // h: oversized first doc still lands in shard 0; next starts at 2500
+    assert(out(("h", 1L)) == 0L && out(("h", 2L)) == 2L)
+  }
+
+  // -----------------------------------------------------------------
+  // Quality tiers
+  // -----------------------------------------------------------------
+  test("qualityTiers ranks within stratum, deterministic on ties") {
+    val df = Seq(
+      ("s", 1L, 0.9), ("s", 2L, 0.9), ("s", 3L, 0.5), ("s", 4L, 0.1),
+      ("t", 9L, 0.2)
+    ).toDF("stratum", "id", "q")
+    val out = Curation.qualityTiers(df, "stratum", "id", col("q"), 2)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(out(1L) == 1 && out(2L) == 1) // top half (tie broken by id, both fit)
+    assert(out(3L) == 2 && out(4L) == 2)
+    assert(out(9L) == 1) // single-row stratum -> tier 1
+  }
+
+  // -----------------------------------------------------------------
+  // As-of join
+  // -----------------------------------------------------------------
+  test("asofJoin picks latest strictly-prior right row per key") {
+    val left = Seq(
+      (1L, "u", 100L, "p100"), // prior rights at 50, 90 -> picks 90
+      (2L, "u", 50L, "p50"),   // right at exactly 50 NOT visible (strict) -> 10
+      (3L, "u", 5L, "p5"),     // nothing prior -> null
+      (4L, "v", 100L, "pv")    // other key, no rights -> null
+    ).toDF("lid", "key", "ts", "lpay")
+    val right = Seq(
+      ("u", 10L, 1L, "r10"), ("u", 50L, 2L, "r50"), ("u", 90L, 3L, "r90"),
+      ("u", 90L, 4L, "r90b") // equal-time rights: max tiebreak (rid=4) wins
+    ).toDF("key", "ts", "rid", "rpay")
+    val out = Relational.asofJoin(left, right, Seq("key"), "ts",
+        payload = Seq("rid", "rpay"), tiebreak = "rid")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) null else r.getLong(4).toString)).toMap
+    assert(out == Map(1L -> "4", 2L -> "1", 3L -> null, 4L -> null))
+  }
+}
