@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.storage.StorageLevel
 
 /** Corpus-curation operators a large-scale training-data pipeline needs
   * beyond pairwise similarity: duplicate-cluster resolution (connected
@@ -38,23 +37,37 @@ object Curation {
   // round (the hash-to-min idea), so convergence is O(log diameter)
   // iterations, not O(diameter) — dup chains hundreds of docs long
   // (template families) converge in a handful of rounds. Each round is
-  // two hash-shuffles (join on dst, groupBy node); the symmetrized edge
-  // relation is persisted once and reused. Labels only ever decrease,
-  // so a stable checksum (sum of labels) proves the fixpoint — one
-  // scalar action per round, no data to the driver.
+  // two hash-shuffles (join on dst, groupBy node). Labels only ever
+  // decrease, so a stable checksum (sum of labels) proves the fixpoint —
+  // one scalar action per round, no data to the driver.
+  //
+  // Lineage is TRUNCATED each round (eager localCheckpoint), not just
+  // cached: persist keeps the logical plan, so after i rounds Catalyst
+  // would re-analyze a tree holding i copies of the (possibly enormous)
+  // edge-producing plan — planning time, not compute, then dominates.
+  // Checkpointing is the standard Spark pattern for iterative graph
+  // algorithms; swap localCheckpoint for reliable checkpoint(dir) on a
+  // real cluster where executor loss must be survivable.
   // ---------------------------------------------------------------------
   def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame,
                           maxIters: Int = 16): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col(idCol).as("node"), col(idCol).cast(LongType).as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
+    // Iterate ONLY over edge-incident nodes: a near-dup graph touches a
+    // tiny fraction of the corpus (pairs << docs), so propagating labels
+    // for every document would shuffle the full corpus once per round
+    // for nothing — singletons are their own component by definition and
+    // are unioned back with a single left join at the end.
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node").cast(LongType))
+      .localCheckpoint()
     // Labels are monotone non-increasing, so the label sum strictly
     // decreases until the fixpoint; DECIMAL(38,0) keeps the checksum
     // exact at any node-id magnitude.
     def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head.getDecimal(0)
+      Option(df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty edge set -> no labels
     var sum0 = checksum(labels)
     var converged = false
     var it = 0
@@ -69,16 +82,21 @@ object Curation {
       val next = afterNeighbor
         .join(l2, afterNeighbor("lbl") === l2("n2"), "left")
         .select(col("node"), coalesce(col("l2"), col("lbl")).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // eager: materializes AND flattens the plan
       val sum1 = checksum(next)
-      labels.unpersist(blocking = false)
       labels = next
       converged = sum1.compareTo(sum0) == 0
       sum0 = sum1
       it += 1
     }
-    sym.unpersist(blocking = false)
-    labels.select(col("node").as(idCol), col("lbl").as("component"))
+    // localCheckpoint blocks are released by the ContextCleaner once the
+    // frames are unreachable — nothing stays registered in the cache
+    // manager (the session-lifetime leak persist() would create here).
+    val comp = labels.select(col("node"), col("lbl"))
+    nodes.select(col(idCol))
+      .join(comp, nodes(idCol) === comp("node"), "left")
+      .select(col(idCol),
+        coalesce(col("lbl"), col(idCol).cast(LongType)).as("component"))
   }
 
   // ---------------------------------------------------------------------
