@@ -104,13 +104,33 @@ object CurationQueries {
         col("purchase_value"), col("click_id"), col("click_value"))
   }
 
+  /** PII redaction over deterministically synthesized contact lines
+    * (the corpus itself is PII-free, so each doc gets an email, a
+    * phone, and an SSN appended — the redaction must scrub exactly
+    * those and leave the prefix intact). */
+  private val qTRedact: Q = (spark, dir) =>
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        Text.redactPii(concat(
+          substring(col("text"), 1, 40),
+          lit(" reach me at "), col("source"), lit("@example.com or (973) 555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+          lit(" ssn 123-45-6789"))).as("redacted"))
+
+  /** One-pass column profile of the orders table. */
+  private val qProfile: Q = (spark, dir) =>
+    Curation.columnProfile(Tables.orders(spark, dir),
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+
   def queries: Map[String, Q] = Map(
     "q_dup_components" -> qDupComponents,
     "q_decontaminate"  -> qDecontaminate,
     "q_strat_sample"   -> qStratSample,
     "q_shard_pack"     -> qShardPack,
     "q_quality_tiers"  -> qQualityTiers,
-    "q_asof_join"      -> qAsofJoin
+    "q_asof_join"      -> qAsofJoin,
+    "q_t_redact"       -> qTRedact,
+    "q_profile"        -> qProfile
   )
 
   // =====================================================================
@@ -181,6 +201,24 @@ object CurationQueries {
           SELECT doc_id, source, q,
             ntile($nTiers) OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS tier
           FROM scored""",
+    "q_t_redact" ->
+      s"""SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(
+            substring(text, 1, 40) || ' reach me at ' || source || '@example.com or (973) 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-6789',
+            '${Text.ssnPattern}', '<SSN>', 'g'),
+            '${Text.emailPattern}', '<EMAIL>', 'g'),
+            '${Text.phonePattern}', '<PHONE>', 'g') AS redacted
+          FROM documents""",
+    "q_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            count(DISTINCT $c) AS n_distinct,
+            CAST(min($c) AS DOUBLE) AS min_d, CAST(max($c) AS DOUBLE) AS max_d
+            FROM orders"""
+      Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
+    },
     "q_asof_join" ->
       s"""WITH l AS (SELECT event_id, user_id, ts, value AS purchase_value
             FROM events WHERE event_type = 'purchase'),

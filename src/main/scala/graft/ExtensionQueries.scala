@@ -25,6 +25,8 @@ object ExtensionQueries {
   private[graft] val lshBucketCap = 100
   private[graft] val jaccardThreshold = 0.8
   private val shingleFreqCap = 1000L
+  private val simhashChunks = 8      // 8-bit chunks of the 64-bit fingerprint
+  private val simhashMaxHamming = 7  // pigeonhole: < simhashChunks
 
   // =====================================================================
   // Spark queries
@@ -71,6 +73,28 @@ object ExtensionQueries {
   /** 64-bit SimHash fingerprints. */
   private val qSimSimhash: Q = (spark, dir) =>
     Similarity.simhashFingerprint(Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text")
+
+  /** SimHash near-dup pairs: 8-bit chunk blocking (pigeonhole over
+    * Hamming <= 7), exact Hamming verify inside blocks. */
+  private val qSimSimhashPairs: Q = (spark, dir) =>
+    Similarity.simhashNearDupPairs(Tables.fanOut(Tables.documents(spark, dir)),
+      "doc_id", "text", maxHamming = simhashMaxHamming, chunks = simhashChunks,
+      maxBucketSize = lshBucketCap)
+
+  /** Within-document repetition: duplicated-3-gram fraction (a
+    * MassiveText-style quality signal; 0.0 for docs below shingle
+    * width). */
+  private val qTRepetition: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val arr =
+      if (spark.catalog.functionExists("word_shingles"))
+        expr("word_shingles(text, 3)")
+      else Similarity.shinglesArray(col("text"), 3)
+    docs.select(col("doc_id"),
+      when(size(arr) > 0,
+        round(lit(1.0) - size(array_distinct(arr)).cast(DoubleType) / size(arr), 4))
+        .otherwise(lit(0.0)).as("repetition"))
+  }
 
   /** Exact n-gram Jaccard pairs above threshold (shingle-freq capped). */
   private val qSimJaccard: Q = (spark, dir) =>
@@ -146,6 +170,8 @@ object ExtensionQueries {
     "q_sim_minhash"     -> qSimMinhash,
     "q_sim_lsh_pairs"   -> qSimLshPairs,
     "q_sim_simhash"     -> qSimSimhash,
+    "q_sim_simhash_pairs" -> qSimSimhashPairs,
+    "q_t_repetition"    -> qTRepetition,
     "q_sim_jaccard"     -> qSimJaccard,
     "q_sim_lsh_jaccard" -> qSimLshJaccard,
     "q_curate"          -> qCurate,
@@ -231,6 +257,26 @@ object ExtensionQueries {
   private val simhashConcat: String =
     (0 until Similarity.simhashBits)
       .map(j => s"(CASE WHEN b$j > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  /** SimHash fingerprint CTE chain ending in `sims(doc_id, simhash)` —
+    * shared by q_sim_simhash and the chunk-blocked pair query. */
+  private val simhashCtes: String =
+    s"""toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+          h AS (SELECT doc_id,
+            CAST('0x' || substring(md5('a:' || tok), 1, 15) AS BIGINT) AS v1,
+            CAST('0x' || substring(md5('b:' || tok), 1, 15) AS BIGINT) AS v2
+          FROM toks),
+          s AS (SELECT doc_id,
+          $simhashBitSums
+          FROM h GROUP BY doc_id),
+          sims AS (SELECT doc_id, $simhashConcat AS simhash FROM s)"""
+
+  /** Exact Hamming distance between fingerprint columns fa/fb as a
+    * 64-term character-compare sum (mirrors the Spark expression). */
+  private val hammingSql: String =
+    (1 to Similarity.simhashBits).map(i =>
+      s"(CASE WHEN substring(fa, $i, 1) <> substring(fb, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
 
   /** One Lloyd iteration in SQL — assignment vs `prevCent` (same rounded
     * cosine + lowest-cid tie-break as ivfAssignTo, expressed as the
@@ -360,15 +406,32 @@ object ExtensionQueries {
           FROM capped l JOIN capped r
             ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id""",
     "q_sim_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
-          h AS (SELECT doc_id,
-            CAST('0x' || substring(md5('a:' || tok), 1, 15) AS BIGINT) AS v1,
-            CAST('0x' || substring(md5('b:' || tok), 1, 15) AS BIGINT) AS v2
-          FROM toks),
-          s AS (SELECT doc_id,
-          $simhashBitSums
-          FROM h GROUP BY doc_id)
-          SELECT doc_id, $simhashConcat AS simhash FROM s""",
+      s"""WITH $simhashCtes
+          SELECT doc_id, simhash FROM sims""",
+    "q_sim_simhash_pairs" ->
+      s"""WITH $simhashCtes,
+          blocked AS (SELECT doc_id, simhash, c,
+              substring(simhash, c * ${64 / simhashChunks} + 1, ${64 / simhashChunks}) AS ckey
+            FROM sims, unnest(range(0, $simhashChunks)) AS u(c)),
+          scapped AS (SELECT doc_id, simhash, c, ckey FROM (
+            SELECT *, count(*) OVER (PARTITION BY c, ckey) AS bsz FROM blocked)
+            WHERE bsz <= $lshBucketCap),
+          sp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS fa, b.simhash AS fb
+                 FROM scapped a JOIN scapped b
+                   ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+          SELECT id_a, id_b, CAST($hammingSql AS BIGINT) AS hamming
+          FROM sp WHERE $hammingSql <= $simhashMaxHamming""",
+    "q_t_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+         raw AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                 FROM tk, unnest(range(1, greatest(len(t)-1, 1))) AS u(i)
+                 WHERE array_to_string(t[i:i+2], ' ') <> ''),
+         rep AS (SELECT doc_id, count(*) AS total, count(DISTINCT shingle) AS dis
+                 FROM raw GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(round(1.0 - CAST(dis AS DOUBLE) / total, 4), 0.0) AS repetition
+         FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id""",
     "q_sim_jaccard" ->
       s"""WITH $shingleCte,
           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),

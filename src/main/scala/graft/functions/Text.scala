@@ -89,4 +89,22 @@ object Text {
 
   /** Exact-content key for hash dedup. */
   def contentHash(c: Column): Column = md5(c)
+
+  // ---------------------------------------------------------------------
+  // PII redaction — regex scrub of emails / US phone numbers / SSNs to
+  // typed placeholder tokens, the standard pre-training privacy pass.
+  // Patterns avoid lookaround/backreferences so Java regex and RE2-style
+  // engines agree; applied SSN-first so a phone pattern can never eat a
+  // partial SSN. Pure projection: scales as a map-only pass.
+  // ---------------------------------------------------------------------
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ssnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val phonePattern = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, ssnPattern, "<SSN>"),
+        emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
 }

@@ -176,4 +176,31 @@ object Curation {
     df.withColumn("tier",
       ntile(tiers).over(Window.partitionBy(col(stratumCol))
         .orderBy(scoreCol.desc, col(idCol).asc)))
+
+  // ---------------------------------------------------------------------
+  // Column profiling — per-column count/null/distinct/min/max in ONE
+  // pass over the table: all aggregates ride a single global HashAggregate
+  // (partial map-side combine, one tiny exchange), then the one result
+  // row is exploded to long format. Profiling a 100 TB table costs one
+  // scan regardless of how many columns are profiled — never one scan
+  // per column.
+  // ---------------------------------------------------------------------
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast(DoubleType).as(s"__mn_$c"),
+        max(col(c)).cast(DoubleType).as(s"__mx_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col(s"__n_$c").as("n"),
+        col(s"__nn_$c").as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_d"),
+        col(s"__mx_$c").as("max_d"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
 }

@@ -151,6 +151,44 @@ object Similarity {
           .as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs via chunk blocking (the classic
+    * Manku/Das/Sarma construction): split the 64-bit fingerprint into
+    * `chunks` equal substrings — any pair within Hamming distance
+    * `maxHamming` < `chunks` shares at least one identical chunk
+    * (pigeonhole), so blocking on (chunk index, chunk value) finds every
+    * such pair with ONE hash-shuffle instead of an n² scan. Exact
+    * Hamming distance verifies inside each block. `maxBucketSize` drops
+    * degenerate chunk buckets (near-empty docs collapsing to the same
+    * fingerprint region) before the self-join, same hygiene as LSH
+    * banding. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, chunks: Int = 4,
+                          maxBucketSize: Int = 100): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    val chunkLen = simhashBits / chunks
+    val fp = simhashFingerprint(df, idCol, textCol)
+    val blocked = fp.select(col(idCol), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        substring(col("simhash"), c * chunkLen + 1, chunkLen)): _*))
+        .as(Seq("chunk", "ckey")))
+    val capped = blocked
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("chunk"), col("ckey"))))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.simhash").as("__fa"), col("b.simhash").as("__fb"))
+      .distinct()
+    val ham = (1 to simhashBits).map(i =>
+      when(substring(col("__fa"), i, 1) =!= substring(col("__fb"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    cand.withColumn("hamming", ham.cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   // ---------------------------------------------------------------------
   // N-gram Jaccard — exact set similarity via shingle co-occurrence join:
   // |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|−|A∩B|.

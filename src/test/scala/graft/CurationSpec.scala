@@ -112,6 +112,36 @@ class CurationSpec extends SparkSpec {
   }
 
   // -----------------------------------------------------------------
+  // Column profile
+  // -----------------------------------------------------------------
+  test("columnProfile computes per-column stats in one pass") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.5), (2L, null), (2L, 3.5)).toDF("k", "v")
+    val out = Curation.columnProfile(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("k") == ((3L, 0L, 2L, 1.0, 2.0)))
+    assert(out("v") == ((3L, 1L, 2L, 1.5, 3.5)))
+  }
+
+  // -----------------------------------------------------------------
+  // PII redaction
+  // -----------------------------------------------------------------
+  test("redactPii scrubs emails, phones, SSNs and leaves text intact") {
+    val df = Seq(
+      "mail me at jo.doe+x@corp.example.org thanks",
+      "call (973) 555-0199 or 201-555-0100 today",
+      "ssn is 123-45-6789 ok",
+      "no pii here, just 12345 numbers"
+    ).toDF("t").select(graft.functions.Text.redactPii(col("t")).as("r"))
+    val out = df.collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> thanks")
+    assert(out(1) == "call <PHONE> or <PHONE> today")
+    assert(out(2) == "ssn is <SSN> ok")
+    assert(out(3) == "no pii here, just 12345 numbers")
+  }
+
+  // -----------------------------------------------------------------
   // As-of join
   // -----------------------------------------------------------------
   test("asofJoin picks latest strictly-prior right row per key") {

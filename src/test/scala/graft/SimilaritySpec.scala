@@ -237,4 +237,28 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(out.contains(1L) && out.contains(2L))
   }
+
+  test("simhashNearDupPairs: identical docs at distance 0, disjoint docs absent") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical -> hamming 0
+      (5L, "alpha beta gamma delta epsilon eta"),  // one token differs -> small hamming
+      (9L, "q r s t u v w x y z")                  // unrelated
+    ).toDF("id", "text")
+    val out = Similarity.simhashNearDupPairs(df, "id", "text",
+        maxHamming = 7, chunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) == 0L)
+    // every reported pair respects the threshold and the id ordering
+    assert(out.forall { case ((a, b), h) => a < b && h <= 7 })
+    assert(!out.keySet.exists { case (a, b) => a == 9L || b == 9L })
+  }
+
+  test("simhashNearDupPairs finds no pair twice (multi-chunk collisions dedup)") {
+    val df = Seq(
+      (1L, "m n o p q r"),
+      (2L, "m n o p q r")).toDF("id", "text") // identical: ALL 8 chunks collide
+    val rows = Similarity.simhashNearDupPairs(df, "id", "text", 7, 8).collect()
+    assert(rows.length == 1)
+  }
 }
