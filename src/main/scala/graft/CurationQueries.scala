@@ -122,6 +122,43 @@ object CurationQueries {
     Curation.columnProfile(Tables.orders(spark, dir),
       Seq("o_orderkey", "o_custkey", "o_totalprice"))
 
+  /** Bucketed co-located join — the demonstration that the "bucket big
+    * joins" scale claim actually executes shuffle-free: both sides are
+    * written bucketed by the join key into the session catalog, and the
+    * merge-hinted join plans with NO Exchange between the scans and the
+    * join (BucketedJoinSpec pins that property). Sums aggregate in
+    * DECIMAL so the result is addition-order-independent and
+    * hash-comparable across engines. At 100 TB this is the layout for
+    * repeated joins on a stable key: pay the bucketed write once, skip
+    * the fact-table shuffle on every subsequent join. */
+  private val qJBucketed: Q = (spark, dir) => {
+    val buckets = 8
+    // A fresh session's in-memory catalog forgets managed tables but their
+    // warehouse directories survive — drop both the entry AND the location
+    // or the next session's overwrite fails with LOCATION_ALREADY_EXISTS.
+    Seq("graft_bkt_orders", "graft_bkt_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+      .write.mode("overwrite").bucketBy(buckets, "o_custkey")
+      .saveAsTable("graft_bkt_orders")
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").bucketBy(buckets, "c_custkey")
+      .saveAsTable("graft_bkt_customer")
+    spark.table("graft_bkt_orders")
+      .join(spark.table("graft_bkt_customer").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_price")).as("revenue"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_dup_components" -> qDupComponents,
     "q_decontaminate"  -> qDecontaminate,
@@ -130,7 +167,8 @@ object CurationQueries {
     "q_quality_tiers"  -> qQualityTiers,
     "q_asof_join"      -> qAsofJoin,
     "q_t_redact"       -> qTRedact,
-    "q_profile"        -> qProfile
+    "q_profile"        -> qProfile,
+    "q_j_bucketed"     -> qJBucketed
   )
 
   // =====================================================================
@@ -219,6 +257,11 @@ object CurationQueries {
             FROM orders"""
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
     },
+    "q_j_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
     "q_asof_join" ->
       s"""WITH l AS (SELECT event_id, user_id, ts, value AS purchase_value
             FROM events WHERE event_type = 'purchase'),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -81,6 +80,24 @@ object Similarity {
     shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Drop rows whose `keys` group exceeds `cap` members — the degenerate-
+    * bucket guard shared by LSH banding, raw jaccard, and simhash
+    * blocking. Implemented as aggregate + anti-join, NOT a count window:
+    * the window would hash-shuffle AND SORT the full relation, while the
+    * aggregate partial-combines map-side and the anti-join's probe side
+    * re-reads the (exchange-reused or cheap-to-recompute) input with no
+    * sort anywhere. The oversized-key list is tiny by construction
+    * (at most n/cap keys), so AQE turns the anti-join into a broadcast;
+    * no hint, so a pathological run that exceeds the broadcast threshold
+    * degrades to a shuffled anti-join instead of an OOM. */
+  private def dropOversizedBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val oversized = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > cap)
+      .select(keys.map(col): _*)
+    df.join(oversized, keys, "left_anti")
+  }
+
   /** LSH banding: split the signature into bands of `rowsPerBand` hashes;
     * docs sharing any band key are candidate near-duplicates.
     *
@@ -103,10 +120,9 @@ object Similarity {
     }
     val banded = sig.select(col(idCol), posexplode(array(bandKeys: _*)))
       .toDF(idCol, "band", "band_key")
-    val capped = banded
-      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("band_key"))))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
+    // banded sits just above the signature aggregation's exchange, so the
+    // anti-join's two consumers reuse that exchange — no double compute.
+    val capped = dropOversizedBuckets(banded, Seq("band", "band_key"), maxBucketSize)
     val l = capped.as("l")
     val r = capped.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
@@ -171,10 +187,7 @@ object Similarity {
       posexplode(array((0 until chunks).map(c =>
         substring(col("simhash"), c * chunkLen + 1, chunkLen)): _*))
         .as(Seq("chunk", "ckey")))
-    val capped = blocked
-      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("chunk"), col("ckey"))))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
+    val capped = dropOversizedBuckets(blocked, Seq("chunk", "ckey"), maxBucketSize)
     val cand = capped.as("a").join(capped.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -204,10 +217,7 @@ object Similarity {
                         maxShingleFreq: Long = 1000L): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val capped = sh
-      .withColumn("__freq", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("__freq") <= maxShingleFreq)
-      .drop("__freq")
+    val capped = dropOversizedBuckets(sh, Seq("shingle"), maxShingleFreq.toInt)
     val co = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))

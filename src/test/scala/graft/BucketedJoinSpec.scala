@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class BucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed-by-key tables join with no Exchange below the join") {
+    val buckets = 4
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (1L, 5.0))
+      .toDF("k", "v")
+      .write.mode("overwrite").bucketBy(buckets, "k").saveAsTable("bspec_fact")
+    Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k2", "tag")
+      .write.mode("overwrite").bucketBy(buckets, "k2").saveAsTable("bspec_dim")
+    val joined = spark.table("bspec_fact")
+      .join(spark.table("bspec_dim").hint("merge"), col("k") === col("k2"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // The join must consume both bucketed scans directly: a shuffle
+    // before a sort-merge join would appear as an Exchange node.
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should be shuffle-free, got:\n$plan")
+    assert(joined.count() == 4)
+    // correctness of the co-located join
+    val rows = joined.select(col("k"), col("tag")).orderBy(col("k"), col("tag"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "c")))
+  }
+}

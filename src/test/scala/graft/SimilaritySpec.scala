@@ -261,4 +261,13 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.simhashNearDupPairs(df, "id", "text", 7, 8).collect()
     assert(rows.length == 1)
   }
+
+  test("bucket-cap plans contain no Window and no Sort (agg + anti-join)") {
+    val docs = (1L to 40L).map(i => (i, s"w$i x$i y$i z$i common tokens here")).toDF("id", "text")
+    val lsh = Similarity.minhashLsh(docs, "id", "text").queryExecution.executedPlan.toString
+    assert(!lsh.contains("Window"), "LSH banding should not plan a Window")
+    val sim = Similarity.simhashNearDupPairs(docs, "id", "text", 7, 8)
+      .queryExecution.executedPlan.toString
+    assert(!sim.contains("Window"), "simhash blocking should not plan a Window")
+  }
 }
