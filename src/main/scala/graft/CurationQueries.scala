@@ -159,7 +159,49 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_orders"), sum(col("o_price")).as("revenue"))
   }
 
+  /** Sessionization: 30-minute inactivity gap splits each user's event
+    * stream; session ids are running break counts in (ts, event_id)
+    * order. */
+  private val qSessionize: Q = (spark, dir) =>
+    Relational.sessionize(Tables.fanOut(Tables.events(spark, dir)),
+        Seq("user_id"), "ts", gapSeconds = 1800L, tiebreak = "event_id")
+      .select(col("event_id"), col("user_id"), col("ts"), col("session_id"))
+
+  /** Event-type pivot: one row per user, one count column per type.
+    * Explicit pivot values keep the plan a single pass (no distinct-
+    * values pre-query); absent cells coalesce to 0 to match COUNT
+    * semantics. */
+  private val qPivotEvents: Q = (spark, dir) => {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val pivoted = Tables.fanOut(Tables.events(spark, dir))
+      .groupBy(col("user_id")).pivot("event_type", types).count()
+    types.foldLeft(pivoted)((d, t) =>
+      d.withColumn(t, coalesce(col(t), lit(0L))))
+  }
+
+  /** 7-day rolling average purchase value per user. The window sums
+    * integer CENTS (exact, addition-order independent — engines disagree
+    * on float summation order inside sliding frames) and divides at the
+    * end. Range frame over epoch seconds so both engines bound the
+    * window identically. */
+  private val qRollingAvg: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("__sec"))
+      .rangeBetween(-7L * 86400L, 0L)
+    val ev = Tables.fanOut(Tables.events(spark, dir))
+      .filter(col("event_type") === "purchase")
+    ev
+      .withColumn("__sec", Relational.epochSeconds(ev, "ts"))
+      .withColumn("__cents", round(col("value") * 100).cast(LongType))
+      .withColumn("avg_7d",
+        round(sum(col("__cents")).over(w) / lit(100.0) / count(lit(1)).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("ts"), col("avg_7d"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_sessionize"     -> qSessionize,
+    "q_pivot_events"   -> qPivotEvents,
+    "q_rolling_avg"    -> qRollingAvg,
     "q_dup_components" -> qDupComponents,
     "q_decontaminate"  -> qDecontaminate,
     "q_strat_sample"   -> qStratSample,
@@ -257,6 +299,34 @@ object CurationQueries {
             FROM orders"""
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
     },
+    "q_sessionize" ->
+      """WITH x AS (SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                THEN 1 ELSE 0 END AS brk
+           FROM events)
+         SELECT event_id, user_id, ts,
+           CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM x""",
+    "q_pivot_events" ->
+      """SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+         FROM events GROUP BY user_id""",
+    "q_rolling_avg" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+           CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase')
+         SELECT event_id, user_id, ts,
+           round(sum(cents) OVER w / 100.0 / count(*) OVER w, 4) AS avg_7d
+         FROM p WINDOW w AS (PARTITION BY user_id ORDER BY sec
+           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""",
     "q_j_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue

@@ -183,6 +183,41 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // Sessionization — split each key's event stream into sessions at
+  // inactivity gaps > `gapSeconds`: session id = running count of gap
+  // breaks in time order. One hash-shuffle on the key + per-partition
+  // sort (the same plan any per-key window needs); sessions never span
+  // keys, so a 100 TB event log sessionizes in parallel across users.
+  // The tiebreak column makes same-timestamp events deterministic.
+  // ---------------------------------------------------------------------
+  def sessionize(df: DataFrame, keys: Seq[String], timeCol: String,
+                 gapSeconds: Long, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col(tiebreak).asc)
+    // Gap = difference of per-row FLOOR epoch seconds (== second-boundary
+    // crossings), not "complete seconds between instants" — the two
+    // disagree by 1 on fractional-second timestamps and only the former
+    // is what SQL engines' date_diff('second', …) computes.
+    val prev = lag(epochSeconds(df, timeCol), 1).over(w)
+    val isBreak = when(prev.isNull ||
+      epochSeconds(df, timeCol) - prev > gapSeconds, 1L)
+      .otherwise(0L)
+    df.withColumn("session_id",
+      sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Floor epoch seconds of a time column, timezone-free: TIMESTAMP_NTZ
+    * diffs arithmetically against the NTZ epoch (no instant round-trip,
+    * so the value matches what any engine reads from the same parquet
+    * regardless of session timezone); other orderable types cast. */
+  def epochSeconds(df: DataFrame, timeCol: String): Column =
+    df.schema(timeCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr(s"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `$timeCol`)")
+      case _ => col(timeCol).cast(LongType)
+    }
+
+  // ---------------------------------------------------------------------
   // S6 prep — pre-validation split replacing the reference's per-row
   // DataError salvage (Kafka_GSMLSConsumer.py:1232-1254): rows failing the
   // predicate go to a quarantine sink instead of silently dropping

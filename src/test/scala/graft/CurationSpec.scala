@@ -142,6 +142,22 @@ class CurationSpec extends SparkSpec {
   }
 
   // -----------------------------------------------------------------
+  // Sessionization
+  // -----------------------------------------------------------------
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    val df = Seq(
+      ("u", 1L, 0L), ("u", 2L, 1000L), ("u", 3L, 2800L),  // gaps 1000, 1800 -> same session
+      ("u", 4L, 4601L),                                   // gap 1801 -> new session
+      ("v", 9L, 50L)                                      // other key -> own session 1
+    ).toDF("key", "eid", "sec")
+      .select(col("key"), col("eid"),
+        expr("timestampadd(SECOND, CAST(sec AS INT), TIMESTAMP_NTZ '2024-01-01 00:00:00')").as("ts"))
+    val out = Relational.sessionize(df, Seq("key"), "ts", 1800L, "eid")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 9L -> 1L))
+  }
+
+  // -----------------------------------------------------------------
   // As-of join
   // -----------------------------------------------------------------
   test("asofJoin picks latest strictly-prior right row per key") {
