@@ -198,8 +198,24 @@ object CurationQueries {
       .select(col("event_id"), col("user_id"), col("ts"), col("avg_7d"))
   }
 
+  /** Native session_window aggregation — Spark's built-in session
+    * operator (streaming-capable: the same expression works under
+    * withWatermark in a stream). Semantics differ from [[qSessionize]]
+    * at the boundary: windows are [ts, ts+gap) in raw MICROSECONDS, so
+    * an event exactly gap after its predecessor starts a NEW session
+    * (diff >= gap breaks), while the gap-sessionizer breaks only on
+    * diff > gap in whole seconds. The oracle mirrors with interval
+    * arithmetic on raw timestamps, not second diffs. */
+  private val qSessionWindow: Q = (spark, dir) =>
+    Tables.fanOut(Tables.events(spark, dir))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   def queries: Map[String, Q] = Map(
     "q_sessionize"     -> qSessionize,
+    "q_session_window" -> qSessionWindow,
     "q_pivot_events"   -> qPivotEvents,
     "q_rolling_avg"    -> qRollingAvg,
     "q_dup_components" -> qDupComponents,
@@ -310,6 +326,20 @@ object CurationQueries {
            CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM x""",
+    "q_session_window" ->
+      """WITH x AS (SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+           FROM events),
+         s AS (SELECT user_id, ts,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM x)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+         FROM s GROUP BY user_id, sid""",
     "q_pivot_events" ->
       """SELECT user_id,
            count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
