@@ -25,8 +25,14 @@ object ExtensionQueries {
   private[graft] val lshBucketCap = 100
   private[graft] val jaccardThreshold = 0.8
   private val shingleFreqCap = 1000L
-  private val simhashChunks = 8      // 8-bit chunks of the 64-bit fingerprint
-  private val simhashMaxHamming = 7  // pigeonhole: < simhashChunks
+  // Canonical Manku-style config: 16-bit chunks, Hamming <= 3. The chunk
+  // value space (65536) controls candidate volume — 8-bit chunks (256
+  // values) made buckets ~= corpus/256 and the verify stage quadratic
+  // enough to dominate the whole bench at sf0.1 (23s); 16-bit chunks cut
+  // candidates by orders of magnitude and the <=3 band is where actual
+  // near-dups live (>=5 is fingerprint noise).
+  private val simhashChunks = 4      // 16-bit chunks of the 64-bit fingerprint
+  private val simhashMaxHamming = 3  // pigeonhole: < simhashChunks
 
   // =====================================================================
   // Spark queries
@@ -63,6 +69,18 @@ object ExtensionQueries {
     Similarity.minhashSignature(
       Similarity.shingles(Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text", 3),
       "doc_id", minhashN)
+
+  /** Estimated jaccard on LSH candidate pairs from signature agreement —
+    * the no-reverify scoring path (k-long signature join instead of the
+    * shingle-relation joins). */
+  private val qSimMinhashEst: Q = (spark, dir) => {
+    val sh = Similarity.shingles(Tables.fanOut(Tables.documents(spark, dir)),
+      "doc_id", "text", 3)
+    val sig = Similarity.minhashSignature(sh, "doc_id", minhashN)
+    val pairs = Similarity.lshCandidatePairs(sig, "doc_id", minhashN,
+      rowsPerBand, lshBucketCap)
+    Similarity.minhashJaccardEstimate(pairs, sig, "doc_id", minhashN)
+  }
 
   /** LSH candidate near-duplicate pairs (4 bands × 4 rows, bucket cap). */
   private val qSimLshPairs: Q = (spark, dir) =>
@@ -169,6 +187,7 @@ object ExtensionQueries {
     "q_sim_exact_dedup" -> qSimExactDedup,
     "q_sim_minhash"     -> qSimMinhash,
     "q_sim_lsh_pairs"   -> qSimLshPairs,
+    "q_sim_minhash_est" -> qSimMinhashEst,
     "q_sim_simhash"     -> qSimSimhash,
     "q_sim_simhash_pairs" -> qSimSimhashPairs,
     "q_t_repetition"    -> qTRepetition,
@@ -405,6 +424,25 @@ object ExtensionQueries {
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           FROM capped l JOIN capped r
             ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id""",
+    "q_sim_minhash_est" -> {
+      val matchSum = (0 until minhashN).map(i =>
+        s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString("(", " + ", ")")
+      s"""WITH $shingleCte,
+          $minhashBase,
+          sig AS (SELECT doc_id, $minhashAggs FROM shb GROUP BY doc_id),
+          banded AS ($bandedSql),
+          capped AS (SELECT doc_id, band, band_key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM banded)
+            WHERE bsz <= $lshBucketCap),
+          cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                   FROM capped l JOIN capped r
+                     ON l.band = r.band AND l.band_key = r.band_key
+                    AND l.doc_id < r.doc_id)
+          SELECT c.id_a, c.id_b,
+            round(CAST($matchSum AS DOUBLE) / $minhashN, 4) AS jaccard_est
+          FROM cand c JOIN sig a ON a.doc_id = c.id_a
+                      JOIN sig b ON b.doc_id = c.id_b"""
+    },
     "q_sim_simhash" ->
       s"""WITH $simhashCtes
           SELECT doc_id, simhash FROM sims""",

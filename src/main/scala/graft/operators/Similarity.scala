@@ -131,6 +131,25 @@ object Similarity {
       .distinct()
   }
 
+  /** Estimated Jaccard for candidate pairs from signature agreement:
+    * E[fraction of matching minhash slots] = J(A,B), so the estimate is
+    * matches/numHashes — no shingle re-join at all, just a signature
+    * lookup per side. The cheap middle ground between raw candidates
+    * (no score) and exact pair-gated jaccard (two joins back to the
+    * shingle relation): at corpus scale the signatures are k longs per
+    * doc vs hundreds of shingles, so the verify join shrinks by that
+    * factor when estimator precision (sd ≈ sqrt(J(1-J)/k)) suffices. */
+  def minhashJaccardEstimate(pairs: DataFrame, sig: DataFrame, idCol: String,
+                             numHashes: Int): DataFrame = {
+    val a = sig.toDF(sig.columns.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
+    val b = sig.toDF(sig.columns.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
+    val matches = (0 until numHashes).map(i =>
+      when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0)).reduce(_ + _)
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard_est", round(matches.cast(DoubleType) / numHashes, 4))
+      .select(col("id_a"), col("id_b"), col("jaccard_est"))
+  }
+
   /** End-to-end MinHash-LSH near-dup candidates over (id, text).
     * Defaults: 16 hashes / 4 rows per band = 4 bands — at J=0.8 a pair
     * matches some band with p ≈ 1-(1-0.8^4)^4 ≈ 0.93. */
@@ -194,10 +213,18 @@ object Similarity {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.simhash").as("__fa"), col("b.simhash").as("__fb"))
       .distinct()
-    val ham = (1 to simhashBits).map(i =>
-      when(substring(col("__fa"), i, 1) =!= substring(col("__fb"), i, 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    cand.withColumn("hamming", ham.cast(LongType))
+    // Hamming distance chunk-wise as popcount(xor) over the binary-parsed
+    // chunks, NOT a 64-term per-character compare: the char-compare tree
+    // exceeds codegen limits, drops the projection to interpreted eval,
+    // and dominated the whole query (~8s of a 10s run at sf0.1). Values
+    // are identical — the oracle keeps its per-character formulation as
+    // an independent mirror.
+    val chunkHams = (0 until chunks).map { c =>
+      val fa = conv(substring(col("__fa"), c * chunkLen + 1, chunkLen), 2, 10).cast(LongType)
+      val fb = conv(substring(col("__fb"), c * chunkLen + 1, chunkLen), 2, 10).cast(LongType)
+      bit_count(fa.bitwiseXOR(fb))
+    }
+    cand.withColumn("hamming", chunkHams.reduce(_ + _).cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

@@ -270,4 +270,18 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!sim.contains("Window"), "simhash blocking should not plan a Window")
   }
+
+  test("minhashJaccardEstimate: identical docs estimate 1.0, estimate bounded") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g x")).toDF("id", "text")
+    val sh = Similarity.shingles(docs, "id", "text", 3)
+    val sig = Similarity.minhashSignature(sh, "id", 16)
+    val pairs = Similarity.lshCandidatePairs(sig, "id", 16, 4)
+    val est = Similarity.minhashJaccardEstimate(pairs, sig, "id", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((1L, 2L)) == 1.0)
+    assert(est.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
 }
