@@ -76,7 +76,12 @@ object ExtensionQueries {
   private val qSimMinhashEst: Q = (spark, dir) => {
     val sh = Similarity.shingles(Tables.fanOut(Tables.documents(spark, dir)),
       "doc_id", "text", 3)
+    // six consumers (cap agg, two self-join sides, two estimate joins):
+    // persist the tiny signature relation; the harness clears caches
+    // after each query.
     val sig = Similarity.minhashSignature(sh, "doc_id", minhashN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count()
     val pairs = Similarity.lshCandidatePairs(sig, "doc_id", minhashN,
       rowsPerBand, lshBucketCap)
     Similarity.minhashJaccardEstimate(pairs, sig, "doc_id", minhashN)
