@@ -213,7 +213,42 @@ object CurationQueries {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Per-key top-k via the typed Aggregator UDAF: map-side partial
+    * k-buffers shrink each key to <= k rows BEFORE the exchange — the
+    * row_number window (the oracle's formulation) would shuffle and
+    * sort every row. Top-2 orders per customer by price. */
+  private val qTopkUdaf: Q = (spark, dir) =>
+    graft.operators.TopK.topKPerKey(
+      Tables.fanOut(Tables.orders(spark, dir)),
+      Seq("o_custkey"), "o_orderkey", "o_totalprice", k = 2)
+
+  /** Custom keyed streaming state (flatMapGroupsWithState): per-key
+    * running (count, sum) through the state store, drained one landing
+    * file per micro-batch so the second trigger MUST continue from
+    * checkpointed state — the final totals (max over the monotone
+    * emissions) equal the batch aggregation over everything delivered,
+    * which is the oracle. */
+  private val qStRunningState: Q = (spark, dir) => {
+    def syn(src: DataFrame): DataFrame = src.select(
+      (col("o_custkey") % 50).cast(StringType).as("dkey"),
+      floor(col("o_totalprice")).cast(LongType).as("amt"))
+    val in = graft.io.TempDirs.registered("graft-q-strs-in").toString
+    val out = graft.io.TempDirs.registered("graft-q-strs-out").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-strs-ckpt").toString
+    val o = Tables.orders(spark, dir)
+    val d1 = syn(o)
+    d1.coalesce(1).write.mode("append").parquet(in)
+    syn(o.filter(col("o_orderkey") % 4 === 0)).coalesce(1).write.mode("append").parquet(in)
+    val src = graft.streaming.Streaming.parquetSource(spark, in, d1.schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runRunningTotals(src, out, ckpt)
+    spark.read.parquet(out).groupBy(col("dkey"))
+      .agg(max(col("n")).as("n"), max(col("total")).as("total"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_st8_running_state" -> qStRunningState,
+    "q_topk_udaf"      -> qTopkUdaf,
     "q_sessionize"     -> qSessionize,
     "q_session_window" -> qSessionWindow,
     "q_pivot_events"   -> qPivotEvents,
@@ -315,6 +350,23 @@ object CurationQueries {
             FROM orders"""
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
     },
+    "q_st8_running_state" ->
+      """WITH delivered AS (
+           SELECT CAST(o_custkey % 50 AS VARCHAR) AS dkey,
+                  CAST(floor(o_totalprice) AS BIGINT) AS amt
+           FROM orders
+           UNION ALL
+           SELECT CAST(o_custkey % 50 AS VARCHAR),
+                  CAST(floor(o_totalprice) AS BIGINT)
+           FROM orders WHERE o_orderkey % 4 = 0)
+         SELECT dkey, count(*) AS n, CAST(sum(amt) AS BIGINT) AS total
+         FROM delivered GROUP BY dkey""",
+    "q_topk_udaf" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank
+           FROM orders) WHERE rank <= 2""",
     "q_sessionize" ->
       """WITH x AS (SELECT event_id, user_id, ts,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

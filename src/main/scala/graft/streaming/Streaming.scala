@@ -136,6 +136,45 @@ object Streaming {
   }
 
   // ---------------------------------------------------------------------
+  // Custom keyed state via flatMapGroupsWithState — the API for state
+  // machines the built-in stateful operators can't express (the
+  // reference's consumer keeps per-county progress dicts across polls,
+  // Kafka_GSMLSConsumer.py:130-138). Demonstrated as per-key running
+  // (count, sum): state lives in the streaming state store, carries
+  // ACROSS micro-batches through the checkpoint, and each trigger emits
+  // the updated totals for keys seen in that batch. Emissions are
+  // monotone, so the final per-key value is the max over emissions —
+  // and must equal the plain batch aggregation over everything
+  // delivered (the oracle). Per-key state is two longs: bounded by key
+  // cardinality, not delivery history, so the operator holds at
+  // streaming scale.
+  // ---------------------------------------------------------------------
+  def runRunningTotals(src: DataFrame, sinkPath: String,
+                       checkpointPath: String): Unit = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = src.sparkSession
+    import spark.implicits._
+    val ds = src.select(col("dkey").cast("string"), col("amt").cast("long"))
+      .as[(String, Long)]
+    val stated = ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[(Long, Long)]) =>
+          var (c, s) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { t => c += 1; s += t._2 }
+          state.update((c, s))
+          Iterator((key, c, s))
+      }
+    stated.toDF("dkey", "n", "total").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .option("path", sinkPath)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start()
+      .awaitTermination()
+  }
+
+  // ---------------------------------------------------------------------
   // ST6 — resume work-list (GSMLS.py:991-1047, 2375-2381): the full work
   // grid minus what the event log already records — a left anti join,
   // not a driver loop.

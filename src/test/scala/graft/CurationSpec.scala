@@ -177,4 +177,30 @@ class CurationSpec extends SparkSpec {
         (if (r.isNullAt(4)) null else r.getLong(4).toString)).toMap
     assert(out == Map(1L -> "4", 2L -> "1", 3L -> null, 4L -> null))
   }
+
+  // -----------------------------------------------------------------
+  // Top-k aggregator
+  // -----------------------------------------------------------------
+  test("topKPerKey keeps k best per key, deterministic under repartition") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0),
+      ("b", 7L, 2.0)
+    ).toDF("key", "id", "score")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TopK.topKPerKey(d, Seq("key"), "id", "score", 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val out = run(df)
+    // ties at 9.0 break to the lower id (2 before 3); k=2 drops id 1 and 4
+    assert(out == Set(("a", 2L, 9.0, 1L), ("a", 3L, 9.0, 2L), ("b", 7L, 2.0, 1L)))
+    assert(run(df.repartition(7)) == out) // partitioning-independent
+  }
+
+  test("topKPerKey plans a partial aggregation before the exchange") {
+    val df = Seq(("a", 1L, 5.0)).toDF("key", "id", "score")
+    val plan = graft.operators.TopK.topKPerKey(df, Seq("key"), "id", "score", 2)
+      .queryExecution.executedPlan.toString
+    // ObjectHashAggregate partial_topkagg(...) must appear below the shuffle:
+    // that is the map-side k-buffer that shrinks the exchange.
+    assert(plan.contains("partial_topkagg"), s"no partial aggregation in:\n$plan")
+  }
 }
