@@ -246,7 +246,23 @@ object CurationQueries {
       .agg(max(col("n")).as("n"), max(col("total")).as("total"))
   }
 
+  /** Bucketized range join: orders whose price falls in a customer's
+    * [acctbal, acctbal+500) window. The oracle states the raw
+    * inequality join; the Spark plan is the bucket equi-join (one hash
+    * shuffle) — never a BroadcastNestedLoop. */
+  private val qRangeJoin: Q = (spark, dir) => {
+    val intervals = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal").as("lo"),
+        (col("c_acctbal") + 500.0).as("hi"))
+    Relational.rangeJoin(
+        Tables.fanOut(Tables.orders(spark, dir))
+          .select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", intervals, "lo", "hi", bucketWidth = 500.0)
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_range_join"     -> qRangeJoin,
     "q_st8_running_state" -> qStRunningState,
     "q_topk_udaf"      -> qTopkUdaf,
     "q_sessionize"     -> qSessionize,
@@ -350,6 +366,10 @@ object CurationQueries {
             FROM orders"""
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
     },
+    "q_range_join" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer JOIN orders
+           ON o_totalprice >= c_acctbal AND o_totalprice < c_acctbal + 500""",
     "q_st8_running_state" ->
       """WITH delivered AS (
            SELECT CAST(o_custkey % 50 AS VARCHAR) AS dkey,

@@ -183,6 +183,33 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // Range join — point-in-interval matching without a nested loop.
+  //
+  // Spark plans a bare `p >= lo AND p < hi` join as BroadcastNestedLoop
+  // (O(n·m) comparisons, driver-memory-bound build side). The scalable
+  // shape BUCKETIZES the value axis: every interval is exploded to the
+  // buckets it overlaps, points map to one bucket, and the join becomes
+  // an EQUI-join on bucket id (one hash shuffle) with the exact
+  // containment predicate as a post-filter. Cost is |intervals| ×
+  // (span/bucketWidth) replicated rows — pick bucketWidth near the
+  // typical interval length so most intervals land in 1-2 buckets.
+  // Works for any orderable numeric axis (prices, epochs, offsets).
+  // ---------------------------------------------------------------------
+  def rangeJoin(points: DataFrame, pointCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Double): DataFrame = {
+    val pb = points.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth).cast(LongType))
+    val ib = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast(LongType),
+        floor(col(hiCol) / bucketWidth).cast(LongType))))
+    pb.join(ib, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
+  }
+
+  // ---------------------------------------------------------------------
   // Sessionization — split each key's event stream into sessions at
   // inactivity gaps > `gapSeconds`: session id = running count of gap
   // breaks in time order. One hash-shuffle on the key + per-partition

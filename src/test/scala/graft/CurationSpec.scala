@@ -203,4 +203,21 @@ class CurationSpec extends SparkSpec {
     // that is the map-side k-buffer that shrinks the exchange.
     assert(plan.contains("partial_topkagg"), s"no partial aggregation in:\n$plan")
   }
+
+  // -----------------------------------------------------------------
+  // Range join
+  // -----------------------------------------------------------------
+  test("rangeJoin matches point-in-interval exactly, no nested loop") {
+    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 14.99), (4L, 15.0), (5L, -3.0))
+      .toDF("pid", "v")
+    val intervals = Seq(("w1", 5.0, 15.0), ("w2", -10.0, 0.0)).toDF("w", "lo", "hi")
+    val out = Relational.rangeJoin(points, "v", intervals, "lo", "hi", 10.0)
+    val got = out.select(col("pid"), col("w")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // [5,15): pids 1,2,3 (15.0 excluded); [-10,0): pid 5
+    assert(got == Set((1L, "w1"), (2L, "w1"), (3L, "w1"), (5L, "w2")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"range join must be a bucket equi-join, got:\n$plan")
+  }
 }
