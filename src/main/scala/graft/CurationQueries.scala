@@ -261,7 +261,20 @@ object CurationQueries {
       .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** Mixture sampling: even-numbered sources target 2000 tokens, odd
+    * 500 — each stratum is hash-gated down to min(1, target/available)
+    * in basis points. */
+  private val qMixSample: Q = (spark, dir) => {
+    val targets = spark.createDataFrame(
+      (0 until 20).map(i => (s"src$i", if (i % 2 == 0) 2000L else 500L)))
+      .toDF("source", "target_tokens")
+    Curation.mixtureSample(Tables.fanOut(Tables.documents(spark, dir)),
+        "source", col("doc_id"), Text.tokenCount(col("text")), targets, "mix5")
+      .select(col("doc_id"), col("source"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_mix_sample"     -> qMixSample,
     "q_range_join"     -> qRangeJoin,
     "q_st8_running_state" -> qStRunningState,
     "q_topk_udaf"      -> qTopkUdaf,
@@ -366,6 +379,18 @@ object CurationQueries {
             FROM orders"""
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
     },
+    "q_mix_sample" ->
+      """WITH avail AS (SELECT source,
+           CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS a
+           FROM documents GROUP BY source),
+         fr AS (SELECT source,
+           least(10000, CAST(floor(CAST(t AS DOUBLE) * 10000.0 / a) AS BIGINT)) AS bp
+           FROM (SELECT source, a,
+             CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 2000 ELSE 500 END AS t
+             FROM avail))
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN fr ON d.source = fr.source
+         WHERE CAST('0x' || substring(md5('mix5' || ':' || d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < bp""",
     "q_range_join" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
          FROM customer JOIN orders

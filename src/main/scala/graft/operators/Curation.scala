@@ -146,6 +146,29 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Mixture sampling — down-sample each stratum toward a target token
+  // budget (the data-mixing step: "English web 40%, code 30%, ..."
+  // becomes per-source token targets). Keep fraction per stratum =
+  // min(1, target/available) in integer basis points, then the same
+  // salted content-hash gate as stratifiedSample — so the mixture is
+  // reproducible and rows never flip when unrelated strata change.
+  // One aggregation for availability (partial combine), a broadcast of
+  // the tiny per-stratum fraction table, and a map-side filter: the
+  // corpus itself is never shuffled.
+  // ---------------------------------------------------------------------
+  def mixtureSample(df: DataFrame, stratumCol: String, keyCol: Column,
+                    tokCol: Column, targets: DataFrame, salt: String): DataFrame = {
+    val avail = df.groupBy(col(stratumCol))
+      .agg(sum(tokCol.cast(LongType)).as("__avail"))
+    val fracs = avail.join(targets, Seq(stratumCol))
+      .select(col(stratumCol),
+        least(lit(10000L),
+          floor(col("target_tokens").cast(DoubleType) * 10000.0 / col("__avail"))
+            .cast(LongType)).as("rate_bp"))
+    stratifiedSample(df, stratumCol, keyCol, fracs, salt)
+  }
+
+  // ---------------------------------------------------------------------
   // Token-budget shard packing — assign documents to training shards so
   // each shard carries ~`budgetTokens` tokens: shard = floor(exclusive
   // running token total / budget) per group, in deterministic id order.

@@ -220,4 +220,22 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"),
       s"range join must be a bucket equi-join, got:\n$plan")
   }
+
+  // -----------------------------------------------------------------
+  // Mixture sampling
+  // -----------------------------------------------------------------
+  test("mixtureSample keeps everything when target exceeds availability") {
+    val df = (0 until 100).map(i => (i.toLong, "s", 10L)).toDF("id", "src", "tok")
+    val targets = Seq(("s", 100000L)).toDF("src", "target_tokens")
+    val out = Curation.mixtureSample(df, "src", col("id"), col("tok"), targets, "x")
+    assert(out.count() == 100) // rate capped at 10000 bp
+    // a small target keeps roughly the proportional subset, deterministically
+    val small = Curation.mixtureSample(df, "src", col("id"), col("tok"),
+      Seq(("s", 300L)).toDF("src", "target_tokens"), "x")
+    val n = small.count()
+    assert(n > 10 && n < 55, s"expected ~30% kept, got $n")
+    assert(small.collect().toSet ==
+      Curation.mixtureSample(df, "src", col("id"), col("tok"),
+        Seq(("s", 300L)).toDF("src", "target_tokens"), "x").collect().toSet)
+  }
 }
