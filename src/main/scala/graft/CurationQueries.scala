@@ -273,7 +273,18 @@ object CurationQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Context-window chunking: 8-token chunks, 4-token overlap, one row
+    * per chunk (md5 + length pin the exact chunk text). */
+  private val qTChunk: Q = (spark, dir) =>
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        posexplode(Text.chunkTokens(col("text"), 8, 4)).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        md5(col("chunk")).as("chunk_md5"),
+        length(col("chunk")).cast(LongType).as("chunk_len"))
+
   def queries: Map[String, Q] = Map(
+    "q_t_chunk"        -> qTChunk,
     "q_mix_sample"     -> qMixSample,
     "q_range_join"     -> qRangeJoin,
     "q_st8_running_state" -> qStRunningState,
@@ -379,6 +390,13 @@ object CurationQueries {
             FROM orders"""
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
     },
+    "q_t_chunk" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+         st AS (SELECT doc_id, t, unnest(range(0, len(t), 4)) AS s FROM tk WHERE len(t) > 0)
+         SELECT doc_id, CAST(s // 4 AS BIGINT) AS chunk_idx,
+           md5(array_to_string(t[s+1:s+8], ' ')) AS chunk_md5,
+           CAST(length(array_to_string(t[s+1:s+8], ' ')) AS BIGINT) AS chunk_len
+         FROM st""",
     "q_mix_sample" ->
       """WITH avail AS (SELECT source,
            CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS a

@@ -91,6 +91,27 @@ object Text {
   def contentHash(c: Column): Column = md5(c)
 
   // ---------------------------------------------------------------------
+  // Context-window chunking — split a document into fixed-size token
+  // chunks with overlap (stride = chunkSize - overlap), the pretraining
+  // sequence-preparation step. Pure projection: the chunk array is a
+  // per-row expression; explode it downstream for one-row-per-chunk.
+  // The final partial chunk is kept (training pipelines pad it);
+  // a doc shorter than one chunk yields a single chunk = the doc.
+  // ---------------------------------------------------------------------
+  def chunkTokens(c: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkSize, "0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = tokens(c)
+    // start offsets 0, stride, 2*stride, ... while start < numTokens
+    // (last start = stride * floor((n-1)/stride) for n > 0)
+    val lastStart = lit(stride) * floor((size(toks) - 1).cast(DoubleType) / stride).cast(IntegerType)
+    when(size(toks) > 0,
+      transform(sequence(lit(0), lastStart, lit(stride)),
+        s => concat_ws(" ", slice(toks, s + 1, lit(chunkSize)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  // ---------------------------------------------------------------------
   // PII redaction — regex scrub of emails / US phone numbers / SSNs to
   // typed placeholder tokens, the standard pre-training privacy pass.
   // Patterns avoid lookaround/backreferences so Java regex and RE2-style

@@ -257,7 +257,12 @@ object Similarity {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxShingleFreq: Long = 1000L): DataFrame = {
+    // Five consumers (doc sizes, the freq-cap aggregation, the anti-join
+    // probe feeding both self-join sides): persist the shingle relation
+    // rather than re-scan + re-shingle the corpus per consumer. Released
+    // by the harness's per-query cache clear / Similarity.release.
     val sh = shingles(df, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val capped = dropOversizedBuckets(sh, Seq("shingle"), maxShingleFreq.toInt)
     val co = capped.as("a").join(capped.as("b"),

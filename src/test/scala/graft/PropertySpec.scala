@@ -122,4 +122,38 @@ class PropertySpec extends SparkSpec {
     val out = Cleaning.fillSentinels(df, Map("c" -> Cleaning.Sentinels.Unknown))
     assert(out.filter(col("c").isNull).count() == 0)
   }
+
+  test("asofJoin equals the naive per-row latest-prior reference") {
+    // generated (key, ts) with deliberate ts collisions across sides
+    val ev = Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 30L))
+    val lefts = sample(ev, 80).zipWithIndex.map { case ((k, t), i) => (i.toLong, s"k$k", t) }
+    val rights = sample(ev, 80).zipWithIndex.map { case ((k, t), i) => (1000L + i, s"k$k", t) }
+    val l = lefts.toDF("lid", "key", "ts")
+    val r = rights.toDF("rid", "key", "ts")
+    val got = Relational.asofJoin(l, r, Seq("key"), "ts", Seq("rid"), "rid")
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    val want = lefts.map { case (lid, k, t) =>
+      val cands = rights.filter(x => x._2 == k && x._3 < t)
+      lid -> (if (cands.isEmpty) -1L
+              else { val mt = cands.map(_._3).max
+                     cands.filter(_._3 == mt).map(_._1).max })
+    }.toMap
+    assert(got == want)
+  }
+
+  test("rangeJoin equals the naive inequality join on generated data") {
+    val pts = sample(Gen.choose(-50.0, 50.0), 120).zipWithIndex
+      .map { case (v, i) => (i.toLong, math.rint(v * 10) / 10) }
+    val ivs = sample(Gen.zip(Gen.choose(-50.0, 40.0), Gen.choose(0.1, 25.0)), 40).zipWithIndex
+      .map { case ((lo, len), i) => (i.toLong, math.rint(lo * 10) / 10, math.rint((lo + len) * 10) / 10) }
+    val p = pts.toDF("pid", "v")
+    val iv = ivs.toDF("wid", "lo", "hi")
+    val got = Relational.rangeJoin(p, "v", iv, "lo", "hi", bucketWidth = 7.0)
+      .select(col("pid"), col("wid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (pid, v) <- pts; (wid, lo, hi) <- ivs if v >= lo && v < hi
+    } yield (pid, wid)).toSet
+    assert(got == want)
+  }
 }
