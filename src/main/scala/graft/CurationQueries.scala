@@ -283,7 +283,29 @@ object CurationQueries {
         md5(col("chunk")).as("chunk_md5"),
         length(col("chunk")).cast(LongType).as("chunk_len"))
 
+  /** The dedup endgame: near-dup pairs → transitive clusters → keep the
+    * HIGHEST-QUALITY member of each cluster (not the lowest id — the
+    * curation-correct canonical choice). Output one row per cluster
+    * with its representative, quality, and member count. */
+  private val qDupCanonical: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val pairs = Similarity.lshJaccard(docs, "doc_id", "text",
+      shingleN, ExtensionQueries.minhashN, ExtensionQueries.rowsPerBand,
+      ExtensionQueries.lshBucketCap, ExtensionQueries.jaccardThreshold)
+    val comp = Curation.connectedComponents(docs, "doc_id", pairs)
+    val scored = docs.select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+    val joined = scored.join(comp, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(col("q").desc, col("doc_id").asc)
+    val keep = joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val counts = comp.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+    keep.join(counts, "component")
+      .select(col("component"), col("doc_id"), col("q"), col("n_members"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_dup_canonical"  -> qDupCanonical,
     "q_t_chunk"        -> qTChunk,
     "q_mix_sample"     -> qMixSample,
     "q_range_join"     -> qRangeJoin,
@@ -390,6 +412,24 @@ object CurationQueries {
             FROM orders"""
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
     },
+    "q_dup_canonical" ->
+      s"""WITH RECURSIVE ${ExtensionQueries.lshJaccardCtes},
+          edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
+                    UNION SELECT id_b, id_a FROM lsh_pairs),
+          reach(src, dst) AS (SELECT a, b FROM edges
+                    UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+          cmin AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src),
+          comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
+                   FROM documents d LEFT JOIN cmin c ON c.src = d.doc_id),
+          $qualityCte,
+          j AS (SELECT s.doc_id, s.q, c.component
+                FROM scored s JOIN comp c ON s.doc_id = c.doc_id),
+          k AS (SELECT component, doc_id, q FROM (
+                  SELECT *, row_number() OVER (PARTITION BY component
+                    ORDER BY q DESC, doc_id ASC) AS rn FROM j) WHERE rn = 1),
+          n AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component)
+          SELECT k.component, k.doc_id, k.q, n.n_members
+          FROM k JOIN n ON k.component = n.component""",
     "q_t_chunk" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
          st AS (SELECT doc_id, t, unnest(range(0, len(t), 4)) AS s FROM tk WHERE len(t) > 0)
