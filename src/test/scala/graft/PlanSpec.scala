@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Similarity}
+
+/** Plan-shape pins for the scale claims: these assert the PHYSICAL plan
+  * properties the 100 TB design depends on, so a refactor that silently
+  * reintroduces a shuffle/sort/nested-loop fails the suite, not a
+  * production run.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("contaminationReport never shuffles the corpus (broadcast probe)") {
+    val corpus = (1L to 50L).map(i => (i, s"tok$i a b c d e f")).toDF("id", "text")
+    val bench = Seq((99L, "a b c d")).toDF("id", "text")
+    val plan = planOf(Curation.contaminationReport(corpus, bench, "id", "text", 3, 2))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$plan")
+  }
+
+  test("stratifiedSample is a broadcast join + filter — no corpus exchange") {
+    val df = (1L to 50L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val rates = Seq(("a", 5000L), ("b", 1000L)).toDF("s", "rate_bp")
+    val plan = planOf(Curation.stratifiedSample(df, "s", col("id"), rates, "x"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+  }
+
+  test("packShards plans exactly one Window (one shuffle + sort per group key)") {
+    val df = (1L to 50L).map(i => ("g" + i % 3, i, 10L)).toDF("grp", "id", "tok")
+    val plan = planOf(Curation.packShards(df, "grp", "id", col("tok"), 100L))
+    assert("(?m)^\\s*\\+?-?\\s*Window ".r.findAllIn(plan).size <= 1
+      || plan.split("Window").length == 2, s"expected a single Window:\n$plan")
+  }
+
+  test("ANN bucket layout partition-prunes: probe filter reads only probe partitions") {
+    val dims = 8
+    val emb = (1L to 64L).map(i =>
+      (i, Array.tabulate(dims)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))).toDF("vec_id", "embedding")
+    val dir = graft.io.TempDirs.registered("graft-ann-layout").toString
+    // the documented 100 TB layout: bucket column -> partitioned write
+    Similarity.withBuckets(emb, "embedding", 4, dims)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val q = (0 until dims).map(d => ((d * 37 % 19) - 9) / 10.0)
+    val planes = Similarity.hyperplaneWeights(4, dims)
+    val probes = Similarity.probeBuckets(Similarity.bucketOf(q, planes), 1)
+    val scan = spark.read.parquet(dir).filter(col("bucket").isin(probes: _*))
+    val plan = planOf(scan)
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"probe filter must prune partitions:\n$plan")
+    // the scan touches at most |probes| of the 16 possible bucket dirs
+    val touched = scan.select(input_file_name()).distinct().collect()
+      .map(_.getString(0).replaceAll("/[^/]*$", "")).distinct
+    assert(touched.length <= probes.length,
+      s"read ${touched.length} partition dirs for ${probes.length} probes")
+  }
+}
