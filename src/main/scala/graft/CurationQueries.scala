@@ -304,7 +304,43 @@ object CurationQueries {
       .select(col("component"), col("doc_id"), col("q"), col("n_members"))
   }
 
+  /** ST9 — stream-stream inner join through the real engine: purchase
+    * and click streams (separate landing dirs, separate watermarks)
+    * joined per user on an event-time range (click within the hour
+    * before the purchase). State on each side is watermark-bounded;
+    * for an inner join every match emits during the drain, so the
+    * result equals the batch range join over the same rows — the
+    * oracle. */
+  private val qStStreamJoin: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    // watermarks require TIMESTAMP (not NTZ); the session runs UTC, so
+    // the cast preserves the wall clock and only ids leave the stream
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").cast("timestamp").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").cast("timestamp").as("c_ts"))
+    val pIn = graft.io.TempDirs.registered("graft-q-st9-p").toString
+    val cIn = graft.io.TempDirs.registered("graft-q-st9-c").toString
+    val out = graft.io.TempDirs.registered("graft-q-st9-out").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st9-ckpt").toString
+    purchases.coalesce(1).write.mode("overwrite").parquet(pIn)
+    clicks.coalesce(1).write.mode("overwrite").parquet(cIn)
+    val pSrc = graft.streaming.Streaming.parquetSource(spark, pIn, purchases.schema, 1)
+    val cSrc = graft.streaming.Streaming.parquetSource(spark, cIn, clicks.schema, 1)
+    graft.streaming.Streaming.runStreamStreamJoin(
+      pSrc, cSrc,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"),
+      "2 hours", "p_ts", "c_ts", out, ckpt)
+    spark.read.parquet(out)
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_st9_stream_join" -> qStStreamJoin,
     "q_dup_canonical"  -> qDupCanonical,
     "q_t_chunk"        -> qTChunk,
     "q_mix_sample"     -> qMixSample,
@@ -412,6 +448,12 @@ object CurationQueries {
             FROM orders"""
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
     },
+    "q_st9_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+         FROM events p JOIN events c
+           ON p.event_type = 'purchase' AND c.event_type = 'click'
+          AND p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts""",
     "q_dup_canonical" ->
       s"""WITH RECURSIVE ${ExtensionQueries.lshJaccardCtes},
           edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs

@@ -175,6 +175,33 @@ object Streaming {
   }
 
   // ---------------------------------------------------------------------
+  // Stream-stream inner join — both sides are unbounded; the engine
+  // buffers each side in the state store and emits matches as rows
+  // arrive. The event-time range condition + watermarks are what make
+  // this viable at scale: state for a side is evictable once the
+  // watermark passes its joinable horizon, so the store holds a bounded
+  // time slice of each stream, never the full history. For an INNER
+  // join every match is emitted during the drain regardless of
+  // watermark, so the result equals the batch join over the same
+  // deliveries (the oracle).
+  // ---------------------------------------------------------------------
+  def runStreamStreamJoin(left: DataFrame, right: DataFrame,
+                          joinExpr: Column, watermarkDelay: String,
+                          leftTs: String, rightTs: String,
+                          sinkPath: String, checkpointPath: String): Unit = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, joinExpr, "inner").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .option("path", sinkPath)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start()
+      .awaitTermination()
+  }
+
+  // ---------------------------------------------------------------------
   // ST6 — resume work-list (GSMLS.py:991-1047, 2375-2381): the full work
   // grid minus what the event log already records — a left anti join,
   // not a driver loop.
