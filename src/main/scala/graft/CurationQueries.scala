@@ -339,7 +339,15 @@ object CurationQueries {
       .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
   }
 
+  /** Exact-count sample: exactly 5 docs per source by salted-hash
+    * order (eval-set construction; binomial gates can't hit quotas). */
+  private val qExactSample: Q = (spark, dir) =>
+    Curation.exactSample(Tables.fanOut(Tables.documents(spark, dir)),
+        "source", col("doc_id"), n = 5, salt = "ex5")
+      .select(col("doc_id"), col("source"))
+
   def queries: Map[String, Q] = Map(
+    "q_exact_sample"   -> qExactSample,
     "q_st9_stream_join" -> qStStreamJoin,
     "q_dup_canonical"  -> qDupCanonical,
     "q_t_chunk"        -> qTChunk,
@@ -448,6 +456,12 @@ object CurationQueries {
             FROM orders"""
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
     },
+    "q_exact_sample" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER (PARTITION BY source
+             ORDER BY CAST('0x' || substring(md5('ex5' || ':' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+                      doc_id ASC) AS rn
+           FROM documents) WHERE rn <= 5""",
     "q_st9_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
          FROM events p JOIN events c

@@ -146,6 +146,24 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Exact-count sampling — keep exactly min(n, |stratum|) rows per
+  // stratum, chosen by salted-hash order. The Bernoulli gate above gives
+  // BINOMIAL counts (right for huge strata, no shuffle); eval sets and
+  // per-source quotas need EXACT counts, which costs one window (hash-
+  // shuffle on the stratum + per-partition sort). Hash order makes the
+  // choice reproducible and salt-switchable; ties cannot happen because
+  // the tiebreak is the key itself.
+  // ---------------------------------------------------------------------
+  def exactSample(df: DataFrame, stratumCol: String, keyCol: Column,
+                  n: Int, salt: String): DataFrame = {
+    val h = hex60(md5(concat_ws(":", lit(salt), col(stratumCol), keyCol)))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h.asc, keyCol.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  // ---------------------------------------------------------------------
   // Mixture sampling — down-sample each stratum toward a target token
   // budget (the data-mixing step: "English web 40%, code 30%, ..."
   // becomes per-source token targets). Keep fraction per stratum =
