@@ -346,7 +346,28 @@ object CurationQueries {
         "source", col("doc_id"), n = 5, salt = "ex5")
       .select(col("doc_id"), col("source"))
 
+  /** Merge-upsert (incremental refresh): a delta batch overlays the
+    * snapshot, latest version per key wins, pure inserts pass through —
+    * dedup-keep-last over a union, the set-based MERGE. The snapshot is
+    * the orders table; the delta re-prices every 10th order (version 2)
+    * and inserts new keys above the max. */
+  private val qMergeUpsert: Q = (spark, dir) => {
+    val snap = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        lit(1L).as("version"))
+    val delta = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"), (col("o_totalprice") * 2).as("price"),
+        lit(2L).as("version"))
+      .unionByName(
+        Tables.orders(spark, dir).filter(col("o_orderkey") % 1000 === 1)
+          .select((col("o_orderkey") + 10000000L).as("k"),
+            col("o_totalprice").as("price"), lit(2L).as("version")))
+    Relational.dedupKeepLast(snap.unionByName(delta), Seq("k"), col("version"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_merge_upsert"   -> qMergeUpsert,
     "q_exact_sample"   -> qExactSample,
     "q_st9_stream_join" -> qStStreamJoin,
     "q_dup_canonical"  -> qDupCanonical,
@@ -456,6 +477,16 @@ object CurationQueries {
             FROM orders"""
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
     },
+    "q_merge_upsert" ->
+      """WITH u AS (
+           SELECT o_orderkey AS k, o_totalprice AS price, 1 AS version FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 2, 2 FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_totalprice, 2 FROM orders WHERE o_orderkey % 1000 = 1)
+         SELECT k, price, CAST(version AS BIGINT) AS version FROM (
+           SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+           FROM u) WHERE rn = 1""",
     "q_exact_sample" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source, row_number() OVER (PARTITION BY source
