@@ -366,7 +366,37 @@ object CurationQueries {
     Relational.dedupKeepLast(snap.unionByName(delta), Seq("k"), col("version"))
   }
 
+  /** The flagship end-to-end corpus-preparation pipeline: near-dup
+    * clusters keep their highest-quality member → language + quality
+    * gate → 64-token context-window chunking → token-budget shard
+    * packing. Every stage is an operator proven separately; this query
+    * proves the composition under ONE oracle. Plan shape: the LSH/CC
+    * stage is the only iterative part; gating and chunking are fused
+    * projections over the join, and packing is one window per source. */
+  private val qPrepareCorpus: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val pairs = Similarity.lshJaccard(docs, "doc_id", "text",
+      shingleN, ExtensionQueries.minhashN, ExtensionQueries.rowsPerBand,
+      ExtensionQueries.lshBucketCap, ExtensionQueries.jaccardThreshold)
+    val comp = Curation.connectedComponents(docs, "doc_id", pairs)
+    val scored = docs.select(col("doc_id"), col("source"), col("text"),
+      Text.langId(col("text")).as("lang"), Text.qualityScore(col("text")).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(col("q").desc, col("doc_id").asc)
+    val keep = scored.join(comp, "doc_id")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val gated = keep.filter(col("lang") === "en" && col("q") >= 0.3)
+    val chunked = gated.select(col("doc_id"), col("source"),
+        posexplode(Text.chunkTokens(col("text"), 64, 0)).as(Seq("chunk_idx", "chunk")))
+      .withColumn("chunk_uid", col("doc_id") * 10000 + col("chunk_idx"))
+    Curation.packShards(chunked, "source", "chunk_uid",
+        size(split(col("chunk"), "\\s+")), 1000L)
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("source"), col("n_tok"), col("shard"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_prepare_corpus" -> qPrepareCorpus,
     "q_merge_upsert"   -> qMergeUpsert,
     "q_exact_sample"   -> qExactSample,
     "q_st9_stream_join" -> qStStreamJoin,
@@ -476,6 +506,52 @@ object CurationQueries {
             CAST(min($c) AS DOUBLE) AS min_d, CAST(max($c) AS DOUBLE) AS max_d
             FROM orders"""
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
+    },
+    "q_prepare_corpus" -> {
+      val hits = Seq("en", "de", "fr", "es", "zh")
+        .map(l => s"${ExtensionQueries.hitsExpr(l)} AS h_$l").mkString(",\n            ")
+      s"""WITH RECURSIVE ${ExtensionQueries.lshJaccardCtes},
+          edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
+                    UNION SELECT id_b, id_a FROM lsh_pairs),
+          reach(src, dst) AS (SELECT a, b FROM edges
+                    UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+          cmin AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src),
+          comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
+                   FROM documents d LEFT JOIN cmin c ON c.src = d.doc_id),
+          lh AS (SELECT doc_id,
+            $hits
+          FROM documents),
+          lang AS (SELECT doc_id,
+            CASE WHEN h_en = mx AND mx > 0 THEN 'en'
+                 WHEN h_de = mx AND mx > 0 THEN 'de'
+                 WHEN h_fr = mx AND mx > 0 THEN 'fr'
+                 WHEN h_es = mx AND mx > 0 THEN 'es'
+                 WHEN h_zh = mx AND mx > 0 THEN 'zh'
+                 ELSE 'und' END AS lang
+          FROM (SELECT *, greatest(h_en, h_de, h_fr, h_es, h_zh) AS mx FROM lh)),
+          $qualityCte,
+          j AS (SELECT d.doc_id, d.source, d.text, l.lang, s.q, c.component
+                FROM documents d
+                JOIN lang l ON l.doc_id = d.doc_id
+                JOIN scored s ON s.doc_id = d.doc_id
+                JOIN comp c ON c.doc_id = d.doc_id),
+          k AS (SELECT doc_id, source, text FROM (
+                  SELECT *, row_number() OVER (PARTITION BY component
+                    ORDER BY q DESC, doc_id ASC) AS rn FROM j)
+                WHERE rn = 1 AND lang = 'en' AND q >= 0.3),
+          tk2 AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS t FROM k),
+          ch AS (SELECT doc_id, source, CAST(s // 64 AS BIGINT) AS chunk_idx,
+                   array_to_string(t[s+1:s+64], ' ') AS chunk
+                 FROM (SELECT doc_id, source, t, unnest(range(0, len(t), 64)) AS s
+                       FROM tk2 WHERE len(t) > 0)),
+          cht AS (SELECT doc_id, source, chunk_idx,
+                   CAST(len(string_split_regex(chunk, '\\s+')) AS BIGINT) AS n_tok,
+                   doc_id * 10000 + chunk_idx AS uid
+                  FROM ch)
+          SELECT doc_id, chunk_idx, source, n_tok,
+            CAST(floor(CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY uid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 1000) AS BIGINT) AS shard
+          FROM cht"""
     },
     "q_merge_upsert" ->
       """WITH u AS (
