@@ -156,4 +156,24 @@ class PropertySpec extends SparkSpec {
     } yield (pid, wid)).toSet
     assert(got == want)
   }
+
+  test("connectedComponents equals naive union-find on random graphs") {
+    val edgeGen = Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L))
+    val edges = sample(edgeGen, 50).filter { case (a, b) => a != b }
+    val nodes = (0L until 40L)
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = nodes.map { n =>
+      // component id = min member = root under min-merging union-find
+      n -> find(n)
+    }.toMap
+    val got = graft.operators.Curation.connectedComponents(
+        nodes.toDF("id"), "id", edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }
