@@ -395,7 +395,25 @@ object CurationQueries {
         col("source"), col("n_tok"), col("shard"))
   }
 
+  /** KMV distinct-3-gram sketch per source (k=64, ~1300 true distinct
+    * per source so the estimator branch is genuinely exercised), exact
+    * count alongside for accuracy inspection — the estimate is
+    * deterministic (md5 hashes), so the oracle recomputes the identical
+    * sketch, unlike HLL whose binary sketch is engine-private. */
+  private val qKmvDistinct: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val sh = docs.select(col("source"),
+      explode(array_distinct(
+        if (spark.catalog.functionExists("word_shingles"))
+          expr("word_shingles(text, 3)")
+        else Similarity.shinglesArray(col("text"), 3))).as("s"))
+    graft.operators.Sketch.kmvDistinct(sh, Seq("source"), col("s"), 64)
+      .join(sh.groupBy(col("source"))
+        .agg(count_distinct(col("s")).as("n_exact")), "source")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_kmv_distinct"   -> qKmvDistinct,
     "q_prepare_corpus" -> qPrepareCorpus,
     "q_merge_upsert"   -> qMergeUpsert,
     "q_exact_sample"   -> qExactSample,
@@ -507,6 +525,23 @@ object CurationQueries {
             FROM orders"""
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
     },
+    "q_kmv_distinct" ->
+      """WITH tkk AS (SELECT doc_id, source, string_split_regex(text, '\s+') AS t FROM documents),
+         shh AS (SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS s
+                 FROM tkk, unnest(range(1, greatest(len(t)-1, 1))) AS u(i)
+                 WHERE array_to_string(t[i:i+2], ' ') <> ''),
+         hsh AS (SELECT DISTINCT source,
+           CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h FROM shh),
+         kept AS (SELECT source, h FROM (
+           SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+           FROM hsh) WHERE rn <= 64),
+         sk AS (SELECT source, count(*) AS n_kept, max(h) AS hk FROM kept GROUP BY source),
+         ex AS (SELECT source, count(DISTINCT s) AS n_exact FROM shh GROUP BY source)
+         SELECT sk.source, sk.n_kept,
+           CASE WHEN sk.n_kept < 64 THEN sk.n_kept
+                ELSE CAST(round(63.0 * 1152921504606846976.0 / hk) AS BIGINT) END AS est_distinct,
+           ex.n_exact
+         FROM sk JOIN ex ON sk.source = ex.source""",
     "q_prepare_corpus" -> {
       val hits = Seq("en", "de", "fr", "es", "zh")
         .map(l => s"${ExtensionQueries.hitsExpr(l)} AS h_$l").mkString(",\n            ")

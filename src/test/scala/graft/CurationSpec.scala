@@ -238,4 +238,22 @@ class CurationSpec extends SparkSpec {
       Curation.mixtureSample(df, "src", col("id"), col("tok"),
         Seq(("s", 300L)).toDF("src", "target_tokens"), "x").collect().toSet)
   }
+
+  // -----------------------------------------------------------------
+  // KMV sketch
+  // -----------------------------------------------------------------
+  test("kmvDistinct: exact below k, within ~4 stderr above k, deterministic") {
+    val df = (1 to 5000).map(i => ("big", s"val$i")) ++ (1 to 10).map(i => ("small", s"v$i"))
+    val d = df.toDF("g", "v")
+    val out = graft.operators.Sketch.kmvDistinct(d, Seq("g"), col("v"), 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("small") == ((10L, 10L))) // below k -> exact
+    val (kept, est) = out("big")
+    assert(kept == 64L)
+    // KMV stderr ~ n/sqrt(k-1) = 5000/7.9 ~ 630; allow 4 sigma
+    assert(math.abs(est - 5000L) < 2520, s"estimate $est too far from 5000")
+    val again = graft.operators.Sketch.kmvDistinct(d.repartition(7), Seq("g"), col("v"), 64)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again("big") == est) // partitioning-independent
+  }
 }
