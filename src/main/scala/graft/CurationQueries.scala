@@ -412,7 +412,22 @@ object CurationQueries {
         .agg(count_distinct(col("s")).as("n_exact")), "source")
   }
 
+  /** KMV set-operation estimates between two sources' 3-gram sets —
+    * sketches compose: union = merge of minima, intersection via the
+    * ratio estimator. */
+  private val qKmvSetOps: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val sh = docs.select(col("source"),
+      explode(array_distinct(
+        if (spark.catalog.functionExists("word_shingles"))
+          expr("word_shingles(text, 3)")
+        else Similarity.shinglesArray(col("text"), 3))).as("s"))
+    graft.operators.Sketch.kmvSetEstimates(sh, "source", col("s"),
+      "src0", "src1", 64)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_kmv_setops"     -> qKmvSetOps,
     "q_kmv_distinct"   -> qKmvDistinct,
     "q_prepare_corpus" -> qPrepareCorpus,
     "q_merge_upsert"   -> qMergeUpsert,
@@ -525,6 +540,34 @@ object CurationQueries {
             FROM orders"""
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
     },
+    "q_kmv_setops" ->
+      """WITH tkk AS (SELECT doc_id, source, string_split_regex(text, '\s+') AS t FROM documents),
+         shh AS (SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS s
+                 FROM tkk, unnest(range(1, greatest(len(t)-1, 1))) AS u(i)
+                 WHERE array_to_string(t[i:i+2], ' ') <> ''),
+         hsh AS (SELECT DISTINCT source AS g,
+           CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+           FROM shh WHERE source IN ('src0', 'src1')),
+         kept AS (SELECT g, h FROM (
+           SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h ASC) AS rn
+           FROM hsh) WHERE rn <= 64),
+         uk AS (SELECT h FROM (SELECT DISTINCT h FROM kept) ORDER BY h ASC LIMIT 64),
+         pse AS (SELECT g,
+           CASE WHEN n < 64 THEN n
+                ELSE CAST(round(63.0 * 1152921504606846976.0 / hk) AS BIGINT) END AS e
+           FROM (SELECT g, count(*) AS n, max(h) AS hk FROM kept GROUP BY g)),
+         uae AS (SELECT
+           CASE WHEN un < 64 THEN un
+                ELSE CAST(round(63.0 * 1152921504606846976.0 / uhk) AS BIGINT) END AS eu, un
+           FROM (SELECT count(*) AS un, max(h) AS uhk FROM uk)),
+         ib AS (SELECT count(*) AS nb FROM uk
+                JOIN (SELECT h FROM kept WHERE g = 'src0') a ON uk.h = a.h
+                JOIN (SELECT h FROM kept WHERE g = 'src1') b ON uk.h = b.h)
+         SELECT (SELECT e FROM pse WHERE g = 'src0') AS est_a,
+                (SELECT e FROM pse WHERE g = 'src1') AS est_b,
+                uae.eu AS est_union,
+                CAST(round(CAST(ib.nb AS DOUBLE) / least(uae.un, 64) * uae.eu) AS BIGINT) AS est_inter
+         FROM uae, ib""",
     "q_kmv_distinct" ->
       """WITH tkk AS (SELECT doc_id, source, string_split_regex(text, '\s+') AS t FROM documents),
          shh AS (SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS s

@@ -31,6 +31,44 @@ object Sketch {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** KMV set-operation estimates between two strata — the reason to
+    * keep a sketch instead of a scalar: sketches COMPOSE. Union sketch
+    * = k smallest of the combined hash sets; intersection via the
+    * standard ratio estimator |kU ∩ A ∩ B| / k × est(union). One row:
+    * (est_a, est_b, est_union, est_inter). All arithmetic is on the
+    * deterministic 60-bit hashes, so an independent SQL engine
+    * reproduces the estimates bit-for-bit. */
+  def kmvSetEstimates(df: DataFrame, stratumCol: String, valueCol: Column,
+                      aKey: String, bKey: String, k: Int): DataFrame = {
+    val hashed = df.filter(col(stratumCol).isin(aKey, bKey))
+      .select(col(stratumCol).as("__s"), hash60(valueCol).as("__h"))
+      .distinct()
+    val w = Window.partitionBy(col("__s")).orderBy(col("__h").asc)
+    val kept = hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+    // union sketch: k smallest of the merged member hashes
+    val unionK = kept.select(col("__h")).distinct()
+      .orderBy(col("__h").asc).limit(k)
+    def est(cnt: Column, hk: Column): Column =
+      when(cnt < k, cnt)
+        .otherwise(round(lit((k - 1).toDouble) * lit(mDouble) / hk).cast(LongType))
+    val perSide = kept.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), max(col("__h")).as("__hk"))
+      .select(col("__s"), est(col("__n"), col("__hk")).as("__e"))
+    // members of the union sketch present in BOTH per-side sketches
+    val inBoth = unionK.join(kept.filter(col("__s") === aKey), Seq("__h"))
+      .join(kept.filter(col("__s") === bKey).select(col("__h")), Seq("__h"))
+    val uAgg = unionK.agg(count(lit(1)).as("__un"), max(col("__h")).as("__uhk"))
+      .select(est(col("__un"), col("__uhk")).as("__eu"), col("__un"))
+    val both = inBoth.agg(count(lit(1)).as("__nb"))
+    perSide.filter(col("__s") === aKey).select(col("__e").as("est_a"))
+      .crossJoin(perSide.filter(col("__s") === bKey).select(col("__e").as("est_b")))
+      .crossJoin(uAgg).crossJoin(both)
+      .select(col("est_a"), col("est_b"), col("__eu").as("est_union"),
+        round(col("__nb").cast(DoubleType) / least(col("__un"), lit(k.toLong)) * col("__eu"))
+          .cast(LongType).as("est_inter"))
+  }
+
   /** Per-group KMV distinct-count estimate of `valueCol`.
     * Output: (groupCols…, n_kept, est_distinct). Groups with fewer than
     * k distinct values report their exact count (the sketch holds every
