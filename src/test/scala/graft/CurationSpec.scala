@@ -256,4 +256,18 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(again("big") == est) // partitioning-independent
   }
+
+  test("kmvSetEstimates: identical sets coincide, disjoint sets intersect ~0") {
+    val idSet = (1 to 500).map(i => s"x$i")
+    val same = (idSet.map(("a", _)) ++ idSet.map(("b", _))).toDF("g", "v")
+    val r1 = graft.operators.Sketch.kmvSetEstimates(same, "g", col("v"), "a", "b", 32).head()
+    // identical member sets -> identical sketches -> all four estimates equal
+    assert(r1.getLong(0) == r1.getLong(1) && r1.getLong(1) == r1.getLong(2)
+      && r1.getLong(2) == r1.getLong(3))
+    val disjoint = ((1 to 500).map(i => ("a", s"l$i")) ++ (1 to 500).map(i => ("b", s"r$i")))
+      .toDF("g", "v")
+    val r2 = graft.operators.Sketch.kmvSetEstimates(disjoint, "g", col("v"), "a", "b", 32).head()
+    assert(r2.getLong(3) == 0L) // no shared hashes -> zero intersection estimate
+    assert(r2.getLong(2) >= math.max(r2.getLong(0), r2.getLong(1))) // union >= sides
+  }
 }
