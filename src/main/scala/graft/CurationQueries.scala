@@ -426,7 +426,17 @@ object CurationQueries {
       "src0", "src1", 64)
   }
 
+  /** Quality-weighted sample: keep probability = quality score (soft
+    * filtering instead of a hard threshold). */
+  private val qWeightedSample: Q = (spark, dir) =>
+    Curation.weightedSample(
+        Tables.fanOut(Tables.documents(spark, dir))
+          .select(col("doc_id"), col("source"), Text.qualityScore(col("text")).as("q")),
+        col("doc_id"), col("q"), "wq5")
+      .select(col("doc_id"), col("source"), col("q"))
+
   def queries: Map[String, Q] = Map(
+    "q_weighted_sample" -> qWeightedSample,
     "q_kmv_setops"     -> qKmvSetOps,
     "q_kmv_distinct"   -> qKmvDistinct,
     "q_prepare_corpus" -> qPrepareCorpus,
@@ -540,6 +550,11 @@ object CurationQueries {
             FROM orders"""
       Seq("o_orderkey", "o_custkey", "o_totalprice").map(one).mkString("\nUNION ALL\n")
     },
+    "q_weighted_sample" ->
+      s"""WITH $qualityCte
+          SELECT doc_id, source, q FROM scored
+          WHERE CAST('0x' || substring(md5('wq5' || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000
+              < CAST(round(least(greatest(q, 0.0), 1.0) * 10000) AS BIGINT)""",
     "q_kmv_setops" ->
       """WITH tkk AS (SELECT doc_id, source, string_split_regex(text, '\s+') AS t FROM documents),
          shh AS (SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS s

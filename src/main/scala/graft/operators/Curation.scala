@@ -146,6 +146,22 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Weighted sampling — per-row keep probability proportional to a
+  // score in [0,1] (soft quality filtering: a 0.9-quality doc survives
+  // 9× as often as a 0.1 one, instead of a hard threshold discarding
+  // everything below a line). Same salted hash gate — deterministic,
+  // map-only, no shuffle; the weight is rounded to basis points so the
+  // keep decision is integer-exact across engines.
+  // ---------------------------------------------------------------------
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+                     salt: String): DataFrame = {
+    val bucket = pmod(hex60(md5(concat_ws(":", lit(salt), keyCol))), lit(10000L))
+    val bp = round(least(greatest(weightCol, lit(0.0)), lit(1.0)) * 10000)
+      .cast(LongType)
+    df.filter(bucket < bp)
+  }
+
+  // ---------------------------------------------------------------------
   // Exact-count sampling — keep exactly min(n, |stratum|) rows per
   // stratum, chosen by salted-hash order. The Bernoulli gate above gives
   // BINOMIAL counts (right for huge strata, no shuffle); eval sets and
