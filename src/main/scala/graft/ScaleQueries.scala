@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Text
+import graft.operators.Curation
+
+/** Round-6 scale-pattern queries with DuckDB oracles: line-level
+  * boilerplate removal (the CCNet/RefinedWeb pre-dedup pass),
+  * Bloom-gated decontamination (the runtime-filter pattern made
+  * explicit, exact by construction), and token-vocabulary building.
+  */
+object ScaleQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val lineChunk = 10      // tokens per synthesized "line"
+  private val lineMaxDf = 10      // doc-frequency threshold for boilerplate
+  private val benchMod = 25       // doc_id % benchMod == benchRem -> benchmark set
+  private val benchRem = 7
+  private val vocabK = 100
+
+  // =====================================================================
+  // Spark queries
+  // =====================================================================
+
+  /** Line-level boilerplate removal. The corpus has no newlines, so each
+    * document is synthesized into lines first: a per-source header line,
+    * the text in 10-token lines, and a corpus-wide footer — lineDedup
+    * must strip exactly the lines whose document frequency reaches the
+    * threshold (header: one per source; footer: every doc) and keep the
+    * content lines, reassembled in order. */
+  private val qLineDedup: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val syn = docs.select(col("doc_id"),
+      concat(
+        lit("=== "), col("source"), lit(" header ===\n"),
+        concat_ws("\n", Text.chunkTokens(col("text"), lineChunk, 0)),
+        lit("\nsubscribe to our newsletter")).as("syntext"))
+    Curation.lineDedup(syn, "doc_id", "syntext", lineMaxDf)
+  }
+
+  /** Bloom-gated decontamination: the benchmark slice's content hashes
+    * fold into a broadcast bitmap; corpus rows failing the Bloom probes
+    * stream through with a nulled join key, only candidates cross the
+    * exact anti-join. The result is exactly "corpus minus docs whose
+    * text hash appears in the benchmark slice". */
+  private val qBloomDecontam: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .withColumn("__ck", md5(col("text")))
+    val bench = docs.filter(col("doc_id") % benchMod === benchRem)
+      .select(col("__ck").as("bkey"))
+    val corpus = docs.filter(col("doc_id") % benchMod =!= benchRem)
+    Curation.bloomKeepClean(corpus, "__ck", bench, "bkey")
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Token-vocabulary builder: corpus-wide token frequencies, top-k by
+    * (count desc, token asc) with dense ids — the vocabulary-seeding
+    * step of a tokenizer build. The global rank window runs AFTER the
+    * top-k cut, so it only ever sorts k rows in one partition; the
+    * frequency aggregation itself is a map-side-combined hash agg. */
+  private val qTVocab: Q = (spark, dir) => {
+    val counts = Tables.fanOut(Tables.documents(spark, dir))
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    counts.orderBy(col("n").desc, col("token").asc).limit(vocabK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token").asc))
+          .cast(LongType))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_line_dedup"     -> qLineDedup,
+    "q_bloom_decontam" -> qBloomDecontam,
+    "q_t_vocab"        -> qTVocab
+  )
+
+  // =====================================================================
+  // Oracle SQL (DuckDB 1.0)
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    // The lines relation is rebuilt directly (header / 10-token chunks /
+    // footer with the same positions the Spark side gets from splitting
+    // the synthesized text), then the same doc-frequency gate and
+    // in-order reassembly.
+    "q_line_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS t FROM documents),
+          chl AS (SELECT doc_id, CAST(1 + s // $lineChunk AS BIGINT) AS pos,
+                    array_to_string(t[s+1:s+$lineChunk], ' ') AS line
+                  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), $lineChunk)) AS s
+                        FROM tk)),
+          npos AS (SELECT doc_id, max(pos) AS mx FROM chl GROUP BY doc_id),
+          lines AS (
+            SELECT doc_id, CAST(0 AS BIGINT) AS pos, '=== ' || source || ' header ===' AS line FROM tk
+            UNION ALL SELECT doc_id, pos, line FROM chl
+            UNION ALL SELECT doc_id, mx + 1 AS pos, 'subscribe to our newsletter' AS line FROM npos),
+          boiler AS (SELECT line FROM lines WHERE line <> ''
+                     GROUP BY line HAVING count(DISTINCT doc_id) >= $lineMaxDf),
+          kept AS (SELECT l.doc_id, l.pos, l.line
+                   FROM lines l LEFT JOIN boiler b ON l.line = b.line
+                   WHERE b.line IS NULL),
+          reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                    count(*) AS n_kept
+                  FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+            CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+          FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id""",
+    "q_bloom_decontam" ->
+      s"""SELECT d.doc_id, d.source FROM documents d
+          WHERE d.doc_id % $benchMod <> $benchRem
+            AND NOT EXISTS (SELECT 1 FROM documents b
+                            WHERE b.doc_id % $benchMod = $benchRem
+                              AND md5(b.text) = md5(d.text))""",
+    "q_t_vocab" ->
+      s"""WITH tok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents),
+          cnt AS (SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token)
+          SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+          FROM cnt ORDER BY n DESC, token ASC LIMIT $vocabK"""
+  )
+}

@@ -444,7 +444,8 @@ object SparkEntry {
     "q_f26_tolerant_cast"  -> qF26TolerantCast,
     "q_f27_fill_na"        -> qF27FillNa
   ) ++ ExtensionQueries.queries ++ MoreQueries.queries ++ PipelineQueries.queries ++
-    IoQueries.queries ++ EnrichQueries.queries ++ CurationQueries.queries
+    IoQueries.queries ++ EnrichQueries.queries ++ CurationQueries.queries ++
+    ScaleQueries.queries
 
   /** DuckDB-runnable oracle SQL, one per query, same column aliases. */
   def oracleSql: Map[String, String] = Map(
@@ -654,5 +655,6 @@ object SparkEntry {
          coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal
          FROM customer"""
   ) ++ ExtensionQueries.oracleSql ++ MoreQueries.oracleSql ++ PipelineQueries.oracleSql ++
-    IoQueries.oracleSql ++ EnrichQueries.oracleSql ++ CurationQueries.oracleSql
+    IoQueries.oracleSql ++ EnrichQueries.oracleSql ++ CurationQueries.oracleSql ++
+    ScaleQueries.oracleSql
 }

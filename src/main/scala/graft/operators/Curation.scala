@@ -235,6 +235,97 @@ object Curation {
         .orderBy(scoreCol.desc, col(idCol).asc)))
 
   // ---------------------------------------------------------------------
+  // Line-level boilerplate removal — drop every line whose document
+  // frequency reaches `maxDocFreq` (headers, footers, nav chrome,
+  // cookie banners: the CCNet/RefinedWeb pre-dedup pass), then
+  // reassemble each document from its surviving lines in order.
+  //
+  // Shape at 100 TB: the exploded line relation is scanned twice (once
+  // to count, once to filter) but the line-frequency aggregate combines
+  // map-side and the boilerplate SET is tiny by construction (only
+  // lines repeated across >= maxDocFreq documents qualify), so the
+  // removal join is a broadcast probe — the corpus itself shuffles only
+  // once, for the per-document reassembly. Counting DISTINCT documents
+  // per line (not occurrences) keeps a line repeated inside one
+  // document from being mistaken for corpus boilerplate.
+  // ---------------------------------------------------------------------
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxDocFreq: Long): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.filter(col("line") =!= "")
+      .groupBy(col("line"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= maxDocFreq)
+      .select(col("line"), lit(1).as("__boiler"))
+    val kept = lines.join(broadcast(boiler), Seq("line"), "left")
+      .filter(col("__boiler").isNull)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          e => e.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    // every input document gets an output row, even if ALL its lines
+    // were boilerplate (clean_text = '', n_kept = 0)
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Bloom-gated decontamination — exact "corpus minus contaminated"
+  // with a Bloom-filter prefilter, the runtime-filter pattern made
+  // explicit. The dirty-key set is folded into an m-bit bitmap stored
+  // as (word -> 64-bit mask) rows: m bits comfortably broadcast even
+  // when the raw key set would not (1M keys * 32-byte hashes = 32 MB of
+  // strings vs 2^20 bits = 16K rows of longs). Corpus rows probe the
+  // bitmap via two broadcast joins (no shuffle, no false negatives);
+  // only rows BOTH probes flag — true hits plus the Bloom's false
+  // positives — reach the exact anti-join, with their join key nulled
+  // out otherwise so non-candidates stream through the join untouched.
+  // The result is EXACT (identical to a plain anti-join on the key),
+  // which is what lets a SQL oracle check it.
+  // ---------------------------------------------------------------------
+  def bloomKeepClean(df: DataFrame, keyCol: String,
+                     dirty: DataFrame, dirtyKeyCol: String,
+                     mBits: Int = 1 << 16): DataFrame = {
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0, "mBits must be a power of two")
+    val m = lit(mBits.toLong)
+    def h(c: Column): Column = hex60(md5(c))
+    def probes(c: Column): (Column, Column) = (pmod(h(c), m), pmod(h(c) / m, m))
+    val (d1, d2) = probes(col(dirtyKeyCol))
+    val bitmap = dirty
+      .select(explode(array(d1, d2)).as("__bit"))
+      .select((col("__bit") / 64L).cast(LongType).as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__bit, 64) AS INT))").as("__m"))
+      .groupBy(col("__w")).agg(bit_or(col("__m")).as("__mask"))
+    val (c1, c2) = probes(col(keyCol))
+    // probe bit set in the joined bitmap word? (missing word row -> 0 mask)
+    def bitSet(alias: String): Column =
+      coalesce(col(s"$alias.__mask"), lit(0L)).bitwiseAND(
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(__b_$alias, 64) AS INT))")) =!= 0
+    val probed = df
+      .withColumn("__b_p1", c1).withColumn("__b_p2", c2)
+      .join(broadcast(bitmap.as("p1")),
+        (col("__b_p1") / 64L).cast(LongType) === col("p1.__w"), "left")
+      .join(broadcast(bitmap.as("p2")),
+        (col("__b_p2") / 64L).cast(LongType) === col("p2.__w"), "left")
+      .withColumn("__maybe", bitSet("p1") && bitSet("p2"))
+      .drop("__b_p1", "__b_p2").drop(col("p1.__w")).drop(col("p1.__mask"))
+      .drop(col("p2.__w")).drop(col("p2.__mask"))
+    // Null join keys never equi-match, so anti-join passes every
+    // non-candidate through untouched; only Bloom candidates carry a
+    // real key into the join.
+    probed
+      .withColumn("__jk", when(col("__maybe"), col(keyCol)))
+      .join(broadcast(dirty.select(col(dirtyKeyCol).as("__jk")).distinct()),
+        Seq("__jk"), "left_anti")
+      .drop("__jk", "__maybe")
+  }
+
+  // ---------------------------------------------------------------------
   // Column profiling — per-column count/null/distinct/min/max in ONE
   // pass over the table: all aggregates ride a single global HashAggregate
   // (partial map-side combine, one tiny exchange), then the one result

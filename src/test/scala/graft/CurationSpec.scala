@@ -270,4 +270,51 @@ class CurationSpec extends SparkSpec {
     assert(r2.getLong(3) == 0L) // no shared hashes -> zero intersection estimate
     assert(r2.getLong(2) >= math.max(r2.getLong(0), r2.getLong(1))) // union >= sides
   }
+
+  // -----------------------------------------------------------------
+  // Line-level boilerplate removal
+  // -----------------------------------------------------------------
+  test("lineDedup drops corpus-frequent lines, keeps per-doc repeats and order") {
+    val docs = Seq(
+      (1L, "COMMON\nalpha one\nalpha one\nbeta"), // internal repeat is NOT boilerplate
+      (2L, "COMMON\ngamma"),
+      (3L, "COMMON\ndelta"),
+      (4L, "COMMON")                              // all lines boilerplate
+    ).toDF("id", "text")
+    val out = Curation.lineDedup(docs, "id", "text", maxDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("alpha one\nalpha one\nbeta", 3L)))
+    assert(out(2L) == (("gamma", 1L)))
+    assert(out(3L) == (("delta", 1L)))
+    assert(out(4L) == (("", 0L))) // doc survives as a row even when emptied
+  }
+
+  test("lineDedup ignores empty lines when counting boilerplate") {
+    val docs = Seq((1L, "a\n\nb"), (2L, "\nc"), (3L, "\nd"), (4L, "\ne")).toDF("id", "text")
+    // '' occurs in 4 docs >= 3 but must never be treated as boilerplate
+    val out = Curation.lineDedup(docs, "id", "text", maxDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a\n\nb" && out(2L) == "\nc")
+  }
+
+  // -----------------------------------------------------------------
+  // Bloom-gated decontamination
+  // -----------------------------------------------------------------
+  test("bloomKeepClean equals exact anti-join, including under forced false positives") {
+    val corpus = (1 to 200).map(i => (i.toLong, s"key$i")).toDF("id", "k")
+    val dirty = (1 to 200 by 3).map(i => s"key$i").toDF("dk")
+    // m = 64 bits for 134 probe insertions -> bitmap is saturated, most
+    // clean rows are Bloom false positives -> the exact confirm join is
+    // genuinely load-bearing here
+    val kept = Curation.bloomKeepClean(corpus, "k", dirty, "dk", mBits = 64)
+      .collect().map(_.getLong(0)).toSet
+    val expected = (1 to 200).filter(_ % 3 != 1).map(_.toLong).toSet
+    assert(kept == expected)
+  }
+
+  test("bloomKeepClean with empty dirty set keeps everything") {
+    val corpus = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    val dirty = Seq.empty[String].toDF("dk")
+    assert(Curation.bloomKeepClean(corpus, "k", dirty, "dk").count() == 2L)
+  }
 }
