@@ -73,11 +73,63 @@ object ScaleQueries {
           .cast(LongType))
   }
 
+  /** Z-order clustering key over (customer, order) — the layout write:
+    * range-partition + sort on the Morton value, so every output file
+    * covers a small rectangle of the 2-D key space and min/max stats
+    * prune on either dimension. The zval arithmetic is what the oracle
+    * checks; ZorderSpec pins the RangePartitioning in the plan. */
+  private val qZorder: Q = (spark, dir) => {
+    val z = Tables.fanOut(Tables.orders(spark, dir))
+      .select(col("o_orderkey"),
+        operators.Layout.zValue(
+          pmod(col("o_custkey"), lit(65536L)),
+          pmod(col("o_orderkey"), lit(65536L))).as("zval"))
+    z.repartitionByRange(8, col("zval")).sortWithinPartitions(col("zval"))
+  }
+
+  /** SCD type-2 dimension build from the order history: per customer,
+    * each order becomes a version row valid until the next one. */
+  private val qScd2: Q = (spark, dir) =>
+    operators.Relational.scd2(
+        Tables.fanOut(Tables.orders(spark, dir))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("o_orderdate")),
+        Seq("o_custkey"), "o_orderdate", "o_orderkey")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("valid_from"), col("valid_to"), col("version"), col("is_current"))
+
+  /** Exact grouped quantiles (percentile is exact in both engines;
+    * both interpolate at rank p*(n-1), rounded to absorb float noise).
+    * The scale path for when exact isn't affordable is approx_percentile
+    * — QuantileSpec pins its error against this exact result. */
+  private val qQuantiles: Q = (spark, dir) =>
+    Tables.fanOut(Tables.orders(spark, dir))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+
   def queries: Map[String, Q] = Map(
     "q_line_dedup"     -> qLineDedup,
     "q_bloom_decontam" -> qBloomDecontam,
-    "q_t_vocab"        -> qTVocab
+    "q_t_vocab"        -> qTVocab,
+    "q_zorder"         -> qZorder,
+    "q_scd2"           -> qScd2,
+    "q_quantiles"      -> qQuantiles
   )
+
+  /** DuckDB mirror of [[operators.Layout.spread16]] — same 4
+    * shift/mask rounds as SQL arithmetic. */
+  private def spreadSql(e: String): String = {
+    val a = s"($e & 65535)"
+    val b1 = s"(($a | ($a << 8)) & 16711935)"
+    val b2 = s"(($b1 | ($b1 << 4)) & 252645135)"
+    val b3 = s"(($b2 | ($b2 << 2)) & 858993459)"
+    s"(($b3 | ($b3 << 1)) & 1431655765)"
+  }
 
   // =====================================================================
   // Oracle SQL (DuckDB 1.0)
@@ -120,6 +172,27 @@ object ScaleQueries {
       s"""WITH tok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents),
           cnt AS (SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token)
           SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank
-          FROM cnt ORDER BY n DESC, token ASC LIMIT $vocabK"""
+          FROM cnt ORDER BY n DESC, token ASC LIMIT $vocabK""",
+    "q_zorder" ->
+      s"""SELECT o_orderkey,
+          CAST(${spreadSql("(o_custkey % 65536)")}
+            | (${spreadSql("(o_orderkey % 65536)")} << 1) AS BIGINT) AS zval
+          FROM orders""",
+    "q_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+    "q_quantiles" ->
+      """SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           count(*) AS n
+         FROM orders GROUP BY o_orderpriority"""
   )
 }

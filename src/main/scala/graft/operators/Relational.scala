@@ -250,6 +250,21 @@ object Relational {
   // predicate go to a quarantine sink instead of silently dropping
   // mid-batch — SURVEY §7.4(7).
   // ---------------------------------------------------------------------
+  /** Slowly-changing-dimension type 2: each change event becomes a
+    * version row with a [valid_from, valid_to) interval — valid_to =
+    * the next change's timestamp, open (null) for the current row.
+    * One window per key (hash-shuffle + per-partition sort); ties on
+    * the change column order deterministically by `tiebreak`. */
+  def scd2(df: DataFrame, keys: Seq[String], changeCol: String,
+           tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(changeCol).asc, col(tiebreak).asc)
+    df.withColumn("valid_from", col(changeCol))
+      .withColumn("valid_to", lead(col(changeCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   def validSplit(df: DataFrame, valid: Column): (DataFrame, DataFrame) =
     (df.filter(valid), df.filter(!coalesce(valid, lit(false))))
 }

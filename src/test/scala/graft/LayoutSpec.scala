@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits: x on even positions, y on odd") {
+    val df = Seq(
+      (3L, 0L),      // spread(3) = 0b101 = 5
+      (0L, 3L),      // 5 << 1 = 10
+      (0xFFFFL, 0L), // all even bits of 32
+      (0L, 0xFFFFL), // all odd bits
+      (0xFFFFL, 0xFFFFL)
+    ).toDF("x", "y")
+    val out = df.select(Layout.zValue(col("x"), col("y"))).collect().map(_.getLong(0))
+    assert(out.sameElements(Array(5L, 10L, 0x55555555L, 0xAAAAAAAAL, 0xFFFFFFFFL)))
+  }
+
+  test("zValue ignores bits above the low 16") {
+    val out = Seq((0x10001L, 0L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"))).head().getLong(0)
+    assert(out == 1L) // high bit masked away, only the low 1 survives
+  }
+
+  test("the z-order layout write plans a range repartition (file-level rectangles)") {
+    val z = (1 to 100).map(i => (i.toLong, (i * 7 % 50).toLong)).toDF("k", "c")
+      .select(col("k"),
+        Layout.zValue(pmod(col("c"), lit(65536L)), pmod(col("k"), lit(65536L))).as("zval"))
+      .repartitionByRange(4, col("zval")).sortWithinPartitions(col("zval"))
+    val plan = z.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
+  }
+
+  test("approx_percentile tracks exact percentile (the 100 TB quantile path)") {
+    // exact percentile is the oracle-checked q_quantiles formulation;
+    // the sketch (approx_percentile, accuracy 1000) must land within 2%
+    // of exact per group — the contract a user relies on when exact
+    // sort-based quantiles stop being affordable.
+    val d = (1 to 5000).map(i => (s"g${i % 3}", (i % 997) * 1.5)).toDF("g", "v")
+    d.groupBy(col("g")).agg(
+        expr("percentile(v, 0.5)").as("exact"),
+        expr("approx_percentile(v, 0.5, 1000)").as("approx"))
+      .collect().foreach { r =>
+        val (e, a) = (r.getDouble(1), r.getDouble(2))
+        assert(math.abs(e - a) / e < 0.02, s"${r.getString(0)}: exact $e approx $a")
+      }
+  }
+}

@@ -117,4 +117,22 @@ class RelationalSpec extends SparkSpec {
       .select("mls", "ord").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
     assert(out == Seq(("m3", 7), ("m2", 1)))
   }
+
+  test("scd2 builds contiguous validity intervals with deterministic ties") {
+    val df = Seq(
+      ("k1", 10L, 101L, "a"), ("k1", 20L, 102L, "b"), ("k1", 20L, 103L, "c"),
+      ("k2", 5L, 201L, "x"))
+      .toDF("key", "at", "seq", "attr")
+    val out = Relational.scd2(df, Seq("key"), "at", "seq")
+      .select("key", "seq", "valid_from", "valid_to", "version", "is_current")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(out == Set(
+      ("k1", 101L, 10L, Some(20L), 1L, false),
+      ("k1", 102L, 20L, Some(20L), 2L, false), // tie: 102 before 103 by seq
+      ("k1", 103L, 20L, None, 3L, true),
+      ("k2", 201L, 5L, None, 1L, true)))
+  }
 }
