@@ -112,13 +112,59 @@ object ScaleQueries {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
         count(lit(1)).as("n"))
 
+  /** Streaming MERGE: three delta deliveries (full load, re-price+
+    * inserts, second re-price) drain through the incremental-merge
+    * sink one file per trigger; the reconstructed snapshot must equal
+    * the batch keep-last merge over everything delivered — delivery
+    * order and batch boundaries must not matter. */
+  private val qSt10Incremental: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val d1 = o.select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("price"), lit(1L).as("version"))
+    val d2 = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"), (col("o_totalprice") * 2).as("price"),
+        lit(2L).as("version"))
+      .unionByName(o.filter(col("o_orderkey") % 1000 === 1)
+        .select((col("o_orderkey") + 10000000L).as("k"),
+          col("o_totalprice").as("price"), lit(2L).as("version")))
+    val d3 = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"), (col("o_totalprice") * 3).as("price"),
+        lit(3L).as("version"))
+    val in = graft.io.TempDirs.registered("graft-q-st10-in").toString
+    val state = graft.io.TempDirs.registered("graft-q-st10-state").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st10-ckpt").toString
+    d1.coalesce(1).write.mode("append").parquet(in)
+    d2.coalesce(1).write.mode("append").parquet(in)
+    d3.coalesce(1).write.mode("append").parquet(in)
+    val src = graft.streaming.Streaming.parquetSource(spark, in, d1.schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runIncrementalMerge(src, Seq("k"), "version",
+      buckets = 8, state, ckpt)
+    graft.streaming.Streaming.mergedSnapshot(spark, state)
+      .select(col("k"), col("price"), col("version"))
+  }
+
+  /** Markup stripping over synthesized HTML/markdown wrapping (the
+    * corpus itself is plain text, so each doc is wrapped in tags, a
+    * markdown link, emphasis, and a heading marker — extraction must
+    * recover exactly the wrapped content). */
+  private val qTStrip: Q = (spark, dir) =>
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        Text.stripMarkup(concat(
+          lit("<html><p class=\"x\">"), substring(col("text"), 1, 60),
+          lit("</p> **bold** [anchor text](http://ex.com/a?b=1) ## heading <br/>tail"))
+        ).as("clean"))
+
   def queries: Map[String, Q] = Map(
     "q_line_dedup"     -> qLineDedup,
     "q_bloom_decontam" -> qBloomDecontam,
     "q_t_vocab"        -> qTVocab,
     "q_zorder"         -> qZorder,
     "q_scd2"           -> qScd2,
-    "q_quantiles"      -> qQuantiles
+    "q_quantiles"      -> qQuantiles,
+    "q_st10_incremental" -> qSt10Incremental,
+    "q_t_strip"        -> qTStrip
   )
 
   /** DuckDB mirror of [[operators.Layout.spread16]] — same 4
@@ -193,6 +239,28 @@ object ScaleQueries {
            round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
            round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
            count(*) AS n
-         FROM orders GROUP BY o_orderpriority"""
+         FROM orders GROUP BY o_orderpriority""",
+    "q_st10_incremental" ->
+      """WITH u AS (
+           SELECT o_orderkey AS k, o_totalprice AS price, 1 AS version FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 2, 2 FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_totalprice, 2 FROM orders WHERE o_orderkey % 1000 = 1
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 3, 3 FROM orders WHERE o_orderkey % 7 = 0)
+         SELECT k, price, CAST(version AS BIGINT) AS version FROM (
+           SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+           FROM u) WHERE rn = 1""",
+    "q_t_strip" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             '<html><p class="x">' || substring(text, 1, 60)
+               || '</p> **bold** [anchor text](http://ex.com/a?b=1) ## heading <br/>tail',
+             '<[^>]*>', ' ', 'g'),
+             '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+             '[*_`#]+', '', 'g'),
+             '\s+', ' ', 'g')) AS clean
+         FROM documents"""
   )
 }

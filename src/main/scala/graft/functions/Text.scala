@@ -128,4 +128,25 @@ object Text {
         regexp_replace(c, ssnPattern, "<SSN>"),
         emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
+
+  // ---------------------------------------------------------------------
+  // Markup stripping — web-scraped corpora arrive as HTML/markdown; the
+  // text-extraction pass drops tags, resolves markdown links to their
+  // anchor text, strips emphasis/heading markers, and collapses the
+  // whitespace the removals leave behind. Regexes avoid lookaround so
+  // Java regex (Spark) and RE2 (DuckDB/Go tooling) agree; pure
+  // projection, map-only at any scale.
+  // ---------------------------------------------------------------------
+  val tagPattern = "<[^>]*>"
+  val mdLinkPattern = "\\[([^\\]]*)\\]\\([^)]*\\)"
+  val mdMarkPattern = "[*_`#]+"
+
+  def stripMarkup(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, tagPattern, " "),
+          mdLinkPattern, "$1"),
+        mdMarkPattern, ""),
+      "\\s+", " "))
 }

@@ -151,4 +151,30 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(rem == Seq((2021, "Morris")))
   }
+
+  test("incremental merge: snapshot = keep-last merge; delta rewrites only touched buckets") {
+    import graft.io.TempDirs
+    val in = TempDirs.registered("graft-st10spec-in").toString
+    val state = TempDirs.registered("graft-st10spec-state").toString
+    val ckpt = TempDirs.registered("graft-st10spec-ckpt").toString
+    val base = (1 to 64).map(i => (i.toLong, i * 10L, 1L)).toDF("k", "amt", "version")
+    // delta: update ONE key + insert one new key -> touches <= 2 of 8 buckets
+    val delta = Seq((7L, 777L, 2L), (1000L, 5L, 2L)).toDF("k", "amt", "version")
+    base.coalesce(1).write.mode("append").parquet(in)
+    delta.coalesce(1).write.mode("append").parquet(in)
+    val src = Streaming.parquetSource(spark, in, base.schema, maxFilesPerTrigger = 1)
+    Streaming.runIncrementalMerge(src, Seq("k"), "version", buckets = 8, state, ckpt)
+    val snap = Streaming.mergedSnapshot(spark, state)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(snap.size == 65)
+    assert(snap(7L) == ((777L, 2L)))      // updated
+    assert(snap(1000L) == ((5L, 2L)))     // inserted
+    assert(snap(8L) == ((80L, 1L)))       // untouched
+    // the delta's version directory must hold only the touched buckets
+    val vDirs = new java.io.File(state).listFiles.filter(_.isDirectory)
+      .map(f => f.getName -> f.listFiles.count(d => d.isDirectory && d.getName.startsWith("__bucket=")))
+      .toMap
+    assert(vDirs("v0") == 8, s"full load writes all buckets: $vDirs")
+    assert(vDirs("v1") <= 2, s"delta must rewrite only touched buckets: $vDirs")
+  }
 }

@@ -52,4 +52,16 @@ class TextSpec extends SparkSpec {
       .select(Text.stopwordRatio(col("t"), Text.stopwords.head._2)).collect().map(_.getDouble(0))
     assert(r(0) == 1.0 && r(1) == 0.0)
   }
+
+  test("stripMarkup drops tags, keeps link anchors, collapses whitespace") {
+    val cases = Seq(
+      "<div><b>hello</b> world</div>" -> "hello world",
+      "see [the docs](http://x.com/y) now" -> "see the docs now",
+      "**bold** and `code` # heading" -> "bold and code heading",
+      "a  <br/>  b" -> "a b",
+      "[](http://empty.example)" -> "")
+    val out = cases.map(_._1).toDF("t").select(Text.stripMarkup(col("t")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == cases.map(_._2))
+  }
 }
