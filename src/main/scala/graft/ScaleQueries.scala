@@ -156,6 +156,51 @@ object ScaleQueries {
           lit("</p> **bold** [anchor text](http://ex.com/a?b=1) ## heading <br/>tail"))
         ).as("clean"))
 
+  /** TF-IDF term weighting: tf per (doc, token), df over the tf
+    * relation (already distinct per doc), N via a 1-row broadcast —
+    * never a driver-side count. Two shuffles (doc×token, token); the
+    * idf join is vocabulary-sized. */
+  private val qTfidf: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val tf = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(col("__n").cast(DoubleType) / col("df")), 4).as("tfidf"))
+  }
+
+  /** Winsorization: clip a metric to its per-group [p05, p95] — the
+    * feature-normalization outlier guard. Quantile bounds are one exact
+    * aggregation (rounded so both engines agree bit-for-bit), then a
+    * broadcast join + map-only clip. */
+  private val qWinsorize: Q = (spark, dir) => {
+    val o = Tables.fanOut(Tables.orders(spark, dir))
+    val bounds = o.groupBy(col("o_orderpriority")).agg(
+      round(expr("percentile(o_totalprice, 0.05)"), 4).as("lo"),
+      round(expr("percentile(o_totalprice, 0.95)"), 4).as("hi"))
+    o.join(broadcast(bounds), "o_orderpriority")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        least(greatest(col("o_totalprice"), col("lo")), col("hi")).as("clipped"))
+  }
+
+  /** Deterministic 90/5/5 train/val/test split: the assignment is a
+    * pure function of (salt, doc_id) — reproducible, new data never
+    * reassigns old rows, map-only. */
+  private val qSplit: Q = (spark, dir) => {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("split6:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+        .cast(LongType), lit(10000L))
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"),
+        when(bucket < 9000L, lit("train"))
+          .when(bucket < 9500L, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_line_dedup"     -> qLineDedup,
     "q_bloom_decontam" -> qBloomDecontam,
@@ -164,7 +209,10 @@ object ScaleQueries {
     "q_scd2"           -> qScd2,
     "q_quantiles"      -> qQuantiles,
     "q_st10_incremental" -> qSt10Incremental,
-    "q_t_strip"        -> qTStrip
+    "q_t_strip"        -> qTStrip,
+    "q_tfidf"          -> qTfidf,
+    "q_winsorize"      -> qWinsorize,
+    "q_split"          -> qSplit
   )
 
   /** DuckDB mirror of [[operators.Layout.spread16]] — same 4
@@ -261,6 +309,28 @@ object ScaleQueries {
              '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
              '[*_`#]+', '', 'g'),
              '\s+', ' ', 'g')) AS clean
+         FROM documents""",
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY doc_id, token),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+         FROM tf JOIN df ON tf.token = df.token, n""",
+    "q_winsorize" ->
+      """WITH b AS (SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.05), 4) AS lo,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS hi
+         FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderkey, o.o_orderpriority,
+           least(greatest(o_totalprice, b.lo), b.hi) AS clipped
+         FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority""",
+    "q_split" ->
+      """SELECT doc_id, source,
+           CASE WHEN CAST('0x' || substring(md5('split6:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9000 THEN 'train'
+                WHEN CAST('0x' || substring(md5('split6:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split
          FROM documents"""
   )
 }
