@@ -201,7 +201,62 @@ object ScaleQueries {
           .otherwise(lit("test")).as("split"))
   }
 
+  /** Repeated-span inventory — stage 1 of exact substring dedup (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"):
+    * every 8-token span appearing in >= 2 distinct documents, with its
+    * document frequency. Shingling is a projection; the frequency agg
+    * partial-combines map-side; output is keyed by span hash so rows
+    * stay narrow at corpus scale. */
+  private val qDupSpans: Q = (spark, dir) =>
+    operators.Similarity.shingles(
+        Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text", 8)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(md5(col("shingle")).as("span_md5"), col("n_docs"))
+
+  /** Token-length histogram per source (integer 32-token buckets — no
+    * float log bucketing, which disagrees across engines at power-of-two
+    * boundaries): the length-distribution profile driving truncation /
+    * chunking policy. */
+  private val qLenHist: Q = (spark, dir) =>
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("source"), Text.tokenCount(col("text")).cast(LongType).as("n_tok"))
+      .withColumn("bucket", (col("n_tok") / 32L).cast(LongType))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"))
+
+  /** Heavy hitters through the Misra-Gries sketch + exact recount: the
+    * buffer (256) exceeds the key cardinality here so the candidate set
+    * is provably complete and the top-10 exact; TopKSpec pins the
+    * superset bound in the undersized-buffer regime the operator exists
+    * for. Keys compare as strings end-to-end (cast before ranking) so
+    * both engines use identical tie-break collation. */
+  private val qHeavyHitters: Q = (spark, dir) =>
+    operators.TopK.heavyHittersExact(
+      Tables.fanOut(Tables.events(spark, dir)).select(col("user_id").as("user_key")),
+      "user_key", c = 256, k = 10)
+
+  /** Snapshot diff: the orders table against its next refresh (re-price
+    * every 10th, drop every 13th, insert beyond-range keys) classified
+    * into inserted/deleted/changed/unchanged. */
+  private val qTableDiff: Q = (spark, dir) => {
+    val o = Tables.fanOut(Tables.orders(spark, dir))
+    val before = o.select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    val after = o.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("price"))
+      .unionByName(o.filter(col("o_orderkey") % 1000 === 1)
+        .select((col("o_orderkey") + 10000000L).as("k"), col("o_totalprice").as("price")))
+    operators.Relational.tableDiff(before, after, Seq("k"), Seq("price"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_heavy_hitters"  -> qHeavyHitters,
+    "q_table_diff"     -> qTableDiff,
+    "q_dup_spans"      -> qDupSpans,
+    "q_len_hist"       -> qLenHist,
     "q_line_dedup"     -> qLineDedup,
     "q_bloom_decontam" -> qBloomDecontam,
     "q_t_vocab"        -> qTVocab,
@@ -230,6 +285,41 @@ object ScaleQueries {
   // =====================================================================
 
   def oracleSql: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS user_key, count(*) AS n
+           FROM events GROUP BY 1)
+         SELECT user_key, n,
+           CAST(row_number() OVER (ORDER BY n DESC, user_key ASC) AS BIGINT) AS rank
+         FROM c ORDER BY n DESC, user_key ASC LIMIT 10""",
+    "q_table_diff" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+         a AS (SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS price
+               FROM orders WHERE o_orderkey % 13 <> 0
+               UNION ALL
+               SELECT o_orderkey + 10000000, o_totalprice FROM orders
+               WHERE o_orderkey % 1000 = 1)
+         SELECT coalesce(b.k, a.k) AS k, b.price AS old_price, a.price AS new_price,
+           CASE WHEN b.k IS NULL THEN 'inserted'
+                WHEN a.k IS NULL THEN 'deleted'
+                WHEN b.price IS DISTINCT FROM a.price THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM b FULL OUTER JOIN a ON b.k = a.k""",
+    "q_dup_spans" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+                FROM tk, unnest(range(1, greatest(len(t)-6, 1))) AS u(i)
+                WHERE array_to_string(t[i:i+7], ' ') <> '')
+         SELECT md5(shingle) AS span_md5, count(*) AS n_docs
+         FROM sh GROUP BY shingle HAVING count(*) >= 2""",
+    "q_len_hist" ->
+      """WITH t AS (SELECT source,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+         FROM documents)
+         SELECT source, CAST(n_tok // 32 AS BIGINT) AS bucket,
+           count(*) AS n_docs, min(n_tok) AS min_tok, max(n_tok) AS max_tok
+         FROM t GROUP BY source, n_tok // 32""",
     // The lines relation is rebuilt directly (header / 10-token chunks /
     // footer with the same positions the Spark side gets from splitting
     // the synthesized text), then the same doc-frequency gate and

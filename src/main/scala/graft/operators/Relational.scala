@@ -250,6 +250,26 @@ object Relational {
   // predicate go to a quarantine sink instead of silently dropping
   // mid-batch — SURVEY §7.4(7).
   // ---------------------------------------------------------------------
+  /** Snapshot reconciliation: full-outer diff of two keyed tables into
+    * inserted / deleted / changed / unchanged rows (the incremental-
+    * refresh audit, and the change feed a downstream consumer applies).
+    * One shuffle on the key; comparisons are null-safe. */
+  def tableDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
+                compareCols: Seq[String]): DataFrame = {
+    val b = before.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"old_$c")) :+ lit(1).as("__b"): _*)
+    val a = after.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"new_$c")) :+ lit(1).as("__a"): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn("status",
+        when(col("__b").isNull, lit("inserted"))
+          .when(col("__a").isNull, lit("deleted"))
+          .when(compareCols.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+            .reduce(_ || _), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("__b", "__a")
+  }
+
   /** Slowly-changing-dimension type 2: each change event becomes a
     * version row with a [valid_from, valid_to) interval — valid_to =
     * the next change's timestamp, open (null) for the current row.

@@ -50,6 +50,69 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  // ---------------------------------------------------------------------
+  // Frequency heavy hitters — Misra-Gries sketch + exact recount.
+  //
+  // A plain groupBy-count top-k holds ONE hash entry per distinct key;
+  // at web scale (URLs, hosts, n-grams) that table spills. Misra-Gries
+  // caps the state at c entries per partition with the classic
+  // guarantee: any key with true count > N/(c+1) survives every
+  // decrement, so the sketch's key set is a SUPERSET of the true heavy
+  // hitters (merge subtracts the (c+1)-th count — the mergeable-
+  // summaries form, same bound). The sketch's counts are then thrown
+  // away: a broadcast semi-join recounts ONLY the candidate keys
+  // exactly, so the final top-k is EXACT (oracle-checkable) whenever
+  // the skew condition holds — and the full-cardinality aggregation
+  // state never exists anywhere.
+  // ---------------------------------------------------------------------
+  class MisraGriesAgg(c: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(m: Map[String, Long], x: String): Map[String, Long] =
+      if (m.contains(x)) m.updated(x, m(x) + 1L)
+      else if (m.size < c) m.updated(x, 1L)
+      else m.flatMap { case (k, v) => if (v > 1L) Some(k -> (v - 1L)) else None }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val s = (a.keySet ++ b.keySet).iterator
+        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+      if (s.size <= c) s
+      else {
+        val cut = s.values.toIndexedSeq.sorted(Ordering[Long].reverse)(c)
+        s.flatMap { case (k, v) => if (v > cut) Some(k -> (v - cut)) else None }
+      }
+    }
+
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Sketch candidate keys only (counts discarded — they are estimates). */
+  def mgCandidates(df: DataFrame, keyCol: String, c: Int): DataFrame = {
+    val mg = udaf(new MisraGriesAgg(c), Encoders.STRING)
+    df.agg(mg(col(keyCol).cast("string")).as("__mg"))
+      .select(explode(map_keys(col("__mg"))).as(keyCol))
+  }
+
+  /** Exact top-k keys by frequency through the sketch: MG candidates →
+    * broadcast semi-join → exact recount → top-k. Exact whenever the
+    * k-th true frequency exceeds N/(c+1) (size c accordingly); the
+    * superset bound is pinned by TopKSpec. Output: (keyCol, n, rank). */
+  def heavyHittersExact(df: DataFrame, keyCol: String, c: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(keyCol).cast("string").as(keyCol))
+    keyed.join(broadcast(mgCandidates(keyed, keyCol, c)), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(keyCol).asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col(keyCol).asc)).cast("long"))
+  }
+
   /** Per-key top-k rows of (scoreCol, idCol), exploded back to long form
     * with a 1-based rank. Output: keys ++ (idCol, scoreCol, rank). */
   def topKPerKey(df: DataFrame, keys: Seq[String], idCol: String,

@@ -135,4 +135,16 @@ class RelationalSpec extends SparkSpec {
       ("k1", 103L, 20L, None, 3L, true),
       ("k2", 201L, 5L, None, 1L, true)))
   }
+
+  test("tableDiff classifies inserted/deleted/changed/unchanged with null-safe compares") {
+    val before = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
+      .toDF("k", "v")
+    val after = Seq((1L, Some(10.0)), (2L, Some(25.0)), (3L, Some(30.0)), (5L, Some(50.0)))
+      .toDF("k", "v")
+    val out = Relational.tableDiff(before, after, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "changed", // null -> value is a change, not a match
+      4L -> "deleted", 5L -> "inserted"))
+  }
 }
