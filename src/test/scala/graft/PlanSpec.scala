@@ -59,4 +59,33 @@ class PlanSpec extends SparkSpec {
     assert(touched.length <= probes.length,
       s"read ${touched.length} partition dirs for ${probes.length} probes")
   }
+
+  test("lineDedup removes boilerplate via a broadcast probe, not a corpus shuffle") {
+    val docs = (1L to 30L).map(i => (i, s"HEADER\nbody $i line\nFOOTER")).toDF("id", "text")
+    val plan = planOf(Curation.lineDedup(docs, "id", "text", 10))
+    assert(plan.contains("BroadcastHashJoin"), s"boilerplate set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join on the line relation:\n$plan")
+  }
+
+  test("bloomKeepClean stays broadcast-only: bitmap probes + gated anti-join") {
+    val corpus = (1L to 40L).map(i => (i, s"key$i")).toDF("id", "k")
+    val dirty = (1L to 10L).map(i => s"key${i * 3}").toDF("dk")
+    val plan = planOf(Curation.bloomKeepClean(corpus, "k", dirty, "dk"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus must never shuffle for decontamination:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probes:\n$plan")
+  }
+
+  test("z-order projection prunes the scan to its two input columns") {
+    val dir = graft.io.TempDirs.registered("graft-zorder-scan").toString
+    (1L to 20L).map(i => (i, i * 7 % 50, s"pad$i", i * 1.5)).toDF("k", "c", "s", "v")
+      .write.mode("overwrite").parquet(dir)
+    val plan = planOf(spark.read.parquet(dir)
+      .select(col("k"), graft.operators.Layout.zValue(
+        pmod(col("c"), lit(65536L)), pmod(col("k"), lit(65536L))).as("zval")))
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("k") && readSchema.contains("c")
+      && !readSchema.contains("pad") && !readSchema.contains("s:") && !readSchema.contains("v:"),
+      s"scan must read only (k, c): $readSchema")
+  }
 }
