@@ -162,9 +162,12 @@ object ScaleQueries {
     * idf join is vocabulary-sized. */
   private val qTfidf: Q = (spark, dir) => {
     val docs = Tables.fanOut(Tables.documents(spark, dir))
+    // tf feeds both the df aggregation and the final join — persist so
+    // the tokenize+count runs once (released by the harness clearCache)
     val tf = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     tf.join(df, "token")

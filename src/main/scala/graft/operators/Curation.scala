@@ -251,8 +251,14 @@ object Curation {
   // ---------------------------------------------------------------------
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 maxDocFreq: Long): DataFrame = {
+    // The exploded line relation feeds BOTH the frequency count and the
+    // removal join; without a persist the corpus is scanned+split twice
+    // (exchange reuse does not cover the differing consumers). Same
+    // lifecycle as lshJaccard's shingle relation: the harness's
+    // per-query clearCache (or the caller) releases it.
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val boiler = lines.filter(col("line") =!= "")
       .groupBy(col("line"))
       .agg(count_distinct(col(idCol)).as("__df"))
