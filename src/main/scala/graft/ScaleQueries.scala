@@ -255,7 +255,24 @@ object ScaleQueries {
     operators.Relational.tableDiff(before, after, Seq("k"), Seq("price"))
   }
 
+  /** Symmetric int8 embedding quantization — the 4× storage compression
+    * an embedding store runs before ANN at corpus scale. Per-vector
+    * scale = 127/max|x|; rounding is floor(x·s + 0.5) (round-half-up in
+    * BOTH engines — round() half-even vs half-up divergence is the trap),
+    * clamped to [-127, 127]. Pure projection, exploded to long form so
+    * the oracle compares scalar cells. */
+  private val qEmbedQuantize: Q = (spark, dir) =>
+    Tables.fanOut(Tables.embeddings(spark, dir))
+      .select(col("vec_id"),
+        greatest(array_max(transform(col("embedding"), x => abs(x.cast(DoubleType)))),
+          lit(1e-12)).as("amax"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+        least(greatest(floor(col("v").cast(DoubleType) * 127.0 / col("amax") + 0.5),
+          lit(-127.0)), lit(127.0)).cast(LongType).as("qv"))
+
   def queries: Map[String, Q] = Map(
+    "q_embed_quantize" -> qEmbedQuantize,
     "q_heavy_hitters"  -> qHeavyHitters,
     "q_table_diff"     -> qTableDiff,
     "q_dup_spans"      -> qDupSpans,
@@ -288,6 +305,14 @@ object ScaleQueries {
   // =====================================================================
 
   def oracleSql: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+         mx AS (SELECT vec_id, greatest(max(abs(v)), 1e-12) AS amax
+                FROM ex GROUP BY vec_id)
+         SELECT ex.vec_id, CAST(i - 1 AS BIGINT) AS pos,
+           CAST(least(greatest(floor(v * 127.0 / amax + 0.5), -127.0), 127.0) AS BIGINT) AS qv
+         FROM ex JOIN mx ON ex.vec_id = mx.vec_id""",
     "q_heavy_hitters" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS user_key, count(*) AS n
            FROM events GROUP BY 1)

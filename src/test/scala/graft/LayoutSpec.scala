@@ -34,6 +34,22 @@ class LayoutSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
   }
 
+  test("int8 quantization reconstruction error is bounded by half a step") {
+    val dims = 16
+    val emb = (1L to 40L).map(i =>
+      (i, Array.tabulate(dims)(d => ((i * 31 + d * 7) % 13 - 6) / 5.0f))).toDF("vec_id", "embedding")
+    val q = emb.select(col("vec_id"),
+        greatest(array_max(transform(col("embedding"), x => abs(x.cast("double")))),
+          lit(1e-12)).as("amax"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("v").cast("double").as("v"), col("amax"),
+        least(greatest(floor(col("v").cast("double") * 127.0 / col("amax") + 0.5),
+          lit(-127.0)), lit(127.0)).as("qv"))
+      .select(abs(col("qv") * col("amax") / 127.0 - col("v")).as("err"),
+        (col("amax") / 127.0 / 2.0 + lit(1e-9)).as("bound"))
+    assert(q.filter(col("err") > col("bound")).count() == 0)
+  }
+
   test("approx_percentile tracks exact percentile (the 100 TB quantile path)") {
     // exact percentile is the oracle-checked q_quantiles formulation;
     // the sketch (approx_percentile, accuracy 1000) must land within 2%

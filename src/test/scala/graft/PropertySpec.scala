@@ -176,4 +176,32 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("lineDedup with an unreachable threshold reassembles every document exactly") {
+    val line: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("", " x ", "shared line", "=== hdr ==="))
+    val doc = Gen.listOfN(6, line).map(_.mkString("\n"))
+    val docs = sample(doc, 80).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val out = graft.operators.Curation
+      .lineDedup(docs.toDF("id", "text"), "id", "text", maxDocFreq = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // split/reassemble must be the identity when nothing is boilerplate
+    docs.foreach { case (id, t) => assert(out(id) == t, s"doc $id mangled") }
+  }
+
+  test("bloomKeepClean ≡ plain anti-join over generated corpora and tiny bitmaps") {
+    val key: Gen[String] = Gen.oneOf(Gen.alphaNumStr.map("k" + _.take(8)),
+      Gen.choose(0, 30).map(i => s"dup$i"))
+    val corpus = sample(key, 150).zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val dirtyKeys = sample(key, 40).distinct
+    val df = corpus.toDF("id", "k")
+    val dirty = dirtyKeys.toDF("dk")
+    for (m <- Seq(64, 1 << 16)) { // saturated and roomy bitmaps agree
+      val kept = graft.operators.Curation.bloomKeepClean(df, "k", dirty, "dk", mBits = m)
+        .collect().map(_.getLong(0)).toSet
+      val want = corpus.filter { case (_, k) => !dirtyKeys.contains(k) }.map(_._1).toSet
+      assert(kept == want, s"mBits=$m")
+    }
+  }
 }
