@@ -369,6 +369,32 @@ object ExtensionQueries {
                        JOIN sizes sb ON i.id_b = sb.doc_id
           WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= $jaccardThreshold)"""
 
+  /** Shingle → signature → banding → candidate-pair → signature-agreement
+    * estimate chain ending in `est(id_a, id_b, jaccard_est)` — the oracle
+    * mirror of the minhashSignature/lshCandidatePairs/
+    * minhashJaccardEstimate composition, shared by q_sim_minhash_est and
+    * the cross-corpus dedup query so both stay in lockstep with the
+    * Spark constants. */
+  private[graft] val minhashEstCtes: String = {
+    val matchSum = (0 until minhashN).map(i =>
+      s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString("(", " + ", ")")
+    s"""$shingleCte,
+          $minhashBase,
+          sig AS (SELECT doc_id, $minhashAggs FROM shb GROUP BY doc_id),
+          banded AS ($bandedSql),
+          capped AS (SELECT doc_id, band, band_key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM banded)
+            WHERE bsz <= $lshBucketCap),
+          cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                   FROM capped l JOIN capped r
+                     ON l.band = r.band AND l.band_key = r.band_key
+                    AND l.doc_id < r.doc_id),
+          est AS (SELECT c.id_a, c.id_b,
+            round(CAST($matchSum AS DOUBLE) / $minhashN, 4) AS jaccard_est
+          FROM cand c JOIN sig a ON a.doc_id = c.id_a
+                      JOIN sig b ON b.doc_id = c.id_b)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_t_tokens" ->
       """SELECT doc_id,
@@ -429,25 +455,9 @@ object ExtensionQueries {
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           FROM capped l JOIN capped r
             ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id""",
-    "q_sim_minhash_est" -> {
-      val matchSum = (0 until minhashN).map(i =>
-        s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString("(", " + ", ")")
-      s"""WITH $shingleCte,
-          $minhashBase,
-          sig AS (SELECT doc_id, $minhashAggs FROM shb GROUP BY doc_id),
-          banded AS ($bandedSql),
-          capped AS (SELECT doc_id, band, band_key FROM (
-            SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz FROM banded)
-            WHERE bsz <= $lshBucketCap),
-          cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-                   FROM capped l JOIN capped r
-                     ON l.band = r.band AND l.band_key = r.band_key
-                    AND l.doc_id < r.doc_id)
-          SELECT c.id_a, c.id_b,
-            round(CAST($matchSum AS DOUBLE) / $minhashN, 4) AS jaccard_est
-          FROM cand c JOIN sig a ON a.doc_id = c.id_a
-                      JOIN sig b ON b.doc_id = c.id_b"""
-    },
+    "q_sim_minhash_est" ->
+      s"""WITH $minhashEstCtes
+          SELECT id_a, id_b, jaccard_est FROM est""",
     "q_sim_simhash" ->
       s"""WITH $simhashCtes
           SELECT doc_id, simhash FROM sims""",

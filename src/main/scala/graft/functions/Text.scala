@@ -149,4 +149,30 @@ object Text {
           mdLinkPattern, "$1"),
         mdMarkPattern, ""),
       "\\s+", " "))
+
+  // ---------------------------------------------------------------------
+  // Unicode normalization — casefold + accent fold + punctuation strip,
+  // the canonical-key pass before exact dedup or term indexing (a true
+  // NFKC pass needs an ICU UDF; the translate map covers the Latin-1
+  // accent block, which is what web-corpus near-ASCII text contains).
+  // translate() is per-codepoint in both Spark and DuckDB, so the fold
+  // is engine-portable on NFC input. Pure projection — map-only at any
+  // scale. Escapes, not raw bytes, per the invisible-byte incident.
+  // ---------------------------------------------------------------------
+  val accentFrom =
+    "\u00e1\u00e0\u00e2\u00e4\u00e3\u00e5\u00e7\u00e9" +
+    "\u00e8\u00ea\u00eb\u00ed\u00ec\u00ee\u00ef\u00f1" +
+    "\u00f3\u00f2\u00f4\u00f6\u00f5\u00fa\u00f9\u00fb" +
+    "\u00fc\u00fd\u00ff"
+  val accentTo = "aaaaaaceeeeiiiinooooouuuuyy"
+  require(accentFrom.length == accentTo.length, "accent map must be 1:1")
+
+  /** Lowercase + strip Latin-1 accents (lower() first, so uppercase
+    * accented letters fold through their lowercase forms). */
+  def foldAccents(c: Column): Column = translate(lower(c), accentFrom, accentTo)
+
+  /** Canonical text key: accent-folded, non-alphanumerics collapsed to
+    * single spaces, trimmed. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(foldAccents(c), "[^a-z0-9 ]", " "), " +", " "))
 }

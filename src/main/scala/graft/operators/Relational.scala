@@ -287,4 +287,71 @@ object Relational {
 
   def validSplit(df: DataFrame, valid: Column): (DataFrame, DataFrame) =
     (df.filter(valid), df.filter(!coalesce(valid, lit(false))))
+
+  /** Ordered event funnel: for each entity, the first time it reached
+    * each stage, where stage i+1 must occur strictly after stage i and
+    * within `windowSeconds` of it. Output: one row per entity with a
+    * `t_<stage>` timestamp per stage (null once the chain breaks) and
+    * `stage` = number of stages completed.
+    *
+    * Each stage is one filtered aggregation joined to the previous
+    * stage's per-entity row — k shuffles on the entity key for a
+    * k-stage funnel, with the per-entity frames orders of magnitude
+    * smaller than the event stream. No window over the full event
+    * history: the sort-heavy "sessionize then pattern-match" plan is
+    * avoided entirely. */
+  def funnel(events: DataFrame, entityCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String],
+             windowSeconds: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val base = events.select(col(entityCol)).distinct()
+    val tCols = stages.map(s => s"t_$s")
+    // per-stage frames: s_i(entity, t_i) = min event time of stage i
+    // after (and within the window of) the entity's t_{i-1}
+    val stageFrames = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (st, i)) =>
+        val ev = events.filter(col(typeCol) === st)
+          .select(col(entityCol), col(tsCol).as("__t"))
+        val gated = prev match {
+          case None => ev
+          case Some(p) =>
+            ev.join(p.select(col(entityCol), col(tCols(i - 1)).as("__p")), entityCol)
+              .filter(col("__t") > col("__p") &&
+                col("__t") <= col("__p") + expr(s"INTERVAL $windowSeconds SECONDS"))
+        }
+        Some(gated.groupBy(col(entityCol)).agg(min(col("__t")).as(tCols(i))))
+    }.flatten
+    val joined = stageFrames.foldLeft(base)((acc, s) => acc.join(s, Seq(entityCol), "left"))
+    // fold earliest stage first so the LAST stage lands outermost:
+    // when(t_purchase, 3).otherwise(when(t_click, 2).otherwise(...))
+    val stage = tCols.zipWithIndex.foldLeft(lit(0)) {
+      case (els, (tc, i)) => when(col(tc).isNotNull, lit(i + 1)).otherwise(els)
+    }
+    joined.withColumn("stage", stage.cast(LongType))
+  }
+
+  /** Blocked fuzzy match (record linkage): each dirty record joins the
+    * clean dictionary within its block, keeps candidates within
+    * `maxDist` edit distance, and picks the best match (min distance,
+    * ties to the lexicographically first candidate).
+    *
+    * The block key bounds the quadratic: candidates = |block| per
+    * record, not |dictionary|. The dictionary side is broadcast — at
+    * corpus scale the dirty stream never shuffles, making this a
+    * map-side join plus a per-record top-1. */
+  def blockedFuzzyMatch(dirty: DataFrame, idCol: String, nameCol: String,
+                        clean: DataFrame, cleanNameCol: String,
+                        blockOf: Column => Column, maxDist: Int): DataFrame = {
+    val d = dirty.select(col(idCol), col(nameCol).as("__dn"),
+      blockOf(col(nameCol)).as("__blk"))
+    val c = clean.select(col(cleanNameCol).as("__cn"),
+      blockOf(col(cleanNameCol)).as("__blk")).distinct()
+    val cand = d.join(broadcast(c), "__blk")
+      .withColumn("dist", levenshtein(col("__dn"), col("__cn")).cast(LongType))
+      .filter(col("dist") <= maxDist)
+    cand.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("dist").asc, col("__cn").asc)))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__dn").as("name"), col("__cn").as("matched"), col("dist"))
+  }
 }

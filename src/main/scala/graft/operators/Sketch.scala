@@ -88,4 +88,39 @@ object Sketch {
             .cast(LongType)))
       .drop("__hk")
   }
+
+  /** Histogram-interpolated quantile estimates — the single-pass,
+    * fixed-memory alternative to exact sorted quantiles (Curation
+    * .groupedQuantiles' shape): an equi-width histogram of `nBuckets`
+    * cells over [lo, hi) per group, then linear interpolation inside
+    * the cell containing rank p·n. Error is bounded by the cell width;
+    * memory is `nBuckets` longs per group regardless of row count —
+    * the property that matters at 100 TB, where the exact path's
+    * per-group sort is the bottleneck. Out-of-range values clamp into
+    * the edge cells.
+    *
+    * All arithmetic is fixed-order double math shared with the SQL
+    * oracle formulation, so estimates hash-match across engines.
+    * Output: (group, p, n, est) — one row per group × requested p. */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: Column,
+                         lo: Double, hi: Double, nBuckets: Int,
+                         ps: Seq[Double]): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "need hi > lo and at least one bucket")
+    val w = (hi - lo) / nBuckets
+    val b = least(lit(nBuckets - 1),
+      greatest(lit(0), floor((valueCol - lo) / w).cast(IntegerType)))
+    val hist = df.groupBy(col(groupCol), b.as("b")).agg(count(lit(1)).as("cnt"))
+    // group total = the running sum's final value — no second aggregation
+    // over the input, so the source is scanned exactly once
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(Window.partitionBy(groupCol).orderBy("b")))
+      .withColumn("n", max("cum").over(Window.partitionBy(groupCol)))
+    val target = col("p") * col("n")
+    cum
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("cum") >= target && (col("cum") - col("cnt")) < target)
+      .select(col(groupCol), col("p"), col("n"),
+        round(lit(lo) + (col("b").cast(DoubleType)
+          + (target - (col("cum") - col("cnt"))) / col("cnt")) * w, 4).as("est"))
+  }
 }
