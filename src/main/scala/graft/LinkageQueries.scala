@@ -33,10 +33,15 @@ object LinkageQueries {
   // Spark queries
   // =====================================================================
 
-  /** Inverted index over the corpus: term -> (df, tf, capped postings). */
+  /** Inverted index over the corpus: term -> (df, tf, capped postings).
+    * The postings array is comma-joined for the oracle compare (the
+    * pandas comparator can't sort/hash list cells); the library
+    * surface (`Index.invertedIndex`) keeps the typed array. */
   private val qInvIndex: Q = (spark, dir) =>
     Index.invertedIndex(Tables.fanOut(Tables.documents(spark, dir)),
       "doc_id", "text", postingsCap)
+      .withColumn("postings",
+        array_join(col("postings").cast(ArrayType(StringType)), ","))
 
   /** Perplexity-proxy quality score: mean add-one-smoothed bigram log
     * probability per document, trained on the corpus itself. */
@@ -151,7 +156,8 @@ object LinkageQueries {
           r AS (SELECT term, doc_id, tfp,
                   row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM p)
           SELECT term, count(*) AS df, CAST(sum(tfp) AS BIGINT) AS tf,
-                 list_sort(list(doc_id) FILTER (WHERE rn <= $postingsCap)) AS postings
+                 coalesce(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                            FILTER (WHERE rn <= $postingsCap), '') AS postings
           FROM r GROUP BY term""",
     "q_lm_score" ->
       """WITH w AS (SELECT doc_id, u.i AS pos, t.wl[u.i] AS w

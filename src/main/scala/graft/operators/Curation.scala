@@ -300,7 +300,12 @@ object Curation {
     require(mBits > 0 && (mBits & (mBits - 1)) == 0, "mBits must be a power of two")
     val m = lit(mBits.toLong)
     def h(c: Column): Column = hex60(md5(c))
-    def probes(c: Column): (Column, Column) = (pmod(h(c), m), pmod(h(c) / m, m))
+    // probe 2 takes the NEXT log2(m) bits of the hash via an integer
+    // shift — `h / m` would be double division, losing low bits of a
+    // 60-bit hash above 2^53 and skewing the bit distribution
+    val shift = java.lang.Long.numberOfTrailingZeros(mBits.toLong)
+    def probes(c: Column): (Column, Column) =
+      (pmod(h(c), m), pmod(shiftright(h(c), shift), m))
     val (d1, d2) = probes(col(dirtyKeyCol))
     val bitmap = dirty
       .select(explode(array(d1, d2)).as("__bit"))

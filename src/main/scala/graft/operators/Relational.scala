@@ -265,7 +265,7 @@ object Relational {
         when(col("__b").isNull, lit("inserted"))
           .when(col("__a").isNull, lit("deleted"))
           .when(compareCols.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
-            .reduce(_ || _), lit("changed"))
+            .foldLeft(lit(false))(_ || _), lit("changed"))
           .otherwise(lit("unchanged")))
       .drop("__b", "__a")
   }

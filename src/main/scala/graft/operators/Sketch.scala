@@ -106,6 +106,9 @@ object Sketch {
                          lo: Double, hi: Double, nBuckets: Int,
                          ps: Seq[Double]): DataFrame = {
     require(nBuckets > 0 && hi > lo, "need hi > lo and at least one bucket")
+    // p = 0 can never satisfy (cum - cnt) < p*n — the requested quantile
+    // would silently vanish from the output; reject it up front
+    require(ps.forall(p => p > 0.0 && p <= 1.0), s"quantiles must be in (0, 1], got $ps")
     val w = (hi - lo) / nBuckets
     val b = least(lit(nBuckets - 1),
       greatest(lit(0), floor((valueCol - lo) / w).cast(IntegerType)))

@@ -266,7 +266,13 @@ object Streaming {
       .flatMap { vp =>
         vp.getName match {
           case n if n.startsWith("v") =>
-            n.drop(1).toLongOption.filter(_ < beforeId).toSeq.flatMap { v =>
+            // only committed versions: a crashed mid-write leaves no
+            // _SUCCESS marker, and reading its partial bucket dirs would
+            // silently truncate the snapshot
+            n.drop(1).toLongOption
+              .filter(v => v < beforeId &&
+                fs.exists(new org.apache.hadoop.fs.Path(vp, "_SUCCESS")))
+              .toSeq.flatMap { v =>
               fs.listStatus(vp).filter(_.isDirectory).map(_.getPath).flatMap { bp =>
                 bp.getName.split("=", 2) match {
                   case Array("__bucket", b) => b.toIntOption.map(bi => (bi, v, bp.toString))

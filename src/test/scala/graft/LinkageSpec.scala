@@ -98,6 +98,16 @@ class LinkageSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getLong(2) == 3L) // n counts clamped rows
   }
 
+  test("histogramQuantiles rejects quantiles outside (0, 1]") {
+    val df = Seq(("g", 1.0)).toDF("g", "x")
+    intercept[IllegalArgumentException] {
+      Sketch.histogramQuantiles(df, "g", col("x"), 0.0, 10.0, 10, Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.histogramQuantiles(df, "g", col("x"), 0.0, 10.0, 10, Seq(1.5))
+    }
+  }
+
   // ------------------------------------------------------ Fuzzy match
 
   test("blockedFuzzyMatch: typo resolves to nearest dictionary name") {

@@ -147,4 +147,12 @@ class RelationalSpec extends SparkSpec {
       3L -> "changed", // null -> value is a change, not a match
       4L -> "deleted", 5L -> "inserted"))
   }
+
+  test("tableDiff with no compare columns degrades to a keys-only diff") {
+    val before = Seq(1L, 2L).toDF("k")
+    val after = Seq(2L, 3L).toDF("k")
+    val out = Relational.tableDiff(before, after, Seq("k"), Nil)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "deleted", 2L -> "unchanged", 3L -> "inserted"))
+  }
 }

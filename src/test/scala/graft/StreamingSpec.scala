@@ -177,4 +177,19 @@ class StreamingSpec extends SparkSpec {
     assert(vDirs("v0") == 8, s"full load writes all buckets: $vDirs")
     assert(vDirs("v1") <= 2, s"delta must rewrite only touched buckets: $vDirs")
   }
+
+  test("mergedSnapshot skips an uncommitted (crashed partial) version dir") {
+    import graft.io.TempDirs
+    val state = TempDirs.registered("graft-snap-partial").toString
+    val committed = Seq((1L, 10L)).toDF("k", "amt").withColumn("__bucket", lit(0))
+    committed.write.partitionBy("__bucket").mode("overwrite").parquet(s"$state/v0")
+    // fake a crash mid-write of the next version: bucket data present on
+    // disk but the _SUCCESS commit marker never landed
+    val partial = Seq((1L, 999L)).toDF("k", "amt").withColumn("__bucket", lit(0))
+    partial.write.partitionBy("__bucket").mode("overwrite").parquet(s"$state/v1")
+    assert(new java.io.File(s"$state/v1/_SUCCESS").delete())
+    val snap = Streaming.mergedSnapshot(spark, state)
+      .select("k", "amt").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap == Seq((1L, 10L)), s"snapshot must read v0, not the partial v1: $snap")
+  }
 }
