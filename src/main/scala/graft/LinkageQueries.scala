@@ -26,6 +26,14 @@ object LinkageQueries {
   private val histBuckets = 200
   private val histPs = Seq(0.5, 0.9, 0.99)
   private val fuzzyMaxDist = 2
+  private val bm25K = 10
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25Queries = Seq(         // query terms drawn from the corpus vocabulary
+    ("q_plan", "spark join window"),
+    ("q_scan", "hash table scan"),
+    ("q_flow", "stream batch merge"))
+  private val topDocsK = 5
   private val crossJaccardMin = 0.5
   private val packB = 1L << 40         // (est, id) packed-argmax base
 
@@ -47,6 +55,26 @@ object LinkageQueries {
     * probability per document, trained on the corpus itself. */
   private val qLmScore: Q = (spark, dir) =>
     Index.lmScore(Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text")
+
+  /** BM25 retrieval: top-10 documents for each of three fixed queries —
+    * the index-backed search surface over the corpus. */
+  private val qBm25: Q = (spark, dir) => {
+    import spark.implicits._
+    Index.bm25TopK(Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text",
+      bm25Queries.toDF("query_id", "qtext"), "query_id", "qtext",
+      bm25K, bm25K1, bm25B)
+  }
+
+  /** Per-language top-5 documents by LM score: the quality-ranked
+    * shortlist a curation pass keeps per language bucket. Composes the
+    * bigram LM with the bounded-state top-k Aggregator — each language
+    * is reduced to 5 rows map-side, never window-sorted corpus-wide. */
+  private val qTopDocsLm: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val scored = Index.lmScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    graft.operators.TopK.topKPerKey(scored, Seq("lang"), "doc_id", "lm_score", topDocsK)
+  }
 
   /** view -> click -> purchase funnel, 6-hour stage-transition window. */
   private val qFunnel: Q = (spark, dir) =>
@@ -137,6 +165,8 @@ object LinkageQueries {
   def queries: Map[String, Q] = Map(
     "q_inv_index"     -> qInvIndex,
     "q_lm_score"      -> qLmScore,
+    "q_bm25"          -> qBm25,
+    "q_top_docs_lm"   -> qTopDocsLm,
     "q_funnel"        -> qFunnel,
     "q_hist_quantile" -> qHistQuantile,
     "q_fuzzy_match"   -> qFuzzyMatch,
@@ -176,6 +206,50 @@ object LinkageQueries {
           SELECT doc_id, count(*) AS n_bigrams,
                  round(CAST(sum(q) AS BIGINT) / 1000000.0 / count(*), 4) AS lm_score
           FROM sc GROUP BY doc_id""",
+    "q_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                       FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+          corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          qs AS (SELECT * FROM (VALUES ${bm25Queries.map { case (i, t) => s"('$i', '$t')" }.mkString(", ")}) v(query_id, qtext)),
+          qt AS (SELECT DISTINCT query_id, term
+                 FROM (SELECT query_id, unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS term FROM qs)),
+          contrib AS (SELECT qt.query_id, tf.doc_id,
+              CAST(floor((ln(1e0 + (corpus.n_docs - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0))
+                * ((tf.tf * ${bm25K1 + 1}e0) / (tf.tf + ${bm25K1}e0 * (${1.0 - bm25B}e0
+                    + (${bm25B}e0 * dl.dl) / (CAST(corpus.total_dl AS DOUBLE) / corpus.n_docs)))))
+                * 1000000.0 + 0.5) AS BIGINT) AS qv
+            FROM tf JOIN qt USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id), corpus),
+          sc AS (SELECT query_id, doc_id, round(CAST(sum(qv) AS BIGINT) / 1000000.0, 4) AS score
+                 FROM contrib GROUP BY 1, 2),
+          r AS (SELECT query_id, doc_id, score,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+                FROM sc)
+          SELECT query_id, doc_id, score, rank FROM r WHERE rank <= $bm25K""",
+    "q_top_docs_lm" ->
+      s"""WITH w AS (SELECT doc_id, u.i AS pos, t.wl[u.i] AS w
+                    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS wl
+                          FROM documents) t,
+                         unnest(range(1, len(t.wl) + 1)) AS u(i)),
+          bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+                 FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+          c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+          c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+          vv AS (SELECT count(DISTINCT w) AS v FROM w),
+          sc AS (SELECT bg.doc_id,
+                   CAST(floor(ln(CAST(n2 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q
+                 FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+                         JOIN c1 ON bg.w1 = c1.w1, vv),
+          lm AS (SELECT doc_id, round(CAST(sum(q) AS BIGINT) / 1000000.0 / count(*), 4) AS lm_score
+                 FROM sc GROUP BY doc_id),
+          j AS (SELECT d.lang, lm.doc_id, lm.lm_score
+                FROM lm JOIN documents d USING (doc_id)),
+          r AS (SELECT lang, doc_id, lm_score,
+                  CAST(row_number() OVER (PARTITION BY lang ORDER BY lm_score DESC, doc_id) AS BIGINT) AS rank
+                FROM j)
+          SELECT lang, doc_id, lm_score, rank FROM r WHERE rank <= $topDocsK""",
     "q_funnel" ->
       s"""WITH base AS (SELECT DISTINCT user_id FROM events),
           v AS (SELECT user_id, min(ts) AS t_view FROM events

@@ -51,6 +51,50 @@ object Index {
           .as("postings"))
   }
 
+  /** BM25 retrieval: top-k documents per query (Robertson k1/b form,
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — the Lucene variant,
+    * never negative). Repeated query terms count once.
+    *
+    * Scale shape: the query-term relation broadcasts into the (doc,
+    * term, tf) relation, so only postings of QUERY terms survive past
+    * the first join — the corpus-wide term statistics (df, avgdl, N)
+    * are vocabulary-bounded aggregates, and the per-query result is
+    * reduced to k rows map-side by the top-k Aggregator before the
+    * final exchange. Nothing in the plan is proportional to corpus
+    * size except the one token-split scan.
+    *
+    * Engine parity: every per-(query, doc, term) contribution is
+    * quantized to an integer (floor(x·1e6 + 0.5)) before the sum, so
+    * the score is independent of double addition order; ranking ties
+    * break on ascending doc id. Output: (queryIdCol, idCol, score,
+    * rank). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, queryTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = df.select(col(idCol), explode(terms(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = queries.select(col(queryIdCol),
+      explode(array_distinct(terms(col(queryTextCol)))).as("term"))
+    val qdf = dfreq.join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfnorm = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / avgdl))
+    val contrib = tf
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(qdf), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .select(col(queryIdCol), col(idCol),
+        floor(idf * tfnorm * 1000000.0 + 0.5).cast(LongType).as("qv"))
+    val scored = contrib.groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("qv")).cast(DoubleType) / 1000000.0, 4).as("score"))
+    TopK.topKPerKey(scored, Seq(queryIdCol), idCol, "score", k)
+  }
+
   /** Bigram language-model score per document — the perplexity-proxy
     * quality filter: train add-one-smoothed bigram statistics on the
     * corpus itself, then score each document by its mean bigram log

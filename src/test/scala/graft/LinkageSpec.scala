@@ -98,6 +98,18 @@ class LinkageSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getLong(2) == 3L) // n counts clamped rows
   }
 
+  test("bm25TopK: shorter doc outranks longer at equal tf; absent terms score nothing") {
+    // both docs contain "b" once; doc 2 is shorter -> higher length-normalized
+    // tf -> ranks first. Query term "z" appears nowhere -> contributes no rows.
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c")).toDF("doc_id", "text")
+    val qs = Seq(("q1", "b z")).toDF("query_id", "qtext")
+    val out = Index.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 1L), "docs without 'b' must not match")
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L))
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+  }
+
   test("histogramQuantiles rejects quantiles outside (0, 1]") {
     val df = Seq(("g", 1.0)).toDF("g", "x")
     intercept[IllegalArgumentException] {
