@@ -72,8 +72,12 @@ object Index {
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tok = df.select(col(idCol), explode(terms(col(textCol))).as("term"))
+    // tf feeds three consumers (df counts, doc lengths, the candidate
+    // join); persisting it pins the corpus scan + tokenize to exactly
+    // one pass — dl is the per-doc sum of tf, not a second explode
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qt = queries.select(col(queryIdCol),
