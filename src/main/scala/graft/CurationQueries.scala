@@ -28,6 +28,8 @@ object CurationQueries {
   private val sampleSalt = "round5"
   private val shardBudget = 2000L   // tokens per training shard
   private val nTiers = 4
+  private val srcMinMeanQ = 0.68    // source gate: mean-quality floor...
+  private val srcMinDocs = 5L       // ...and minimum corpus presence
 
   // =====================================================================
   // Spark queries
@@ -87,6 +89,16 @@ object CurationQueries {
         "source", "doc_id", col("q"), nTiers)
       .select(col("doc_id"), col("source"), col("q"),
         col("tier").cast(LongType).as("tier"))
+
+  /** Source-level gate: keep only documents from sources whose mean
+    * quality clears 0.68 and that carry at least 5 docs — the
+    * domain-blocklist move, derived from the data instead of a list. */
+  private val qSourceFilter: Q = (spark, dir) =>
+    Curation.sourceFilter(
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text")).as("q")),
+      "source", col("q"), srcMinMeanQ, srcMinDocs)
 
   /** As-of join: every purchase event picks the latest strictly-prior
     * click of the same user (null payload when no click precedes). */
@@ -458,6 +470,7 @@ object CurationQueries {
     "q_strat_sample"   -> qStratSample,
     "q_shard_pack"     -> qShardPack,
     "q_quality_tiers"  -> qQualityTiers,
+    "q_source_filter"  -> qSourceFilter,
     "q_asof_join"      -> qAsofJoin,
     "q_t_redact"       -> qTRedact,
     "q_profile"        -> qProfile,
@@ -532,6 +545,15 @@ object CurationQueries {
           SELECT doc_id, source, q,
             ntile($nTiers) OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS tier
           FROM scored""",
+    "q_source_filter" ->
+      s"""WITH $qualityCte,
+          stats AS (SELECT source, count(*) AS src_n_docs,
+              round(CAST(sum(CAST(round(q * 10000) AS BIGINT)) AS DOUBLE)
+                / count(*) / 10000.0, 4) AS src_mean_q
+            FROM scored GROUP BY 1)
+          SELECT s.source, s.doc_id, s.q, t.src_n_docs, t.src_mean_q
+          FROM scored s JOIN stats t USING (source)
+          WHERE t.src_mean_q >= $srcMinMeanQ AND t.src_n_docs >= $srcMinDocs""",
     "q_t_redact" ->
       s"""SELECT doc_id,
           regexp_replace(regexp_replace(regexp_replace(

@@ -34,6 +34,8 @@ object LinkageQueries {
     ("q_scan", "hash table scan"),
     ("q_flow", "stream batch merge"))
   private val topDocsK = 5
+  private val rrfDamp = 60             // the standard RRF damping constant
+  private val rrfQualityK = 20         // corpus-wide quality-prior list length
   private val crossJaccardMin = 0.5
   private val packB = 1L << 40         // (est, id) packed-argmax base
 
@@ -74,6 +76,28 @@ object LinkageQueries {
     val scored = Index.lmScore(docs, "doc_id", "text")
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
     graft.operators.TopK.topKPerKey(scored, Seq("lang"), "doc_id", "lm_score", topDocsK)
+  }
+
+  /** Hybrid retrieval: RRF-fuse each query's BM25 top-10 with a
+    * corpus-wide quality prior (the top-20 documents by bigram LM
+    * score, the same list for every query) — relevance and quality
+    * combined without score calibration, the standard two-retriever
+    * fusion. Both input lists are bounded before fusion, so the fuse
+    * itself is O(queries · k) regardless of corpus size. */
+  private val qRrfFusion: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val qdf = bm25Queries.toDF("query_id", "qtext")
+    val bm25 = Index.bm25TopK(docs, "doc_id", "text",
+      qdf, "query_id", "qtext", bm25K, bm25K1, bm25B)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val qual = graft.operators.TopK.topKPerKey(
+      Index.lmScore(docs, "doc_id", "text").withColumn("__g", lit(1)),
+      Seq("__g"), "doc_id", "lm_score", rrfQualityK)
+      .crossJoin(broadcast(qdf.select(col("query_id"))))
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    Index.rrfFuse(Seq(bm25, qual), Seq("query_id"), "doc_id", "rank",
+      bm25K, rrfDamp)
   }
 
   /** view -> click -> purchase funnel, 6-hour stage-transition window. */
@@ -167,6 +191,7 @@ object LinkageQueries {
     "q_lm_score"      -> qLmScore,
     "q_bm25"          -> qBm25,
     "q_top_docs_lm"   -> qTopDocsLm,
+    "q_rrf_fusion"    -> qRrfFusion,
     "q_funnel"        -> qFunnel,
     "q_hist_quantile" -> qHistQuantile,
     "q_fuzzy_match"   -> qFuzzyMatch,
@@ -177,6 +202,50 @@ object LinkageQueries {
   // =====================================================================
   // Oracle SQL (DuckDB 1.0)
   // =====================================================================
+
+  /** Bigram-LM CTE chain ending at `lm(doc_id, n_bigrams, lm_score)` —
+    * shared by q_lm_score / q_top_docs_lm / q_rrf_fusion. */
+  private val lmCtes =
+    """w AS (SELECT doc_id, u.i AS pos, t.wl[u.i] AS w
+       |       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS wl
+       |             FROM documents) t,
+       |            unnest(range(1, len(t.wl) + 1)) AS u(i)),
+       |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+       |       FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT w) AS v FROM w),
+       |lmsc AS (SELECT bg.doc_id,
+       |           CAST(floor(ln(CAST(n2 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q
+       |         FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+       |                 JOIN c1 ON bg.w1 = c1.w1, vv),
+       |lm AS (SELECT doc_id, count(*) AS n_bigrams,
+       |         round(CAST(sum(q) AS BIGINT) / 1000000.0 / count(*), 4) AS lm_score
+       |       FROM lmsc GROUP BY doc_id)""".stripMargin
+
+  /** BM25 CTE chain ending at `brank(query_id, doc_id, score, rank)` —
+    * shared by q_bm25 / q_rrf_fusion. */
+  private val bm25Ctes =
+    s"""tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |        FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |qs AS (SELECT * FROM (VALUES ${bm25Queries.map { case (i, t) => s"('$i', '$t')" }.mkString(", ")}) v(query_id, qtext)),
+       |qt AS (SELECT DISTINCT query_id, term
+       |       FROM (SELECT query_id, unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS term FROM qs)),
+       |contrib AS (SELECT qt.query_id, tf.doc_id,
+       |    CAST(floor((ln(1e0 + (corpus.n_docs - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0))
+       |      * ((tf.tf * ${bm25K1 + 1}e0) / (tf.tf + ${bm25K1}e0 * (${1.0 - bm25B}e0
+       |          + (${bm25B}e0 * dl.dl) / (CAST(corpus.total_dl AS DOUBLE) / corpus.n_docs)))))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS qv
+       |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id), corpus),
+       |bsc AS (SELECT query_id, doc_id, round(CAST(sum(qv) AS BIGINT) / 1000000.0, 4) AS score
+       |        FROM contrib GROUP BY 1, 2),
+       |brank AS (SELECT query_id, doc_id, score,
+       |            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |          FROM bsc)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_inv_index" ->
@@ -190,66 +259,40 @@ object LinkageQueries {
                             FILTER (WHERE rn <= $postingsCap), '') AS postings
           FROM r GROUP BY term""",
     "q_lm_score" ->
-      """WITH w AS (SELECT doc_id, u.i AS pos, t.wl[u.i] AS w
-                    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS wl
-                          FROM documents) t,
-                         unnest(range(1, len(t.wl) + 1)) AS u(i)),
-          bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
-                 FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-          c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
-          c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
-          vv AS (SELECT count(DISTINCT w) AS v FROM w),
-          sc AS (SELECT bg.doc_id,
-                   CAST(floor(ln(CAST(n2 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q
-                 FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
-                         JOIN c1 ON bg.w1 = c1.w1, vv)
-          SELECT doc_id, count(*) AS n_bigrams,
-                 round(CAST(sum(q) AS BIGINT) / 1000000.0 / count(*), 4) AS lm_score
-          FROM sc GROUP BY doc_id""",
+      s"""WITH $lmCtes
+          SELECT doc_id, n_bigrams, lm_score FROM lm""",
     "q_bm25" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-                       FROM documents),
-          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-          dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-          corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
-          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-          qs AS (SELECT * FROM (VALUES ${bm25Queries.map { case (i, t) => s"('$i', '$t')" }.mkString(", ")}) v(query_id, qtext)),
-          qt AS (SELECT DISTINCT query_id, term
-                 FROM (SELECT query_id, unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS term FROM qs)),
-          contrib AS (SELECT qt.query_id, tf.doc_id,
-              CAST(floor((ln(1e0 + (corpus.n_docs - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0))
-                * ((tf.tf * ${bm25K1 + 1}e0) / (tf.tf + ${bm25K1}e0 * (${1.0 - bm25B}e0
-                    + (${bm25B}e0 * dl.dl) / (CAST(corpus.total_dl AS DOUBLE) / corpus.n_docs)))))
-                * 1000000.0 + 0.5) AS BIGINT) AS qv
-            FROM tf JOIN qt USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id), corpus),
-          sc AS (SELECT query_id, doc_id, round(CAST(sum(qv) AS BIGINT) / 1000000.0, 4) AS score
-                 FROM contrib GROUP BY 1, 2),
-          r AS (SELECT query_id, doc_id, score,
-                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-                FROM sc)
-          SELECT query_id, doc_id, score, rank FROM r WHERE rank <= $bm25K""",
+      s"""WITH $bm25Ctes
+          SELECT query_id, doc_id, score, rank FROM brank WHERE rank <= $bm25K""",
     "q_top_docs_lm" ->
-      s"""WITH w AS (SELECT doc_id, u.i AS pos, t.wl[u.i] AS w
-                    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS wl
-                          FROM documents) t,
-                         unnest(range(1, len(t.wl) + 1)) AS u(i)),
-          bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
-                 FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-          c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
-          c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
-          vv AS (SELECT count(DISTINCT w) AS v FROM w),
-          sc AS (SELECT bg.doc_id,
-                   CAST(floor(ln(CAST(n2 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q
-                 FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
-                         JOIN c1 ON bg.w1 = c1.w1, vv),
-          lm AS (SELECT doc_id, round(CAST(sum(q) AS BIGINT) / 1000000.0 / count(*), 4) AS lm_score
-                 FROM sc GROUP BY doc_id),
+      s"""WITH $lmCtes,
           j AS (SELECT d.lang, lm.doc_id, lm.lm_score
                 FROM lm JOIN documents d USING (doc_id)),
           r AS (SELECT lang, doc_id, lm_score,
                   CAST(row_number() OVER (PARTITION BY lang ORDER BY lm_score DESC, doc_id) AS BIGINT) AS rank
                 FROM j)
           SELECT lang, doc_id, lm_score, rank FROM r WHERE rank <= $topDocsK""",
+    "q_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+          $lmCtes,
+          bmlist AS (SELECT query_id, doc_id, rank FROM brank WHERE rank <= $bm25K),
+          qlist AS (SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY lm_score DESC, doc_id) AS BIGINT) AS rank
+                    FROM lm),
+          qlist2 AS (SELECT qs.query_id, q.doc_id, q.rank
+                     FROM qlist q, qs WHERE q.rank <= $rrfQualityK),
+          contribs AS (SELECT query_id, doc_id,
+                         CAST(floor(1000000000.0 / ($rrfDamp + rank)) AS BIGINT) AS c FROM bmlist
+                       UNION ALL
+                       SELECT query_id, doc_id,
+                         CAST(floor(1000000000.0 / ($rrfDamp + rank)) AS BIGINT) FROM qlist2),
+          fused AS (SELECT query_id, doc_id,
+                      round(CAST(sum(c) AS BIGINT) / 1000000000.0, 6) AS rrf_score
+                    FROM contribs GROUP BY 1, 2),
+          rr AS (SELECT query_id, doc_id, rrf_score,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+                 FROM fused)
+          SELECT query_id, doc_id, rrf_score, rank FROM rr WHERE rank <= $bm25K""",
     "q_funnel" ->
       s"""WITH base AS (SELECT DISTINCT user_id FROM events),
           v AS (SELECT user_id, min(ts) AS t_view FROM events

@@ -221,6 +221,33 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Source-level gate — drop WHOLE sources whose aggregate quality is
+  // bad (the C4/Gopher move: a spam domain is cheaper to reject once,
+  // at the domain level, than doc-by-doc). Input rows carry a per-doc
+  // quality score; a source survives when its mean quality and doc
+  // count clear the floors, and surviving docs come back annotated
+  // with their source's stats.
+  //
+  // Scale shape: the stats relation is |sources| rows (domains, not
+  // documents), so the gate is ONE shuffle on the source key for the
+  // aggregate plus a broadcast join back — the corpus itself is never
+  // re-shuffled. Engine parity: the mean is an integer sum of
+  // 1e4-quantized scores divided once at the end, so it is independent
+  // of double addition order.
+  // ---------------------------------------------------------------------
+  def sourceFilter(df: DataFrame, sourceCol: String, qualityCol: Column,
+                   minMeanQuality: Double, minDocs: Long): DataFrame = {
+    val q10k = round(qualityCol * 10000).cast(LongType)
+    val stats = df.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("src_n_docs"),
+      round(sum(q10k).cast(DoubleType) / count(lit(1)) / 10000.0, 4)
+        .as("src_mean_q"))
+    val kept = stats.filter(
+      col("src_mean_q") >= minMeanQuality && col("src_n_docs") >= minDocs)
+    df.join(broadcast(kept), Seq(sourceCol))
+  }
+
+  // ---------------------------------------------------------------------
   // Quality tiers — equal-depth quality quartiles per stratum (curation
   // by relative quality WITHIN each source, so one high-quality domain
   // doesn't monopolize the kept set). ntile per stratum = one shuffle on

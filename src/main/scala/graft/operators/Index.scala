@@ -99,6 +99,30 @@ object Index {
     TopK.topKPerKey(scored, Seq(queryIdCol), idCol, "score", k)
   }
 
+  /** Reciprocal-rank fusion: combine N rankings of the same id space
+    * into one (the standard hybrid-retrieval combiner — lexical BM25 +
+    * a second ranker — with the usual k=60 damping). Each input holds
+    * `keys ++ (idCol, rankCol)`; an id contributes 1/(kRrf + rank) per
+    * list it appears in and nothing for lists it misses.
+    *
+    * Scale shape: inputs are already top-k lists (bounded per key), so
+    * the union + sum is tiny regardless of corpus size; the final
+    * per-key cut reuses the bounded-state top-k Aggregator. Engine
+    * parity: each contribution is the floor of an exactly-rounded IEEE
+    * division (1e9/(kRrf+rank), integer operands), so the fused sum is
+    * an exact integer in any engine and any addition order; ties break
+    * on ascending id. Output: keys ++ (idCol, rrf_score, rank). */
+  def rrfFuse(rankings: Seq[DataFrame], keys: Seq[String], idCol: String,
+              rankCol: String, k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val cols = keys.map(col) :+ col(idCol) :+
+      floor(lit(1000000000.0) / (lit(kRrf) + col(rankCol))).cast(LongType).as("__c")
+    val fused = rankings.map(_.select(cols: _*)).reduce(_ unionByName _)
+      .groupBy((keys.map(col) :+ col(idCol)): _*)
+      .agg(round(sum(col("__c")).cast(DoubleType) / 1000000000.0, 6).as("rrf_score"))
+    TopK.topKPerKey(fused, keys, idCol, "rrf_score", k)
+  }
+
   /** Bigram language-model score per document — the perplexity-proxy
     * quality filter: train add-one-smoothed bigram statistics on the
     * corpus itself, then score each document by its mean bigram log

@@ -112,6 +112,30 @@ class CurationSpec extends SparkSpec {
   }
 
   // -----------------------------------------------------------------
+  // Source-level gate
+  // -----------------------------------------------------------------
+  test("sourceFilter keeps only sources passing both floors, annotated with stats") {
+    val df = Seq(
+      (1L, "good", 0.9), (2L, "good", 0.8),   // mean 0.85, n=2 -> kept
+      (3L, "spam", 0.5), (4L, "spam", 0.8),   // mean 0.65 < 0.7 -> dropped
+      (5L, "tiny", 0.95)                      // n=1 < 2 -> dropped
+    ).toDF("doc_id", "source", "q")
+    val out = Curation.sourceFilter(df, "source", col("q"),
+      minMeanQuality = 0.7, minDocs = 2L).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
+    assert(out.forall(r => r.getAs[String]("source") == "good"
+      && r.getAs[Long]("src_n_docs") == 2L
+      && r.getAs[Double]("src_mean_q") == 0.85))
+  }
+
+  test("sourceFilter broadcasts the per-source stats back onto the corpus") {
+    val df = Seq((1L, "a", 0.9)).toDF("doc_id", "source", "q")
+    val plan = Curation.sourceFilter(df, "source", col("q"), 0.5, 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$plan")
+  }
+
+  // -----------------------------------------------------------------
   // Column profile
   // -----------------------------------------------------------------
   test("columnProfile computes per-column stats in one pass") {

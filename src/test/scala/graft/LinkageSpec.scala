@@ -110,6 +110,23 @@ class LinkageSpec extends SparkSpec {
     assert(out(0).getDouble(2) > out(1).getDouble(2))
   }
 
+  test("rrfFuse: scores sum across lists, absent ids contribute nothing, ties break on id") {
+    // floor(1e9/61) = 16393442 (rank 1), floor(1e9/62) = 16129032 (rank 2)
+    val a = Seq(("g", 1L, 1L), ("g", 2L, 2L)).toDF("g", "id", "rank")
+    val b = Seq(("g", 2L, 1L), ("g", 3L, 2L)).toDF("g", "id", "rank")
+    val out = Index.rrfFuse(Seq(a, b), Seq("g"), "id", "rank", k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 1L, 3L))
+    assert(out.map(_.getDouble(2)).toSeq ==
+      Seq(0.032522, 0.016393, 0.016129)) // (16393442+16129032, 16393442, 16129032) / 1e9
+    // equal fused score (both only in one list at rank 1) -> lower id first
+    val t1 = Seq(("g", 5L, 1L)).toDF("g", "id", "rank")
+    val t2 = Seq(("g", 4L, 1L)).toDF("g", "id", "rank")
+    val tied = Index.rrfFuse(Seq(t1, t2), Seq("g"), "id", "rank", k = 10)
+      .orderBy("rank").collect()
+    assert(tied.map(_.getLong(1)).toSeq == Seq(4L, 5L))
+  }
+
   test("histogramQuantiles rejects quantiles outside (0, 1]") {
     val df = Seq(("g", 1.0)).toDF("g", "x")
     intercept[IllegalArgumentException] {
