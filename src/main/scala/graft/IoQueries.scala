@@ -259,7 +259,25 @@ object IoQueries {
       col("O_ORDERDATE").cast("timestamp_ntz").as("o_orderdate"))
   }
 
+  /** Columnar landing in ORC — the second columnar format beside
+    * parquet (Avro/Kafka connectors are absent from this environment;
+    * ORC ships in spark-sql). Events land partitioned by event_type,
+    * and the read-back filter prunes whole partition DIRECTORIES
+    * (event_type) before the value predicate pushes into the ORC
+    * reader's stripe/row-group statistics — at 100 TB the scan touches
+    * one partition's stripes, nothing else. The projection skips `ts`
+    * so the oracle stays free of ns-vs-us timestamp string drift. */
+  private val qOrcRoundtrip: Q = (spark, dir) => {
+    val src = Tables.events(spark, dir)
+    val landing = graft.io.TempDirs.registered("graft-orc").toString
+    src.write.mode("overwrite").partitionBy("event_type").orc(landing)
+    spark.read.orc(landing)
+      .filter(col("event_type") === "click" && col("value") > 50.0)
+      .select(col("event_id"), col("user_id"), col("value"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_orc_roundtrip"       -> qOrcRoundtrip,
     "q_s1_landing"          -> qS1Landing,
     "q_s2_jdbc_roundtrip"   -> qS2JdbcRoundtrip,
     "q_s3_jdbc_partitioned" -> qS3JdbcPartitioned,
@@ -278,6 +296,9 @@ object IoQueries {
     }.mkString("CASE ", " ", " ELSE 'Other' END")
 
   def oracleSql: Map[String, String] = Map(
+    "q_orc_roundtrip" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'click' AND value > 50.0""",
     "q_s1_landing" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders",
     "q_mm_media" ->

@@ -12,6 +12,20 @@ class IoSpec extends SparkSpec {
 
   private def derbyUrl() = s"jdbc:derby:memory:t${System.nanoTime()};create=true"
 
+  test("ORC landing: partition filter prunes directories, value filter pushes into the reader") {
+    val dir = graft.io.TempDirs.registered("orc-spec").toString
+    Seq((1L, "click", 60.0), (2L, "click", 10.0), (3L, "view", 99.0))
+      .toDF("id", "etype", "v")
+      .write.mode("overwrite").partitionBy("etype").orc(dir)
+    val back = spark.read.orc(dir).filter(col("etype") === "click" && col("v") > 50.0)
+    assert(back.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("etype"),
+      s"partition not pruned:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(v,50.0)"),
+      s"value predicate not pushed:\n$plan")
+  }
+
   test("S2/S6: JDBC append + read round-trips rows; predicate pushes into the scan") {
     val url = derbyUrl()
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "v")
