@@ -166,6 +166,19 @@ object ExtensionQueries {
     Similarity.ivfAnnTopK(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
       queryVec, centroidStep = 50, nprobe = 3, k = 10)
 
+  /** Recall@10 of the IVF probe against brute-force cosine ground
+    * truth — the index-quality eval: how much of the true top-10 the
+    * 3-cell probe recovers. */
+  private val qAnnRecall: Q = (spark, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    Similarity.recallAtK(
+      Similarity.ivfAnnTopK(emb, "vec_id", "embedding", queryVec,
+        centroidStep = 50, nprobe = 3, k = 10),
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        Similarity.vecLit(queryVec), 10),
+      "vec_id", 10)
+  }
+
   /** Embedding-cosine near-dup pairs, bucket-blocked self-join. */
   private val qSimEmbedDedup: Q = (spark, dir) =>
     Similarity.embedNearDupPairs(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
@@ -202,6 +215,7 @@ object ExtensionQueries {
     "q_sim_cosine_topk" -> qSimCosineTopk,
     "q_sim_ann_lsh"     -> qSimAnnLsh,
     "q_sim_ivf_ann"     -> qSimIvfAnn,
+    "q_ann_recall"      -> qAnnRecall,
     "q_sim_ivf_kmeans"  -> qSimIvfKmeans,
     "q_sim_embed_dedup" -> qSimEmbedDedup,
     "q_sim_embed_probed" -> qSimEmbedProbed
@@ -251,6 +265,20 @@ object ExtensionQueries {
     s"sqrt(list_reduce(list_transform($vecExpr, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))"
 
   private val qvecSql = sqlList(queryVec)
+
+  /** IVF probe chain ending at `probe(cell)` + `assign(vec_id,
+    * embedding, cell)` — shared by q_sim_ivf_ann / q_ann_recall. */
+  private lazy val ivfAnnCtes =
+    s"""cent AS (SELECT vec_id AS cid, embedding AS cvec
+       |    FROM embeddings WHERE vec_id % 50 = 0),
+       |probe AS (SELECT cid AS cell FROM (
+       |    SELECT cid, ${cosineSql("cvec")} AS qcos FROM cent)
+       |    ORDER BY qcos DESC, cid ASC LIMIT 3),
+       |assign AS (SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosine2Sql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1)""".stripMargin
 
   private def cosineSql(vecExpr: String): String =
     s"round(${dotSql(vecExpr, qvecSql)} / (${normSql(vecExpr)} * ${normSql(qvecSql)}), 6)"
@@ -547,19 +575,20 @@ object ExtensionQueries {
           WHERE bucket IN (${probes.map(p => s"'$p'").mkString(",")})
           ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""",
     "q_sim_ivf_ann" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-            FROM embeddings WHERE vec_id % 50 = 0),
-          probe AS (SELECT cid AS cell FROM (
-            SELECT cid, ${cosineSql("cvec")} AS qcos FROM cent)
-            ORDER BY qcos DESC, cid ASC LIMIT 3),
-          assign AS (SELECT vec_id, embedding, cid AS cell FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${cosine2Sql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
-            FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1)
+      s"""WITH $ivfAnnCtes
           SELECT a.vec_id, a.cell, ${cosineSql("a.embedding")} AS cosine_sim
           FROM assign a JOIN probe p ON a.cell = p.cell
           ORDER BY cosine_sim DESC, a.vec_id ASC LIMIT 10""",
+    "q_ann_recall" ->
+      s"""WITH $ivfAnnCtes,
+          ann AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cell
+                  ORDER BY ${cosineSql("a.embedding")} DESC, a.vec_id ASC LIMIT 10),
+          truth AS (SELECT vec_id FROM embeddings
+                    ORDER BY ${cosineSql("embedding")} DESC, vec_id ASC LIMIT 10),
+          h AS (SELECT count(*) AS n_hits FROM ann
+                WHERE vec_id IN (SELECT vec_id FROM truth))
+          SELECT CAST(10 AS BIGINT) AS k, n_hits,
+                 round(n_hits / 10.0, 4) AS recall FROM h""",
     "q_sim_embed_dedup" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
           SELECT a.vec_id AS id_a, b2.vec_id AS id_b,

@@ -373,6 +373,19 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k of an approximate result list against exact ground truth —
+    * the eval every ANN index ships with (tune nprobe/planes until this
+    * clears the target). Both inputs are k-row lists, so the semi-join
+    * and the single-row aggregate cost nothing at any corpus scale.
+    * Output: one row (k, n_hits, recall). */
+  def recallAtK(candidates: DataFrame, truth: DataFrame,
+                idCol: String, k: Int): DataFrame =
+    truth.select(col(idCol))
+      .join(candidates.select(col(idCol)), Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k.toLong).as("k"), col("n_hits"),
+        round(col("n_hits").cast(DoubleType) / k, 4).as("recall"))
+
   // ---------------------------------------------------------------------
   // Hyperplane-LSH ANN — signed-random-projection buckets with
   // multi-probe.

@@ -110,6 +110,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(1L, 2L))
   }
 
+  test("recallAtK counts truth ids recovered by the candidate list") {
+    val truth = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val cand = Seq(2L, 4L, 9L, 11L).toDF("id")
+    val r = Similarity.recallAtK(cand, truth, "id", 4).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getDouble(2) == 0.5)
+    // empty candidate list -> recall 0, not an empty relation
+    val r0 = Similarity.recallAtK(cand.filter(col("id") < 0), truth, "id", 4)
+      .collect().head
+    assert(r0.getLong(1) == 0L && r0.getDouble(2) == 0.0)
+  }
+
   test("probeBuckets covers Hamming radius and dedups") {
     assert(Similarity.probeBuckets("101", 0) == Seq("101"))
     assert(Similarity.probeBuckets("101", 1).toSet == Set("101", "001", "111", "100"))
