@@ -197,6 +197,19 @@ object ExtensionQueries {
     Similarity.ivfKmeansAnnTopK(Tables.fanOut(Tables.embeddings(spark, dir)),
       "vec_id", "embedding", queryVec, centroidStep = 50, iters = 2, nprobe = 3, k = 10)
 
+  /** Recall@10 of the TRAINED quantizer's probe — paired with
+    * q_ann_recall this is the train-vs-seed index comparison a user
+    * runs before choosing a layout. */
+  private val qAnnRecallKmeans: Q = (spark, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    Similarity.recallAtK(
+      Similarity.ivfKmeansAnnTopK(emb, "vec_id", "embedding", queryVec,
+        centroidStep = 50, iters = 2, nprobe = 3, k = 10),
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        Similarity.vecLit(queryVec), 10),
+      "vec_id", 10)
+  }
+
   def queries: Map[String, Q] = Map(
     "q_t_tokens"        -> qTTokens,
     "q_t_lang_id"       -> qTLangId,
@@ -217,6 +230,7 @@ object ExtensionQueries {
     "q_sim_ivf_ann"     -> qSimIvfAnn,
     "q_ann_recall"      -> qAnnRecall,
     "q_sim_ivf_kmeans"  -> qSimIvfKmeans,
+    "q_ann_recall_kmeans" -> qAnnRecallKmeans,
     "q_sim_embed_dedup" -> qSimEmbedDedup,
     "q_sim_embed_probed" -> qSimEmbedProbed
   )
@@ -349,6 +363,24 @@ object ExtensionQueries {
           FROM q$tag GROUP BY cell, pos),
         cent$tag AS (SELECT cell AS cid, list(comp ORDER BY pos) AS cvec
           FROM m$tag GROUP BY cell)"""
+
+  /** Trained-IVF probe chain — seed centroids (`vec_id % 50`), two
+    * Lloyd iterations, then `probe(cell)` + `af(vec_id, embedding,
+    * cell)` vs the trained `cent2` — shared by q_sim_ivf_kmeans /
+    * q_ann_recall_kmeans. */
+  private lazy val ivfKmeansCtes: String =
+    s"""cent0 AS (SELECT vec_id AS cid, embedding AS cvec
+       |    FROM embeddings WHERE vec_id % 50 = 0),
+       |${kmeansIterSql("cent0", "1")},
+       |${kmeansIterSql("cent1", "2")},
+       |probe AS (SELECT cid AS cell FROM (
+       |    SELECT cid, ${cosineSql("cvec")} AS qcos FROM cent2)
+       |    ORDER BY qcos DESC, cid ASC LIMIT 3),
+       |af AS (SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosine2Sql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cent2 c) t WHERE rn = 1)""".stripMargin
 
   /** Hamming-radius-1 probe list of the bucket column (bucket itself
     * plus each single-plane flip), as a SQL list literal. */
@@ -605,20 +637,19 @@ object ExtensionQueries {
             ON a.probe = b2.bucket AND a.vec_id < b2.vec_id
           WHERE ${cosine2Sql("a.embedding", "b2.embedding")} >= 0.4""",
     "q_sim_ivf_kmeans" ->
-      s"""WITH cent0 AS (SELECT vec_id AS cid, embedding AS cvec
-            FROM embeddings WHERE vec_id % 50 = 0),
-          ${kmeansIterSql("cent0", "1")},
-          ${kmeansIterSql("cent1", "2")},
-          probe AS (SELECT cid AS cell FROM (
-            SELECT cid, ${cosineSql("cvec")} AS qcos FROM cent2)
-            ORDER BY qcos DESC, cid ASC LIMIT 3),
-          af AS (SELECT vec_id, embedding, cid AS cell FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${cosine2Sql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
-            FROM embeddings e CROSS JOIN cent2 c) t WHERE rn = 1)
+      s"""WITH $ivfKmeansCtes
           SELECT af.vec_id, af.cell, ${cosineSql("af.embedding")} AS cosine_sim
           FROM af JOIN probe p ON af.cell = p.cell
-          ORDER BY cosine_sim DESC, af.vec_id ASC LIMIT 10"""
+          ORDER BY cosine_sim DESC, af.vec_id ASC LIMIT 10""",
+    "q_ann_recall_kmeans" ->
+      s"""WITH $ivfKmeansCtes,
+          ann AS (SELECT af.vec_id FROM af JOIN probe p ON af.cell = p.cell
+                  ORDER BY ${cosineSql("af.embedding")} DESC, af.vec_id ASC LIMIT 10),
+          truth AS (SELECT vec_id FROM embeddings
+                    ORDER BY ${cosineSql("embedding")} DESC, vec_id ASC LIMIT 10),
+          h AS (SELECT count(*) AS n_hits FROM ann
+                WHERE vec_id IN (SELECT vec_id FROM truth))
+          SELECT CAST(10 AS BIGINT) AS k, n_hits,
+                 round(n_hits / 10.0, 4) AS recall FROM h"""
   )
 }
