@@ -271,7 +271,56 @@ object ScaleQueries {
         least(greatest(floor(col("v").cast(DoubleType) * 127.0 / col("amax") + 0.5),
           lit(-127.0)), lit(127.0)).cast(LongType).as("qv"))
 
+  /** ROLLUP over (returnflag, linestatus) — the subtotal hierarchy an
+    * OLAP report runs in ONE pass instead of three group-bys. The
+    * grouping id is computed explicitly (2·g(flag) + g(status)) so the
+    * oracle compare never depends on an engine's grouping_id bit
+    * order. Scale shape: Expand×3 feeds one hash aggregate with
+    * map-side partials — rows shuffle once, subtotal levels included;
+    * sum_qty is exact (integer-valued quantities, double-safe). */
+  private val qRollup: Q = (spark, dir) =>
+    Tables.fanOut(Tables.lineitem(spark, dir))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")).cast(LongType) * 2 +
+          grouping(col("l_linestatus")).cast(LongType)).as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"))
+
+  /** CUBE over (status, priority) — all four grouping levels of the
+    * order matrix in one pass (Expand×4 → single shuffle). The measure
+    * sums floor(price) as BIGINT so the cross-engine compare is exact
+    * under any addition order. */
+  private val qCube: Q = (spark, dir) =>
+    Tables.fanOut(Tables.orders(spark, dir))
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        (grouping(col("o_orderstatus")).cast(LongType) * 2 +
+          grouping(col("o_orderpriority")).cast(LongType)).as("gid"),
+        count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice")).cast(LongType)).as("sum_price"))
+
+  /** GROUPING SETS — the two marginal totals plus the grand total,
+    * skipping the full cross product a cube would pay for: the
+    * report-page shape (row totals, column totals, grand total) as one
+    * scan. Runs through the spark.sql surface since the DataFrame API
+    * has no grouping-sets verb. */
+  private val qGroupingSets: Q = (spark, dir) => {
+    Tables.fanOut(Tables.lineitem(spark, dir))
+      .createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+                CAST(grouping(l_returnflag) AS BIGINT) * 2 +
+                  CAST(grouping(l_linestatus) AS BIGINT) AS gid,
+                count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem_gs
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_rollup"         -> qRollup,
+    "q_cube"           -> qCube,
+    "q_grouping_sets"  -> qGroupingSets,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_heavy_hitters"  -> qHeavyHitters,
     "q_table_diff"     -> qTableDiff,
@@ -444,6 +493,26 @@ object ScaleQueries {
          SELECT o_orderkey, o.o_orderpriority,
            least(greatest(o_totalprice, b.lo), b.hi) AS clipped
          FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) * 2 +
+             CAST(GROUPING(l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) * 2 +
+             CAST(GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) * 2 +
+             CAST(GROUPING(l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
     "q_split" ->
       """SELECT doc_id, source,
            CASE WHEN CAST('0x' || substring(md5('split6:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9000 THEN 'train'

@@ -148,6 +148,31 @@ class RelationalSpec extends SparkSpec {
       4L -> "deleted", 5L -> "inserted"))
   }
 
+  test("rollup emits per-group, subtotal, and grand-total levels with explicit gid") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L)).toDF("f", "s", "v")
+    val out = df.rollup(col("f"), col("s"))
+      .agg((grouping(col("f")).cast("long") * 2 +
+        grouping(col("s")).cast("long")).as("gid"), sum("v").as("sv"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (Some("a"), Some("x"), 0L, 1L), (Some("a"), Some("y"), 0L, 2L),
+      (Some("b"), Some("x"), 0L, 4L),
+      (Some("a"), None, 1L, 3L), (Some("b"), None, 1L, 4L),
+      (None, None, 3L, 7L)))
+  }
+
+  test("cube adds the column-marginal level rollup omits") {
+    val df = Seq(("a", "x", 1L), ("b", "x", 4L)).toDF("f", "s", "v")
+    val out = df.cube(col("f"), col("s"))
+      .agg((grouping(col("f")).cast("long") * 2 +
+        grouping(col("s")).cast("long")).as("gid"), sum("v").as("sv"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(out.contains((None, Some("x"), 2L, 5L))) // f-marginal: cube-only
+    assert(out.contains((None, None, 3L, 5L)))
+  }
+
   test("tableDiff with no compare columns degrades to a keys-only diff") {
     val before = Seq(1L, 2L).toDF("k")
     val after = Seq(2L, 3L).toDF("k")
