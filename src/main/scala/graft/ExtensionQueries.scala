@@ -191,6 +191,17 @@ object ExtensionQueries {
     Similarity.embedNearDupPairsProbed(Tables.fanOut(Tables.embeddings(spark, dir)),
       "vec_id", "embedding", numPlanes, queryVec.length, threshold = 0.4)
 
+  /** JL random projection of the corpus embeddings to numPlanes dims,
+    * exploded to (vec_id, j, proj) scalars for the cell compare. The
+    * projection matrix is the LSH's Rademacher family, so this is the
+    * un-signed half of the bucket computation made first-class. */
+  private val qEmbedProject: Q = (spark, dir) =>
+    Similarity.randomProjection(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "vec_id", "embedding", numPlanes, queryVec.length)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "proj")))
+      .select(col("vec_id"), col("j").cast(LongType).as("j"),
+        round(col("proj"), 6).as("proj"))
+
   /** IVF ANN over the TRAINED coarse quantizer: 2 deterministic Lloyd
     * iterations from the every-50th seed, then 3-cell probe. */
   private val qSimIvfKmeans: Q = (spark, dir) =>
@@ -232,7 +243,8 @@ object ExtensionQueries {
     "q_sim_ivf_kmeans"  -> qSimIvfKmeans,
     "q_ann_recall_kmeans" -> qAnnRecallKmeans,
     "q_sim_embed_dedup" -> qSimEmbedDedup,
-    "q_sim_embed_probed" -> qSimEmbedProbed
+    "q_sim_embed_probed" -> qSimEmbedProbed,
+    "q_embed_project"   -> qEmbedProject
   )
 
   // =====================================================================
@@ -650,6 +662,12 @@ object ExtensionQueries {
           h AS (SELECT count(*) AS n_hits FROM ann
                 WHERE vec_id IN (SELECT vec_id FROM truth))
           SELECT CAST(10 AS BIGINT) AS k, n_hits,
-                 round(n_hits / 10.0, 4) AS recall FROM h"""
+                 round(n_hits / 10.0, 4) AS recall FROM h""",
+    "q_embed_project" ->
+      planes.zipWithIndex.map { case (w, j) =>
+        s"""SELECT vec_id, CAST($j AS BIGINT) AS j,
+            round(${dotSql("embedding", sqlList(w.toSeq))} / sqrt(${planes.length}.0), 6) AS proj
+            FROM embeddings"""
+      }.mkString(" UNION ALL ")
   )
 }

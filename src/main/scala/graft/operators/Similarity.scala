@@ -449,6 +449,26 @@ object Similarity {
     emb.withColumn("bucket",
       hyperplaneBucketFor(hasNative(emb))(col(vecCol), hyperplaneWeights(numPlanes, dims)))
 
+  /** Johnson–Lindenstrauss random projection: `proj` = the input vector
+    * mapped to `outDims` dimensions by the SAME deterministic Rademacher
+    * family the hyperplane LSH signs, scaled by 1/sqrt(outDims) (the JL
+    * normalization, so expected pairwise distances are preserved). The
+    * un-signed dot products are exactly the LSH's pre-sign values —
+    * project once, and both the sketch bits and the reduced vector fall
+    * out of one pass.
+    *
+    * Scale shape: a pure per-row projection — no shuffle, no state;
+    * stays inside whole-stage codegen (native VecDot when registered),
+    * and cuts downstream ANN/cluster cost by dims/outDims. */
+  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+                       outDims: Int, dims: Int): DataFrame = {
+    val planes = hyperplaneWeights(outDims, dims)
+    val native = hasNative(emb)
+    emb.withColumn("proj", array(planes.map(w =>
+      dotFor(native)(col(vecCol), vecLit(w.toSeq)) /
+        math.sqrt(outDims.toDouble)): _*))
+  }
+
   /** ANN top-k: candidates = vectors in the query's probe buckets, ranked
     * by exact cosine. */
   def lshAnnTopK(emb: DataFrame, idCol: String, vecCol: String,

@@ -282,6 +282,22 @@ class SimilaritySpec extends SparkSpec {
     assert(!sim.contains("Window"), "simhash blocking should not plan a Window")
   }
 
+  test("randomProjection: signs reproduce the LSH bucket; values match the hand fold") {
+    val dims = 6
+    val vec = (0 until dims).map(d => (d - 2).toDouble / 2.0)
+    val df = Seq((1L, vec)).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, "vec_id", "embedding", 4, dims)
+    val proj = out.select("proj").collect().head.getSeq[Double](0)
+    val planes = Similarity.hyperplaneWeights(4, dims)
+    val expected = planes.map(w =>
+      vec.zip(w).map { case (x, y) => x * y }.sum / math.sqrt(4.0))
+    assert(proj.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // sign(proj_j) is exactly bucket bit j — one pass serves both
+    val bucket = Similarity.withBuckets(df, "embedding", 4, dims)
+      .select("bucket").collect().head.getString(0)
+    assert(proj.map(p => if (p >= 0) '1' else '0').mkString == bucket)
+  }
+
   test("minhashJaccardEstimate: identical docs estimate 1.0, estimate bounded") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
