@@ -162,6 +162,34 @@ object MoreQueries {
         col("event_type"), col("n"))
   }
 
+  /** ST11 — stream-static broadcast enrichment: a micro-batched order
+    * stream inner-joined to the static customer→nation dimension chain
+    * INSIDE the streaming engine — stateless (no watermark, no state
+    * store), the dimension broadcast into every micro-batch. The oracle
+    * is the plain batch join, so a pass proves the streaming plan
+    * computes the same relation. At scale this is the standard ingest
+    * enrich: dim snapshot broadcasts, the fact stream never shuffles. */
+  private val qSt11StreamStatic: Q = (spark, dir) => {
+    val in = graft.io.TempDirs.registered("graft-q-st11-in")
+    val out = graft.io.TempDirs.registered("graft-q-st11-out").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st11-ckpt").toString
+    Files.copy(java.nio.file.Paths.get(s"$dir/orders.parquet"),
+               in.resolve("batch-0.parquet"))
+    val batch = Tables.orders(spark, dir)
+    val src = Streaming.parquetSource(spark, in.toString, batch.schema)
+    val dim = broadcast(Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name")))
+    val q = src.join(dim, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_nationkey"), col("n_name"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
   /** P6 — point lookup by business key (RealEstateImages.py:477): a
     * single-key equality filter that prunes to one parquet row group via
     * min/max stats at scale. */
@@ -274,6 +302,7 @@ object MoreQueries {
     "q_st3_stateful_dedup" -> qSt3StatefulDedup,
     "q_st5_fanout"         -> qSt5Fanout,
     "q_st4_windowed"       -> qSt4Windowed,
+    "q_st11_stream_static" -> qSt11StreamStatic,
     "q_e2_consumer"        -> qE2Consumer,
     "q_p6_point_lookup"    -> qP6PointLookup,
     "q_f28_json_roundtrip" -> qF28JsonRoundtrip,
@@ -330,6 +359,10 @@ object MoreQueries {
     "q_st4_windowed" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n
          FROM events GROUP BY 1, 2""",
+    "q_st11_stream_static" ->
+      """SELECT o_orderkey, o_totalprice, c.c_nationkey, n.n_name
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey""",
     "q_e2_consumer" ->
       """WITH syn AS (SELECT
            CAST(o_orderkey AS VARCHAR) AS autorow,
