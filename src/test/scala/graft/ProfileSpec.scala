@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame = Seq(
+    (1L, Some(10.0), "a"),
+    (2L, Some(20.0), "b"),
+    (2L, None, "b"),
+    (3L, Some(-5.0), "c")).toDF("k", "v", "s")
+
+  test("profileNumeric: counts, nulls, distincts, min/max in one row per column") {
+    val out = Profile.profileNumeric(frame, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("k") == ((4L, 0L, 3L, 1.0, 3.0)))
+    assert(out("v") == ((4L, 1L, 3L, -5.0, 20.0)))
+  }
+
+  test("dqReport: null predicate counts as a violation; passed iff zero") {
+    val out = Profile.dqReport(frame, Seq(
+      "v_positive" -> (col("v") > 0),     // one negative + one null -> 2
+      "k_small"    -> (col("k") <= 3)))   // all pass
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("v_positive") == ((2L, false)))
+    assert(out("k_small") == ((0L, true)))
+  }
+
+  test("dqUnique: counts rows beyond the first per key; empty frame passes") {
+    val dup = Profile.dqUnique(frame, Seq("k"), "k_unique").collect().head
+    assert((dup.getString(0), dup.getLong(1), dup.getBoolean(2)) == (("k_unique", 1L, false)))
+    val empty = Profile.dqUnique(frame.filter(col("k") > 99), Seq("k"), "k_unique")
+      .collect().head
+    assert((empty.getLong(1), empty.getBoolean(2)) == ((0L, true)))
+  }
+}
