@@ -276,7 +276,28 @@ object IoQueries {
       .select(col("event_id"), col("user_id"), col("value"))
   }
 
+  /** Schema-evolution landing read: an early delivery WITHOUT the
+    * later-added column beside a new delivery with it, read back as one
+    * relation via parquet schema merging — old files surface NULL for
+    * the added column. The landing-zone reality at scale: producers
+    * upgrade, history doesn't rewrite. mergeSchema is set on THIS read
+    * only (not session-wide), since merging footers across a 100 TB
+    * zone is the expensive path an evolving prefix actually needs. */
+  private val qSchemaEvolution: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val landing = graft.io.TempDirs.registered("graft-evolve").toString
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("append").parquet(landing)
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("append").parquet(landing)
+    spark.read.option("mergeSchema", "true").parquet(landing)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_schema_evolution"    -> qSchemaEvolution,
     "q_orc_roundtrip"       -> qOrcRoundtrip,
     "q_s1_landing"          -> qS1Landing,
     "q_s2_jdbc_roundtrip"   -> qS2JdbcRoundtrip,
@@ -296,6 +317,12 @@ object IoQueries {
     }.mkString("CASE ", " ", " ELSE 'Other' END")
 
   def oracleSql: Map[String, String] = Map(
+    "q_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 1""",
     "q_orc_roundtrip" ->
       """SELECT event_id, user_id, value FROM events
          WHERE event_type = 'click' AND value > 50.0""",
