@@ -317,28 +317,21 @@ object ScaleQueries {
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
   }
 
-  /** Column profile of the orders table — row/null/distinct counts and
-    * min/max per numeric column, one scan for all four. */
-  private val qProfile: Q = (spark, dir) =>
-    operators.Profile.profileNumeric(Tables.fanOut(Tables.orders(spark, dir)),
-      Seq("o_orderkey", "o_custkey", "o_totalprice"))
-
   /** Data-quality expectation report: four row-level rules plus the
     * key-uniqueness check, one report row each, all in one pass (the
     * uniqueness check adds its own key-grouped aggregate). */
   private val qDqReport: Q = (spark, dir) => {
     val o = Tables.fanOut(Tables.orders(spark, dir))
-    operators.Profile.dqReport(o, Seq(
+    operators.Quality.dqReport(o, Seq(
       "totalprice_positive" -> (col("o_totalprice") > 0),
       "status_in_domain"    -> col("o_orderstatus").isin("F", "O", "P"),
       "date_in_range"       -> col("o_orderdate").between("1992-01-01", "1998-12-31"),
       "priority_in_domain"  -> col("o_orderpriority")
         .isin("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
-      .unionByName(operators.Profile.dqUnique(o, Seq("o_orderkey"), "orderkey_unique"))
+      .unionByName(operators.Quality.dqUnique(o, Seq("o_orderkey"), "orderkey_unique"))
   }
 
   def queries: Map[String, Q] = Map(
-    "q_profile"        -> qProfile,
     "q_dq_report"      -> qDqReport,
     "q_rollup"         -> qRollup,
     "q_cube"           -> qCube,
@@ -515,14 +508,6 @@ object ScaleQueries {
          SELECT o_orderkey, o.o_orderpriority,
            least(greatest(o_totalprice, b.lo), b.hi) AS clipped
          FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority""",
-    "q_profile" ->
-      Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
-        s"""SELECT '$c' AS "column", count(*) AS n,
-             CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-             count(DISTINCT $c) AS n_distinct,
-             CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
-           FROM orders"""
-      }.mkString(" UNION ALL "),
     "q_dq_report" ->
       (Seq(
         "totalprice_positive" -> "o_totalprice > 0",

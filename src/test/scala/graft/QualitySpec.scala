@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Profile
+import graft.operators.Quality
 
-class ProfileSpec extends SparkSpec {
+class QualitySpec extends SparkSpec {
   import spark.implicits._
 
   private def frame = Seq(
@@ -13,16 +13,8 @@ class ProfileSpec extends SparkSpec {
     (2L, None, "b"),
     (3L, Some(-5.0), "c")).toDF("k", "v", "s")
 
-  test("profileNumeric: counts, nulls, distincts, min/max in one row per column") {
-    val out = Profile.profileNumeric(frame, Seq("k", "v"))
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
-    assert(out("k") == ((4L, 0L, 3L, 1.0, 3.0)))
-    assert(out("v") == ((4L, 1L, 3L, -5.0, 20.0)))
-  }
-
   test("dqReport: null predicate counts as a violation; passed iff zero") {
-    val out = Profile.dqReport(frame, Seq(
+    val out = Quality.dqReport(frame, Seq(
       "v_positive" -> (col("v") > 0),     // one negative + one null -> 2
       "k_small"    -> (col("k") <= 3)))   // all pass
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
@@ -31,9 +23,9 @@ class ProfileSpec extends SparkSpec {
   }
 
   test("dqUnique: counts rows beyond the first per key; empty frame passes") {
-    val dup = Profile.dqUnique(frame, Seq("k"), "k_unique").collect().head
+    val dup = Quality.dqUnique(frame, Seq("k"), "k_unique").collect().head
     assert((dup.getString(0), dup.getLong(1), dup.getBoolean(2)) == (("k_unique", 1L, false)))
-    val empty = Profile.dqUnique(frame.filter(col("k") > 99), Seq("k"), "k_unique")
+    val empty = Quality.dqUnique(frame.filter(col("k") > 99), Seq("k"), "k_unique")
       .collect().head
     assert((empty.getLong(1), empty.getBoolean(2)) == ((0L, true)))
   }
