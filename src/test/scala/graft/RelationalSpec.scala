@@ -162,6 +162,15 @@ class RelationalSpec extends SparkSpec {
       (None, None, 3L, 7L)))
   }
 
+  test("rollup plans as Expand into one hash-aggregate pass (one exchange)") {
+    val df = Seq(("a", "x", 1L), ("b", "y", 2L)).toDF("f", "s", "v")
+    val plan = df.rollup(col("f"), col("s")).agg(sum("v").as("sv"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"rollup should plan an Expand:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"all grouping levels must ride ONE shuffle:\n$plan")
+  }
+
   test("cube adds the column-marginal level rollup omits") {
     val df = Seq(("a", "x", 1L), ("b", "x", 4L)).toDF("f", "s", "v")
     val out = df.cube(col("f"), col("s"))
