@@ -295,7 +295,20 @@ object MoreQueries {
       Streaming.kafkaEnvelope(merged, col("mlsnum")), merged.schema)
   }
 
+  /** U2 — INTERSECT / EXCEPT set semantics (distinct in both engines):
+    * the customer sets behind two order slices, tagged and unioned into
+    * one relation. Both ops plan as shuffles on the full row — the
+    * right shape, since set semantics NEED the dedup exchange. */
+  private val qSetOps: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderkey") % 3 === 0).select(col("o_custkey"))
+    val b = o.filter(col("o_orderkey") % 5 === 0).select(col("o_custkey"))
+    a.intersect(b).withColumn("op", lit("intersect"))
+      .unionByName(a.except(b).withColumn("op", lit("except")))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_set_ops"            -> qSetOps,
     "q_e1_producer"        -> qE1Producer,
     "q_st7_rate_partition" -> qSt7RatePartition,
     "q_st_stream_dedup"    -> qStStreamDedup,
@@ -314,6 +327,16 @@ object MoreQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_set_ops" ->
+      """SELECT o_custkey, 'intersect' AS op FROM (
+           SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderkey % 5 = 0)
+         UNION ALL
+         SELECT o_custkey, 'except' AS op FROM (
+           SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderkey % 5 = 0)""",
     "q_e1_producer" ->
       """WITH l AS (SELECT CAST(o_orderkey AS VARCHAR) AS mlsnum,
                     o_totalprice AS salesprice, o_orderdate AS closeddate FROM orders),

@@ -331,7 +331,19 @@ object ScaleQueries {
       .unionByName(operators.Quality.dqUnique(o, Seq("o_orderkey"), "orderkey_unique"))
   }
 
+  /** PSI drift between the pre-1996 and 1996+ order-price populations:
+    * 20 fixed price buckets, smoothed shares, quantized terms — the
+    * snapshot-over-snapshot stability report. */
+  private val qDriftPsi: Q = (spark, dir) => {
+    val o = Tables.fanOut(Tables.orders(spark, dir))
+    operators.Quality.driftPsi(
+      o.filter(col("o_orderdate") < "1996-01-01"),
+      o.filter(col("o_orderdate") >= "1996-01-01"),
+      col("o_totalprice"), lo = 0.0, hi = 600000.0, nBuckets = 20)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_drift_psi"      -> qDriftPsi,
     "q_dq_report"      -> qDqReport,
     "q_rollup"         -> qRollup,
     "q_cube"           -> qCube,
@@ -508,6 +520,28 @@ object ScaleQueries {
          SELECT o_orderkey, o.o_orderpriority,
            least(greatest(o_totalprice, b.lo), b.hi) AS clipped
          FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority""",
+    "q_drift_psi" ->
+      """WITH rc AS (SELECT CAST(least(19, greatest(0, floor(o_totalprice / 30000.0))) AS BIGINT) AS bucket,
+                     count(*) AS c
+           FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1),
+         cc AS (SELECT CAST(least(19, greatest(0, floor(o_totalprice / 30000.0))) AS BIGINT) AS bucket,
+                     count(*) AS c
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1),
+         spine AS (SELECT unnest(range(0, 20)) AS bucket),
+         j AS (SELECT s.bucket, coalesce(rc.c, 0) AS n_ref, coalesce(cc.c, 0) AS n_cur
+               FROM spine s LEFT JOIN rc ON s.bucket = rc.bucket
+                            LEFT JOIN cc ON s.bucket = cc.bucket),
+         t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM j),
+         terms AS (SELECT bucket, n_ref, n_cur,
+             CAST(floor(((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 20 AS DOUBLE)
+                          - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 20 AS DOUBLE))
+                         * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 20 AS DOUBLE))
+                              / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 20 AS DOUBLE))))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS qt
+           FROM j, t)
+         SELECT bucket, n_ref, n_cur, qt / 1000000000.0 AS psi_term,
+                (SELECT CAST(sum(qt) AS BIGINT) FROM terms) / 1000000000.0 AS psi_total
+         FROM terms""",
     "q_dq_report" ->
       (Seq(
         "totalprice_positive" -> "o_totalprice > 0",

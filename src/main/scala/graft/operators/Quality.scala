@@ -33,6 +33,47 @@ object Quality {
       .select(col("r.*"))
   }
 
+  /** Population-stability-index drift report between a reference and a
+    * current snapshot of one numeric column — the dataset-shift monitor
+    * a training pipeline runs before trusting new data. Both sides
+    * bucket into the same fixed [lo, hi) grid (clamped edges), counts
+    * Laplace-smoothed (+1 per bucket) so empty buckets contribute
+    * finitely, per-bucket terms (p−q)·ln(p/q) ≥ 0.
+    *
+    * Engine parity: each term is quantized to an integer
+    * (floor(x·1e9 + 0.5)) before the total sum, so `psi_total` is
+    * independent of addition order. Scale shape: two map-side-combined
+    * count aggregations (one scan per side) collapse to ≤ nBuckets
+    * rows; everything after is arithmetic on that bounded relation —
+    * the scans never join each other. Rule of thumb: psi_total < 0.1
+    * stable, > 0.25 shifted. */
+  def driftPsi(ref: DataFrame, cur: DataFrame, value: Column,
+               lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "need hi > lo and at least one bucket")
+    val w = (hi - lo) / nBuckets
+    def counts(df: DataFrame, as: String) = df.select(
+      least(lit(nBuckets - 1), greatest(lit(0),
+        floor((value.cast(DoubleType) - lo) / w))).cast(LongType).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(as))
+    val spine = ref.sparkSession.range(nBuckets.toLong)
+      .select(col("id").as("bucket"))
+    val joined = spine
+      .join(counts(ref, "n_ref"), Seq("bucket"), "left")
+      .join(counts(cur, "n_cur"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val tot = joined.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+    val p = (col("n_ref") + 1).cast(DoubleType) / (col("tr") + nBuckets).cast(DoubleType)
+    val q = (col("n_cur") + 1).cast(DoubleType) / (col("tc") + nBuckets).cast(DoubleType)
+    val terms = joined.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        floor((p - q) * log(p / q) * lit(1e9) + lit(0.5)).cast(LongType).as("__qt"))
+    val total = terms.agg(sum("__qt").as("__tt"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        (col("__qt").cast(DoubleType) / 1e9).as("psi_term"),
+        (col("__tt").cast(DoubleType) / 1e9).as("psi_total"))
+  }
+
   /** Uniqueness expectation — not expressible as a row predicate:
     * violations = rows beyond the first per key (n - n_distinct over
     * the key tuple, nulls grouped like any other value). Emitted in the

@@ -22,6 +22,27 @@ class QualitySpec extends SparkSpec {
     assert(out("k_small") == ((0L, true)))
   }
 
+  test("driftPsi: identical populations score zero; a shift scores positive") {
+    val ref = (1L to 100L).map(i => (i % 10).toDouble).toDF("x")
+    val same = Quality.driftPsi(ref, ref, col("x"), 0.0, 10.0, 10)
+      .collect()
+    assert(same.forall(_.getDouble(4) == 0.0))
+    assert(same.forall(_.getDouble(3) == 0.0))
+    val shifted = (1L to 100L).map(i => (i % 10).toDouble + 3.0).toDF("x")
+    val psi = Quality.driftPsi(ref, shifted, col("x"), 0.0, 13.0, 13)
+      .collect().head.getDouble(4)
+    assert(psi > 0.25, s"a 3-bucket shift should read as drifted, got $psi")
+  }
+
+  test("driftPsi: empty buckets contribute finitely (Laplace smoothing)") {
+    val ref = Seq(0.5, 0.5, 0.5).toDF("x")   // all mass in bucket 0
+    val cur = Seq(9.5, 9.5).toDF("x")        // all mass in bucket 9
+    val rows = Quality.driftPsi(ref, cur, col("x"), 0.0, 10.0, 10).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    assert(rows.forall(_.getDouble(3) >= 0.0))
+  }
+
   test("dqUnique: counts rows beyond the first per key; empty frame passes") {
     val dup = Quality.dqUnique(frame, Seq("k"), "k_unique").collect().head
     assert((dup.getString(0), dup.getLong(1), dup.getBoolean(2)) == (("k_unique", 1L, false)))
