@@ -342,7 +342,25 @@ object ScaleQueries {
       col("o_totalprice"), lo = 0.0, hi = 600000.0, nBuckets = 20)
   }
 
+  private val cmDepth = 4
+  private val cmWidth = 512
+
+  /** Count-min frequency estimates for every 5th user beside the exact
+    * recount — est ≥ exact always, equal when no cell collides; the
+    * sketch (d×w counters) broadcasts into the probe join. */
+  private val qCmFreq: Q = (spark, dir) => {
+    val ev = Tables.fanOut(Tables.events(spark, dir))
+    val sk = operators.Sketch.cmSketch(ev, col("user_id"), cmDepth, cmWidth)
+    val probes = ev.select(col("user_id")).distinct()
+      .filter(col("user_id") % 5 === 0)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    operators.Sketch.cmEstimate(sk, probes, "user_id", cmDepth, cmWidth)
+      .join(exact, Seq("user_id"))
+      .select(col("user_id").as("user_key"), col("est"), col("n_exact"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_cm_freq"        -> qCmFreq,
     "q_drift_psi"      -> qDriftPsi,
     "q_dq_report"      -> qDqReport,
     "q_rollup"         -> qRollup,
@@ -520,6 +538,22 @@ object ScaleQueries {
          SELECT o_orderkey, o.o_orderpriority,
            least(greatest(o_totalprice, b.lo), b.hi) AS clipped
          FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority""",
+    "q_cm_freq" -> {
+      def cell(keyExpr: String) =
+        s"CAST('0x' || substring(md5('cm' || CAST(rs.r AS VARCHAR) || ':' || CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT) % $cmWidth"
+      s"""WITH rs AS (SELECT unnest(range(0, $cmDepth)) AS r),
+          sk AS (SELECT rs.r AS r, ${cell("user_id")} AS c, count(*) AS cnt
+                 FROM events, rs GROUP BY 1, 2),
+          probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 5 = 0),
+          cells AS (SELECT p.user_id, rs.r AS r, ${cell("p.user_id")} AS c
+                    FROM probes p, rs),
+          est AS (SELECT cells.user_id, min(coalesce(sk.cnt, 0)) AS est
+                  FROM cells LEFT JOIN sk ON cells.r = sk.r AND cells.c = sk.c
+                  GROUP BY 1),
+          exact AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1)
+          SELECT est.user_id AS user_key, CAST(est.est AS BIGINT) AS est, exact.n_exact
+          FROM est JOIN exact ON est.user_id = exact.user_id"""
+    },
     "q_drift_psi" ->
       """WITH rc AS (SELECT CAST(least(19, greatest(0, floor(o_totalprice / 30000.0))) AS BIGINT) AS bucket,
                      count(*) AS c

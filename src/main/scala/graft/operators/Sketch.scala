@@ -126,4 +126,52 @@ object Sketch {
         round(lit(lo) + (col("b").cast(DoubleType)
           + (target - (col("cum") - col("cnt"))) / col("cnt")) * w, 4).as("est"))
   }
+
+  // ---------------------------------------------------------------------
+  // Count-min sketch — fixed-memory point-frequency estimation.
+  //
+  // The frequency-side partner of KMV: Misra-Gries (TopK.heavyHitters)
+  // answers "which keys are hot"; count-min answers "how often is THIS
+  // key" for any key, from d×w counters regardless of key cardinality.
+  // Estimates only ever overcount (min over d rows of salted-hash
+  // cells), and like KMV the hashes are md5-derived, so an independent
+  // engine rebuilds the sketch bit-for-bit. Sketches of disjoint shards
+  // merge by cellwise ADDITION — how a 100 TB stream's frequency table
+  // composes from per-partition sketches (pinned in PropertySpec-style
+  // merge test).
+  // ---------------------------------------------------------------------
+
+  /** Build the d×w counter relation (r, c, cnt): each input row
+    * increments one cell per hash row, cell = salted 60-bit hash mod w.
+    * The explode costs d× rows INTO the map-side combine, which
+    * collapses them to ≤ d×w partials per partition — the shuffled
+    * relation is sketch-sized, never input-sized. */
+  def cmSketch(df: DataFrame, keyCol: Column, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, "need positive depth and width")
+    val entries = (0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        pmod(hash60(concat_ws(":", lit(s"cm$r"), keyCol)), lit(width.toLong)).as("c"))
+    }
+    df.select(explode(array(entries: _*)).as("e"))
+      .groupBy(col("e.r").as("r"), col("e.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for the probe keys: est(key) = min over
+    * the d cells the key hashes to (0 for a cell no key touched). The
+    * sketch is d×w rows — it broadcasts; probing never shuffles the
+    * stream the sketch was built from. */
+  def cmEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+                 depth: Int, width: Int): DataFrame = {
+    val cells = (0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        pmod(hash60(concat_ws(":", lit(s"cm$r"), col(keyCol))), lit(width.toLong)).as("c"))
+    }
+    probes.select(col(keyCol), explode(array(cells: _*)).as("e"))
+      .select(col(keyCol), col("e.r").as("r"), col("e.c").as("c"))
+      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cnt")).as("est"))
+  }
 }

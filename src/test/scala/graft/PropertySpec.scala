@@ -190,6 +190,32 @@ class PropertySpec extends SparkSpec {
     docs.foreach { case (id, t) => assert(out(id) == t, s"doc $id mangled") }
   }
 
+  test("count-min: est >= exact always, exact when the sketch is roomy; shards merge by cell sum") {
+    val key: Gen[String] = Gen.oneOf(Gen.alphaNumStr.map("u" + _.take(6)),
+      Gen.choose(0, 20).map(i => s"hot$i"))
+    val keys = sample(key, 200)
+    val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probes = keys.distinct.toDF("k")
+    for (w <- Seq(8, 4096)) { // saturated and roomy widths both overcount-only
+      val sk = graft.operators.Sketch.cmSketch(df, col("k"), depth = 4, width = w)
+      val est = graft.operators.Sketch.cmEstimate(sk, probes, "k", depth = 4, width = w)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(exact.forall { case (k, n) => est(k) >= n }, s"width=$w must never undercount")
+      if (w == 4096) assert(exact.forall { case (k, n) => est(k) == n },
+        "roomy sketch should be exact on this key count")
+    }
+    // mergeability: sketch(all) == cellwise sum of the two shard sketches
+    val (s1, s2) = (df.filter(col("id") % 2 === 0), df.filter(col("id") % 2 === 1))
+    val merged = graft.operators.Sketch.cmSketch(s1, col("k"), 4, 64)
+      .unionByName(graft.operators.Sketch.cmSketch(s2, col("k"), 4, 64))
+      .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = graft.operators.Sketch.cmSketch(df, col("k"), 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
   test("bloomKeepClean ≡ plain anti-join over generated corpora and tiny bitmaps") {
     val key: Gen[String] = Gen.oneOf(Gen.alphaNumStr.map("k" + _.take(8)),
       Gen.choose(0, 30).map(i => s"dup$i"))
