@@ -15,6 +15,41 @@ class PlanSpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("AQE splits the hot partition of a skewed sort-merge join (skew=true)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> util.Try(Option(conf.get(k))).toOption.flatten)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1") // and keep it SMJ at runtime
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key carrying ~2MB of incompressible-ish pad against a uniform tail
+      val left = ((1 to 20000).map(i => (1L, i)) ++ (2 to 50).map(i => (i.toLong, i)))
+        .map { case (k, i) => (k, s"pad-$i-${i * 2654435761L}%-${i * 40503L}") }
+        .toDF("k", "pad")
+      val right = (1 to 50).map(i => (i.toLong, i)).toDF("k", "v")
+      val j = left.join(right, "k")
+      // collect() drives THIS Dataset's QueryExecution (a write would clone
+      // it and leave the adaptive plan here unfinalized)
+      assert(j.collect().length == 20049)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should mark the hot partition's join as skew-split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("contaminationReport never shuffles the corpus (broadcast probe)") {
     val corpus = (1L to 50L).map(i => (i, s"tok$i a b c d e f")).toDF("id", "text")
     val bench = Seq((99L, "a b c d")).toDF("id", "text")
