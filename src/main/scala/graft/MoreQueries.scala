@@ -231,6 +231,19 @@ object MoreQueries {
               count(lit(1)).over(w).as("n_so_far"))
   }
 
+  /** W5 — percent_rank / cume_dist analytics: each order's price
+    * percentile within its priority class (the relative-standing form
+    * of the quality-tier cut). One window sort per priority partition,
+    * rounded to absorb the (rank−1)/(n−1) double division. */
+  private val qW5RankStats: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+  }
+
   /** P2/P3/P4 — drop, rename, authoritative column reorder: the sink-prep
     * reshape (Kafka_GSMLSConsumer.py:254-284, :60, :929-1013). */
   private val qP234Reshape: Q = (spark, dir) => {
@@ -309,6 +322,7 @@ object MoreQueries {
 
   def queries: Map[String, Q] = Map(
     "q_set_ops"            -> qSetOps,
+    "q_w5_rank_stats"      -> qW5RankStats,
     "q_e1_producer"        -> qE1Producer,
     "q_st7_rate_partition" -> qSt7RatePartition,
     "q_st_stream_dedup"    -> qStStreamDedup,
@@ -327,6 +341,13 @@ object MoreQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_w5_rank_stats" ->
+      """SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+           round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey), 6) AS cd
+         FROM orders""",
     "q_set_ops" ->
       """SELECT o_custkey, 'intersect' AS op FROM (
            SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0
