@@ -202,6 +202,25 @@ object ExtensionQueries {
       .select(col("vec_id"), col("j").cast(LongType).as("j"),
         round(col("proj"), 6).as("proj"))
 
+  /** IVF cell-occupancy report: vectors per cell and quantized mean
+    * norm — the index-health check run before trusting an IVF layout
+    * (skewed cells → probe cost skews with them). Aggregates the
+    * broadcast-assign relation straight down to |cells| rows; the mean
+    * rides an integer-quantized norm sum, so it is addition-order
+    * independent. */
+  private val qIvfCells: Q = (spark, dir) => {
+    val assigned = Similarity.ivfAssign(
+      Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
+      centroidStep = 50)
+    val qn = floor(
+      sqrt(Similarity.dot(col("embedding"), col("embedding"))) * 1e6 + 0.5)
+      .cast(LongType)
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(qn).as("__qs"))
+      .select(col("cell"), col("n"),
+        round(col("__qs").cast(DoubleType) / 1e6 / col("n"), 4).as("mean_norm"))
+  }
+
   /** IVF ANN over the TRAINED coarse quantizer: 2 deterministic Lloyd
     * iterations from the every-50th seed, then 3-cell probe. */
   private val qSimIvfKmeans: Q = (spark, dir) =>
@@ -244,7 +263,8 @@ object ExtensionQueries {
     "q_ann_recall_kmeans" -> qAnnRecallKmeans,
     "q_sim_embed_dedup" -> qSimEmbedDedup,
     "q_sim_embed_probed" -> qSimEmbedProbed,
-    "q_embed_project"   -> qEmbedProject
+    "q_embed_project"   -> qEmbedProject,
+    "q_ivf_cells"       -> qIvfCells
   )
 
   // =====================================================================
@@ -668,6 +688,12 @@ object ExtensionQueries {
         s"""SELECT vec_id, CAST($j AS BIGINT) AS j,
             round(${dotSql("embedding", sqlList(w.toSeq))} / sqrt(${planes.length}.0), 6) AS proj
             FROM embeddings"""
-      }.mkString(" UNION ALL ")
+      }.mkString(" UNION ALL "),
+    "q_ivf_cells" ->
+      s"""WITH $ivfAnnCtes,
+          g AS (SELECT cell, count(*) AS n,
+                  CAST(sum(CAST(floor(${normSql("embedding")} * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qs
+                FROM assign GROUP BY cell)
+          SELECT cell, n, round(qs / 1000000.0 / n, 4) AS mean_norm FROM g"""
   )
 }
