@@ -197,7 +197,7 @@ object ExtensionQueries {
     * un-signed half of the bucket computation made first-class. */
   private val qEmbedProject: Q = (spark, dir) =>
     Similarity.randomProjection(Tables.fanOut(Tables.embeddings(spark, dir)),
-      "vec_id", "embedding", numPlanes, queryVec.length)
+      "embedding", numPlanes, queryVec.length)
       .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "proj")))
       .select(col("vec_id"), col("j").cast(LongType).as("j"),
         round(col("proj"), 6).as("proj"))
@@ -213,7 +213,7 @@ object ExtensionQueries {
       Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
       centroidStep = 50)
     val qn = floor(
-      sqrt(Similarity.dot(col("embedding"), col("embedding"))) * 1e6 + 0.5)
+      Similarity.normOf(assigned, col("embedding")) * 1e6 + 0.5)
       .cast(LongType)
     assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), sum(qn).as("__qs"))

@@ -22,8 +22,13 @@ object Quality {
     * constraint the engine actually enforces. */
   def dqReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"rule names must be unique, got ${rules.map(_._1)}")
+    // coalesce: sum over an EMPTY frame is NULL — an empty partition/day
+    // must read as 0 violations / passed, not a null verdict
     val aggs = rules.map { case (name, pred) =>
-      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__v_$name")
+      coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)), lit(0L))
+        .as(s"__v_$name")
     }
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(rules.map { case (name, _) =>
@@ -57,10 +62,15 @@ object Quality {
       .groupBy("bucket").agg(count(lit(1)).as(as))
     val spine = ref.sparkSession.range(nBuckets.toLong)
       .select(col("id").as("bucket"))
+    // persisted: tot/terms/total each re-reference this relation, and
+    // without the pin every reference would re-run BOTH snapshot scans —
+    // the "one scan per side" claim must be structural, not an accident
+    // of exchange reuse. ≤ nBuckets rows, so the cache is a few KB.
     val joined = spine
       .join(counts(ref, "n_ref"), Seq("bucket"), "left")
       .join(counts(cur, "n_cur"), Seq("bucket"), "left")
       .na.fill(0L, Seq("n_ref", "n_cur"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = joined.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
     val p = (col("n_ref") + 1).cast(DoubleType) / (col("tr") + nBuckets).cast(DoubleType)
     val q = (col("n_cur") + 1).cast(DoubleType) / (col("tc") + nBuckets).cast(DoubleType)
@@ -76,9 +86,11 @@ object Quality {
 
   /** Uniqueness expectation — not expressible as a row predicate:
     * violations = rows beyond the first per key (n - n_distinct over
-    * the key tuple, nulls grouped like any other value). Emitted in the
-    * same (rule, n_violations, passed) shape so it unions with
-    * [[dqReport]] into one report. */
+    * the key tuple, nulls grouped like any other value — STRICTER than
+    * SQL `count(*) - count(DISTINCT k)`, which ignores null keys; pair
+    * this with a count-distinct oracle form only on non-null keys).
+    * Emitted in the same (rule, n_violations, passed) shape so it
+    * unions with [[dqReport]] into one report. */
   def dqUnique(df: DataFrame, keyCols: Seq[String], name: String): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__c"))

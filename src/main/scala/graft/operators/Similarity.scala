@@ -357,6 +357,15 @@ object Similarity {
   private def cosineFor(native: Boolean)(a: Column, b: Column): Column =
     dotFor(native)(a, b) / (normFor(native)(a) * normFor(native)(b))
 
+  /** Public session-aware forms for composing queries outside this
+    * file: native `vec_dot` when the extension is registered on `df`'s
+    * session, bit-identical HOF fold otherwise. */
+  def dotOf(df: DataFrame, a: Column, b: Column): Column =
+    dotFor(hasNative(df))(a, b)
+
+  def normOf(df: DataFrame, a: Column): Column =
+    normFor(hasNative(df))(a)
+
   /** Literal column for a constant query vector. */
   def vecLit(q: Seq[Double]): Column = array(q.map(lit): _*)
 
@@ -460,7 +469,7 @@ object Similarity {
     * Scale shape: a pure per-row projection — no shuffle, no state;
     * stays inside whole-stage codegen (native VecDot when registered),
     * and cuts downstream ANN/cluster cost by dims/outDims. */
-  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+  def randomProjection(emb: DataFrame, vecCol: String,
                        outDims: Int, dims: Int): DataFrame = {
     val planes = hyperplaneWeights(outDims, dims)
     val native = hasNative(emb)

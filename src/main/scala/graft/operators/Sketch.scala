@@ -146,11 +146,23 @@ object Sketch {
     * The explode costs d× rows INTO the map-side combine, which
     * collapses them to ≤ d×w partials per partition — the shuffled
     * relation is sketch-sized, never input-sized. */
+  /** NULL keys hash under an explicit sentinel — `concat_ws` would
+    * silently drop a null operand and fold every null into the
+    * salt-only cell while a SQL mirror's `||` yields NULL and never
+    * matches the sketch (an undercount). The sentinel keeps build and
+    * probe consistent in BOTH engines: mirror with
+    * `coalesce(CAST(k AS VARCHAR), '')`. A null key thus shares the
+    * empty-string key's cells — a collision, and CM collisions only
+    * ever overcount, which the estimator already tolerates. */
+  private def cmKey(keyCol: Column, r: Int): Column =
+    concat_ws(":", lit(s"cm$r"),
+      coalesce(keyCol.cast(StringType), lit("")))
+
   def cmSketch(df: DataFrame, keyCol: Column, depth: Int, width: Int): DataFrame = {
     require(depth > 0 && width > 0, "need positive depth and width")
     val entries = (0 until depth).map { r =>
       struct(lit(r).as("r"),
-        pmod(hash60(concat_ws(":", lit(s"cm$r"), keyCol)), lit(width.toLong)).as("c"))
+        pmod(hash60(cmKey(keyCol, r)), lit(width.toLong)).as("c"))
     }
     df.select(explode(array(entries: _*)).as("e"))
       .groupBy(col("e.r").as("r"), col("e.c").as("c"))
@@ -165,7 +177,7 @@ object Sketch {
                  depth: Int, width: Int): DataFrame = {
     val cells = (0 until depth).map { r =>
       struct(lit(r).as("r"),
-        pmod(hash60(concat_ws(":", lit(s"cm$r"), col(keyCol))), lit(width.toLong)).as("c"))
+        pmod(hash60(cmKey(col(keyCol), r)), lit(width.toLong)).as("c"))
     }
     probes.select(col(keyCol), explode(array(cells: _*)).as("e"))
       .select(col(keyCol), col("e.r").as("r"), col("e.c").as("c"))

@@ -205,6 +205,16 @@ class PropertySpec extends SparkSpec {
       if (w == 4096) assert(exact.forall { case (k, n) => est(k) == n },
         "roomy sketch should be exact on this key count")
     }
+    // null keys: hashed under the sentinel, so a null probe still never
+    // undercounts the null rows (parity with a coalesce-mirrored oracle)
+    val withNulls = (keys.take(10).map(Option(_)) ++ Seq(None, None, None))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k.orNull) }.toDF("id", "k")
+    val nsk = graft.operators.Sketch.cmSketch(withNulls, col("k"), 4, 4096)
+    val nest = graft.operators.Sketch.cmEstimate(nsk,
+      Seq[Option[String]](None).map(_.orNull).toDF("k"), "k", 4, 4096)
+      .collect()
+    assert(nest.length == 1 && nest.head.getLong(1) >= 3L,
+      "null probe must count the null rows")
     // mergeability: sketch(all) == cellwise sum of the two shard sketches
     val (s1, s2) = (df.filter(col("id") % 2 === 0), df.filter(col("id") % 2 === 1))
     val merged = graft.operators.Sketch.cmSketch(s1, col("k"), 4, 64)

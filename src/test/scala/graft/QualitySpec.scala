@@ -22,6 +22,19 @@ class QualitySpec extends SparkSpec {
     assert(out("k_small") == ((0L, true)))
   }
 
+  test("dqReport: empty frame reads as zero violations, passed, never null") {
+    val out = Quality.dqReport(frame.filter(col("k") > 99), Seq(
+      "v_positive" -> (col("v") > 0)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(("v_positive", 0L, true)))
+  }
+
+  test("dqReport rejects duplicate rule names up front") {
+    intercept[IllegalArgumentException] {
+      Quality.dqReport(frame, Seq("r" -> (col("k") > 0), "r" -> (col("v") > 0)))
+    }
+  }
+
   test("driftPsi: identical populations score zero; a shift scores positive") {
     val ref = (1L to 100L).map(i => (i % 10).toDouble).toDF("x")
     val same = Quality.driftPsi(ref, ref, col("x"), 0.0, 10.0, 10)

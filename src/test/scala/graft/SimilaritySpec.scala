@@ -286,7 +286,7 @@ class SimilaritySpec extends SparkSpec {
     val dims = 6
     val vec = (0 until dims).map(d => (d - 2).toDouble / 2.0)
     val df = Seq((1L, vec)).toDF("vec_id", "embedding")
-    val out = Similarity.randomProjection(df, "vec_id", "embedding", 4, dims)
+    val out = Similarity.randomProjection(df, "embedding", 4, dims)
     val proj = out.select("proj").collect().head.getSeq[Double](0)
     val planes = Similarity.hyperplaneWeights(4, dims)
     val expected = planes.map(w =>
