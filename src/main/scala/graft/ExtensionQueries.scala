@@ -221,6 +221,14 @@ object ExtensionQueries {
         round(col("__qs").cast(DoubleType) / 1e6 / col("n"), 4).as("mean_norm"))
   }
 
+  /** Per-cell canonical vector — the member nearest its centroid with
+    * the cell population: semantic dedup's keep-one-exemplar step on
+    * the vector side, as a max aggregation (no corpus window sort). */
+  private val qCellReps: Q = (spark, dir) =>
+    Similarity.cellRepresentatives(
+      Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
+      centroidStep = 50)
+
   /** IVF ANN over the TRAINED coarse quantizer: 2 deterministic Lloyd
     * iterations from the every-50th seed, then 3-cell probe. */
   private val qSimIvfKmeans: Q = (spark, dir) =>
@@ -264,7 +272,8 @@ object ExtensionQueries {
     "q_sim_embed_dedup" -> qSimEmbedDedup,
     "q_sim_embed_probed" -> qSimEmbedProbed,
     "q_embed_project"   -> qEmbedProject,
-    "q_ivf_cells"       -> qIvfCells
+    "q_ivf_cells"       -> qIvfCells,
+    "q_cell_reps"       -> qCellReps
   )
 
   // =====================================================================
@@ -694,6 +703,17 @@ object ExtensionQueries {
           g AS (SELECT cell, count(*) AS n,
                   CAST(sum(CAST(floor(${normSql("embedding")} * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qs
                 FROM assign GROUP BY cell)
-          SELECT cell, n, round(qs / 1000000.0 / n, 4) AS mean_norm FROM g"""
+          SELECT cell, n, round(qs / 1000000.0 / n, 4) AS mean_norm FROM g""",
+    "q_cell_reps" ->
+      s"""WITH $ivfAnnCtes,
+          j AS (SELECT a.cell, a.vec_id,
+                  ${cosine2Sql("a.embedding", "c.cvec")} AS cos
+                FROM assign a JOIN cent c ON a.cell = c.cid),
+          r AS (SELECT cell, vec_id, cos,
+                  row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY cell) AS n
+                FROM j)
+          SELECT cell, CAST(n AS BIGINT) AS n, vec_id AS rep_id, cos AS rep_cos
+          FROM r WHERE rn = 1"""
   )
 }

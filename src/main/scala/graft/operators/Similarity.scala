@@ -556,6 +556,36 @@ object Similarity {
         (lit(b - 1) - pmod(col("__mp"), lit(b))).as("cell"))
   }
 
+  /** Per-cell representative: the member closest to its cell centroid
+    * (ties → lowest id) plus the cell population — the
+    * canonical-per-cluster step of semantic dedup on the vector side
+    * (keep one exemplar per region, as SemDeDup keeps one per cluster).
+    *
+    * Same packed-argmax idiom as [[ivfAssignTo]] — a map-side-combined
+    * `max` aggregation, never a window sort of the corpus. The
+    * quantized cosine is shifted by +1e6 so the packed long stays
+    * non-negative and BOTH halves unpack exactly (truncating division
+    * is only safe on non-negative packs; assignment never unpacks its
+    * cosine, this does). Output: (cell, n, rep_id, rep_cos). */
+  def cellRepresentatives(emb: DataFrame, idCol: String, vecCol: String,
+                          centroidStep: Int): DataFrame = {
+    val native = hasNative(emb)
+    val b = 1L << 40
+    val cent = centroids(emb, idCol, vecCol, centroidStep)
+    ivfAssignTo(emb, idCol, vecCol, cent)
+      .join(broadcast(cent), col("cell") === col("cid"))
+      .withColumn("__ccos",
+        round(cosineFor(native)(col(vecCol), col("cvec")), 6))
+      .withColumn("__pk",
+        (round(col("__ccos") * 1e6).cast(LongType) + lit(1000000L)) * b
+          + (lit(b - 1) - col(idCol)))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), max(col("__pk")).as("__mp"))
+      .select(col("cell"), col("n"),
+        (lit(b - 1) - pmod(col("__mp"), lit(b))).as("rep_id"),
+        round((expr(s"__mp div $b") - lit(1000000L)) / 1e6, 6).as("rep_cos"))
+  }
+
   /** Trained coarse quantizer: deterministic Lloyd's k-means over the
     * corpus, initialized from the every-`centroidStep`-th seed and
     * refined for `iters` assignment/mean rounds.

@@ -298,6 +298,21 @@ class SimilaritySpec extends SparkSpec {
     assert(proj.map(p => if (p >= 0) '1' else '0').mkString == bucket)
   }
 
+  test("cellRepresentatives: centroid member wins its own cell; no window in the plan") {
+    val vecs = (0L to 9L).map { i =>
+      val base = if (i < 5) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      if (i % 5 == 0) (i, base)
+      else (i, base.zipWithIndex.map { case (v, d) => v * 0.9f + (if (d == 2) 0.1f * i else 0f) })
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.cellRepresentatives(vecs, "vec_id", "embedding", 5)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "representative selection must stay a max aggregation")
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(0L) == ((5L, 0L, 1.0)))  // the centroid itself, cos exactly 1
+    assert(rows(5L) == ((5L, 5L, 1.0)))
+  }
+
   test("minhashJaccardEstimate: identical docs estimate 1.0, estimate bounded") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
