@@ -33,6 +33,7 @@ object ExtensionQueries {
   // near-dups live (>=5 is fingerprint noise).
   private val simhashChunks = 4      // 16-bit chunks of the 64-bit fingerprint
   private val simhashMaxHamming = 3  // pigeonhole: < simhashChunks
+  private val semThreshold = 0.95    // semantic-dedup cosine-to-exemplar cut
 
   // =====================================================================
   // Spark queries
@@ -229,6 +230,14 @@ object ExtensionQueries {
       Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
       centroidStep = 50)
 
+  /** Semantic dedup over the embedding corpus: survivors of the
+    * keep-one-exemplar-per-neighborhood pass (members below 0.95
+    * cosine to their cell's representative, plus the representatives). */
+  private val qSemanticDedup: Q = (spark, dir) =>
+    Similarity.semanticDedup(
+      Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
+      centroidStep = 50, threshold = semThreshold)
+
   /** IVF ANN over the TRAINED coarse quantizer: 2 deterministic Lloyd
     * iterations from the every-50th seed, then 3-cell probe. */
   private val qSimIvfKmeans: Q = (spark, dir) =>
@@ -273,7 +282,8 @@ object ExtensionQueries {
     "q_sim_embed_probed" -> qSimEmbedProbed,
     "q_embed_project"   -> qEmbedProject,
     "q_ivf_cells"       -> qIvfCells,
-    "q_cell_reps"       -> qCellReps
+    "q_cell_reps"       -> qCellReps,
+    "q_semantic_dedup"  -> qSemanticDedup
   )
 
   // =====================================================================
@@ -714,6 +724,21 @@ object ExtensionQueries {
                   count(*) OVER (PARTITION BY cell) AS n
                 FROM j)
           SELECT cell, CAST(n AS BIGINT) AS n, vec_id AS rep_id, cos AS rep_cos
-          FROM r WHERE rn = 1"""
+          FROM r WHERE rn = 1""",
+    "q_semantic_dedup" ->
+      s"""WITH $ivfAnnCtes,
+          j AS (SELECT a.cell, a.vec_id,
+                  ${cosine2Sql("a.embedding", "c.cvec")} AS cos
+                FROM assign a JOIN cent c ON a.cell = c.cid),
+          r AS (SELECT cell, vec_id,
+                  row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id ASC) AS rn
+                FROM j),
+          rv AS (SELECT r.cell, r.vec_id AS rep_id, a.embedding AS rvec
+                 FROM r JOIN assign a ON r.vec_id = a.vec_id WHERE r.rn = 1)
+          SELECT a.vec_id, a.cell,
+                 ${cosine2Sql("a.embedding", "rv.rvec")} AS cos_rep
+          FROM assign a JOIN rv ON a.cell = rv.cell
+          WHERE a.vec_id = rv.rep_id
+             OR ${cosine2Sql("a.embedding", "rv.rvec")} < $semThreshold"""
   )
 }

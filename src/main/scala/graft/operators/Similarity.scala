@@ -586,6 +586,39 @@ object Similarity {
         round((expr(s"__mp div $b") - lit(1000000L)) / 1e6, 6).as("rep_cos"))
   }
 
+  /** Semantic dedup (SemDeDup shape): within each quantizer cell, keep
+    * the representative and every member whose cosine to it falls
+    * BELOW the threshold — near-exemplar redundancy is dropped, corpus
+    * diversity kept. Output: surviving (idCol, cell, cos_rep).
+    *
+    * One assignment pass serves rep selection, rep-vector lookup and
+    * member scoring (persisted — three consumers); the rep relation is
+    * |cells| rows and broadcasts, so after assignment NOTHING shuffles
+    * the corpus again. The all-pairs within-cell compare SemDeDup is
+    * known for is avoided entirely: members compare only to their
+    * cell's one exemplar, O(n) cosines total. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroidStep: Int, threshold: Double): DataFrame = {
+    val native = hasNative(emb)
+    val b = 1L << 40
+    val cent = centroids(emb, idCol, vecCol, centroidStep)
+    val assigned = ivfAssignTo(emb, idCol, vecCol, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = assigned.join(broadcast(cent), col("cell") === col("cid"))
+      .withColumn("__ccos", round(cosineFor(native)(col(vecCol), col("cvec")), 6))
+      .withColumn("__pk",
+        (round(col("__ccos") * 1e6).cast(LongType) + lit(1000000L)) * b
+          + (lit(b - 1) - col(idCol)))
+      .groupBy(col("cell")).agg(max(col("__pk")).as("__mp"))
+      .select(col("cell"), (lit(b - 1) - pmod(col("__mp"), lit(b))).as("rep_id"))
+    val repVecs = reps.join(
+      assigned.select(col(idCol).as("rep_id"), col(vecCol).as("__rv")), Seq("rep_id"))
+    assigned.join(broadcast(repVecs), Seq("cell"))
+      .withColumn("cos_rep", round(cosineFor(native)(col(vecCol), col("__rv")), 6))
+      .filter(col(idCol) === col("rep_id") || col("cos_rep") < threshold)
+      .select(col(idCol), col("cell"), col("cos_rep"))
+  }
+
   /** Trained coarse quantizer: deterministic Lloyd's k-means over the
     * corpus, initialized from the every-`centroidStep`-th seed and
     * refined for `iters` assignment/mean rounds.

@@ -313,6 +313,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(5L) == ((5L, 5L, 1.0)))
   }
 
+  test("semanticDedup drops the near-copy of an exemplar, keeps diverse members") {
+    // centroids: ids 0 and 5. id 1 duplicates id 0's direction exactly
+    // (cos 1 to the rep), id 2 is oblique (cos < 0.95) and must survive.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),       // same direction as rep 0 -> dropped
+      (2L, Array(0.8f, 0f, 0.6f, 0f)),   // cos 0.8 to rep 0 -> kept
+      (5L, Array(0f, 1f, 0f, 0f)),
+      (6L, Array(0f, 0.9f, 0f, 0.1f))).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      centroidStep = 5, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L), "exact-direction duplicate must be dropped")
+    assert(Set(0L, 2L, 5L).subsetOf(kept))
+  }
+
   test("minhashJaccardEstimate: identical docs estimate 1.0, estimate bounded") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
