@@ -734,11 +734,11 @@ object ExtensionQueries {
                   row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id ASC) AS rn
                 FROM j),
           rv AS (SELECT r.cell, r.vec_id AS rep_id, a.embedding AS rvec
-                 FROM r JOIN assign a ON r.vec_id = a.vec_id WHERE r.rn = 1)
-          SELECT a.vec_id, a.cell,
-                 ${cosine2Sql("a.embedding", "rv.rvec")} AS cos_rep
-          FROM assign a JOIN rv ON a.cell = rv.cell
-          WHERE a.vec_id = rv.rep_id
-             OR ${cosine2Sql("a.embedding", "rv.rvec")} < $semThreshold"""
+                 FROM r JOIN assign a ON r.vec_id = a.vec_id WHERE r.rn = 1),
+          scored AS (SELECT a.vec_id, a.cell, rv.rep_id,
+                       ${cosine2Sql("a.embedding", "rv.rvec")} AS cos_rep
+                     FROM assign a JOIN rv ON a.cell = rv.cell)
+          SELECT vec_id, cell, cos_rep FROM scored
+          WHERE vec_id = rep_id OR cos_rep < $semThreshold"""
   )
 }

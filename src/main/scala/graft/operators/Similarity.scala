@@ -569,21 +569,37 @@ object Similarity {
     * cosine, this does). Output: (cell, n, rep_id, rep_cos). */
   def cellRepresentatives(emb: DataFrame, idCol: String, vecCol: String,
                           centroidStep: Int): DataFrame = {
-    val native = hasNative(emb)
     val b = 1L << 40
     val cent = centroids(emb, idCol, vecCol, centroidStep)
-    ivfAssignTo(emb, idCol, vecCol, cent)
-      .join(broadcast(cent), col("cell") === col("cid"))
-      .withColumn("__ccos",
-        round(cosineFor(native)(col(vecCol), col("cvec")), 6))
-      .withColumn("__pk",
-        (round(col("__ccos") * 1e6).cast(LongType) + lit(1000000L)) * b
-          + (lit(b - 1) - col(idCol)))
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"), max(col("__pk")).as("__mp"))
+    repSelection(ivfAssignTo(emb, idCol, vecCol, cent), cent,
+      idCol, vecCol, hasNative(emb))
       .select(col("cell"), col("n"),
         (lit(b - 1) - pmod(col("__mp"), lit(b))).as("rep_id"),
         round((expr(s"__mp div $b") - lit(1000000L)) / 1e6, 6).as("rep_cos"))
+  }
+
+  /** Shared exemplar selection over an assigned relation: per cell the
+    * packed (shifted cosine, complemented id) argmax plus the member
+    * count — output (cell, n, __mp) for the callers to unpack. The
+    * member-id range invariant (0 ≤ id < 2^40) is enforced the same way
+    * [[ivfAssignTo]] guards cids: an id outside the range would bleed
+    * into the cosine field and silently corrupt the argmax. The
+    * assert_true rides the pack projection — one comparison per row,
+    * noise beside the O(dims) cosine fold. */
+  private def repSelection(assigned: DataFrame, cent: DataFrame,
+                           idCol: String, vecCol: String,
+                           native: Boolean): DataFrame = {
+    val b = 1L << 40
+    assigned.join(broadcast(cent), col("cell") === col("cid"))
+      .withColumn("__ccos",
+        round(cosineFor(native)(col(vecCol), col("cvec")), 6))
+      .withColumn("__pk",
+        when(assert_true(col(idCol) >= 0 && col(idCol) < b,
+               lit(s"repSelection: member id must be in [0, 2^40)")).isNull,
+          (round(col("__ccos") * 1e6).cast(LongType) + lit(1000000L)) * b
+            + (lit(b - 1) - col(idCol))))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), max(col("__pk")).as("__mp"))
   }
 
   /** Semantic dedup (SemDeDup shape): within each quantizer cell, keep
@@ -592,11 +608,14 @@ object Similarity {
     * diversity kept. Output: surviving (idCol, cell, cos_rep).
     *
     * One assignment pass serves rep selection, rep-vector lookup and
-    * member scoring (persisted — three consumers); the rep relation is
-    * |cells| rows and broadcasts, so after assignment NOTHING shuffles
-    * the corpus again. The all-pairs within-cell compare SemDeDup is
-    * known for is avoided entirely: members compare only to their
-    * cell's one exemplar, O(n) cosines total. */
+    * member scoring (persisted for its three consumers; the cache lives
+    * until the caller's session clears it — same contract as
+    * lshJaccard's persisted relations); the rep relation is |cells|
+    * rows and BROADCASTS into both the vector lookup and the scoring
+    * join, so after assignment nothing shuffles the corpus again. The
+    * all-pairs within-cell compare SemDeDup is known for is avoided
+    * entirely: members compare only to their cell's one exemplar, O(n)
+    * cosines total. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     centroidStep: Int, threshold: Double): DataFrame = {
     val native = hasNative(emb)
@@ -604,14 +623,12 @@ object Similarity {
     val cent = centroids(emb, idCol, vecCol, centroidStep)
     val assigned = ivfAssignTo(emb, idCol, vecCol, cent)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = assigned.join(broadcast(cent), col("cell") === col("cid"))
-      .withColumn("__ccos", round(cosineFor(native)(col(vecCol), col("cvec")), 6))
-      .withColumn("__pk",
-        (round(col("__ccos") * 1e6).cast(LongType) + lit(1000000L)) * b
-          + (lit(b - 1) - col(idCol)))
-      .groupBy(col("cell")).agg(max(col("__pk")).as("__mp"))
+    val reps = repSelection(assigned, cent, idCol, vecCol, native)
       .select(col("cell"), (lit(b - 1) - pmod(col("__mp"), lit(b))).as("rep_id"))
-    val repVecs = reps.join(
+    // broadcast the |cells|-row side: reps is an aggregate whose size
+    // ESTIMATE falls back to its child (the corpus), so without the hint
+    // the planner would shuffle the assignment relation on rep_id
+    val repVecs = broadcast(reps).join(
       assigned.select(col(idCol).as("rep_id"), col(vecCol).as("__rv")), Seq("rep_id"))
     assigned.join(broadcast(repVecs), Seq("cell"))
       .withColumn("cos_rep", round(cosineFor(native)(col(vecCol), col("__rv")), 6))

@@ -325,8 +325,9 @@ class SimilaritySpec extends SparkSpec {
     val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding",
       centroidStep = 5, threshold = 0.95)
       .collect().map(_.getLong(0)).toSet
-    assert(!kept.contains(1L), "exact-direction duplicate must be dropped")
-    assert(Set(0L, 2L, 5L).subsetOf(kept))
+    // exact set: 1 (cos 1.0 to rep 0) AND 6 (cos ~0.994 to rep 5) dropped,
+    // oblique member 2 (cos 0.8) and both exemplars kept
+    assert(kept == Set(0L, 2L, 5L))
   }
 
   test("minhashJaccardEstimate: identical docs estimate 1.0, estimate bounded") {
