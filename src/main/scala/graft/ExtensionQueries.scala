@@ -34,6 +34,7 @@ object ExtensionQueries {
   private val simhashChunks = 4      // 16-bit chunks of the 64-bit fingerprint
   private val simhashMaxHamming = 3  // pigeonhole: < simhashChunks
   private val semThreshold = 0.95    // semantic-dedup cosine-to-exemplar cut
+  private val mmMinTokens = 10       // cross-modal curation token floor
 
   // =====================================================================
   // Spark queries
@@ -238,6 +239,23 @@ object ExtensionQueries {
       Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
       centroidStep = 50, threshold = semThreshold)
 
+  /** Cross-modal curation capstone: a document survives only when BOTH
+    * modalities pass — its text clears the token floor AND its
+    * embedding survives semantic dedup. The doc table joins the
+    * survivor relation on the shared id; at scale the text gate is a
+    * pure projection and the vector gate never shuffles the corpus
+    * after assignment, so the composition inherits both scale shapes. */
+  private val qCurateMultimodal: Q = (spark, dir) => {
+    val surv = Similarity.semanticDedup(
+      Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
+      centroidStep = 50, threshold = semThreshold)
+    Tables.fanOut(Tables.documents(spark, dir))
+      .join(surv, col("doc_id") === col("vec_id"))
+      .withColumn("n_tok", Text.tokenCount(col("text")).cast(LongType))
+      .filter(col("n_tok") >= mmMinTokens)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cell"))
+  }
+
   /** IVF ANN over the TRAINED coarse quantizer: 2 deterministic Lloyd
     * iterations from the every-50th seed, then 3-cell probe. */
   private val qSimIvfKmeans: Q = (spark, dir) =>
@@ -283,7 +301,8 @@ object ExtensionQueries {
     "q_embed_project"   -> qEmbedProject,
     "q_ivf_cells"       -> qIvfCells,
     "q_cell_reps"       -> qCellReps,
-    "q_semantic_dedup"  -> qSemanticDedup
+    "q_semantic_dedup"  -> qSemanticDedup,
+    "q_curate_multimodal" -> qCurateMultimodal
   )
 
   // =====================================================================
@@ -726,19 +745,32 @@ object ExtensionQueries {
           SELECT cell, CAST(n AS BIGINT) AS n, vec_id AS rep_id, cos AS rep_cos
           FROM r WHERE rn = 1""",
     "q_semantic_dedup" ->
-      s"""WITH $ivfAnnCtes,
-          j AS (SELECT a.cell, a.vec_id,
-                  ${cosine2Sql("a.embedding", "c.cvec")} AS cos
-                FROM assign a JOIN cent c ON a.cell = c.cid),
-          r AS (SELECT cell, vec_id,
-                  row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id ASC) AS rn
-                FROM j),
-          rv AS (SELECT r.cell, r.vec_id AS rep_id, a.embedding AS rvec
-                 FROM r JOIN assign a ON r.vec_id = a.vec_id WHERE r.rn = 1),
-          scored AS (SELECT a.vec_id, a.cell, rv.rep_id,
-                       ${cosine2Sql("a.embedding", "rv.rvec")} AS cos_rep
-                     FROM assign a JOIN rv ON a.cell = rv.cell)
-          SELECT vec_id, cell, cos_rep FROM scored
-          WHERE vec_id = rep_id OR cos_rep < $semThreshold"""
+      s"""WITH $semanticDedupCtes
+          SELECT vec_id, cell, cos_rep FROM surv""",
+    "q_curate_multimodal" ->
+      s"""WITH $semanticDedupCtes
+          SELECT d.doc_id, d.source,
+                 CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT) AS n_tok,
+                 s.cell
+          FROM documents d JOIN surv s ON d.doc_id = s.vec_id
+          WHERE len(string_split_regex(d.text, '\\s+')) >= $mmMinTokens"""
   )
+
+  /** Semantic-dedup CTE chain ending at `surv(vec_id, cell, cos_rep)` —
+    * shared by q_semantic_dedup / q_curate_multimodal. */
+  private lazy val semanticDedupCtes =
+    s"""$ivfAnnCtes,
+       |j AS (SELECT a.cell, a.vec_id,
+       |        ${cosine2Sql("a.embedding", "c.cvec")} AS cos
+       |      FROM assign a JOIN cent c ON a.cell = c.cid),
+       |r AS (SELECT cell, vec_id,
+       |        row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id ASC) AS rn
+       |      FROM j),
+       |rv AS (SELECT r.cell, r.vec_id AS rep_id, a.embedding AS rvec
+       |       FROM r JOIN assign a ON r.vec_id = a.vec_id WHERE r.rn = 1),
+       |scored AS (SELECT a.vec_id, a.cell, rv.rep_id,
+       |             ${cosine2Sql("a.embedding", "rv.rvec")} AS cos_rep
+       |           FROM assign a JOIN rv ON a.cell = rv.cell),
+       |surv AS (SELECT vec_id, cell, cos_rep FROM scored
+       |         WHERE vec_id = rep_id OR cos_rep < $semThreshold)""".stripMargin
 }
