@@ -233,11 +233,20 @@ object ExtensionQueries {
 
   /** Semantic dedup over the embedding corpus: survivors of the
     * keep-one-exemplar-per-neighborhood pass (members below 0.95
-    * cosine to their cell's representative, plus the representatives). */
-  private val qSemanticDedup: Q = (spark, dir) =>
-    Similarity.semanticDedup(
-      Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
-      centroidStep = 50, threshold = semThreshold)
+    * cosine to their cell's representative, plus the representatives).
+    * Runs the PRODUCTION path — a trained bounded-k quantizer (2 Lloyd
+    * iterations from the every-50th seed, same training as
+    * q_sim_ivf_kmeans) passed explicitly, so the rep broadcast is O(k),
+    * not O(corpus/step). */
+  private val qSemanticDedup: Q = (spark, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      centroidStep = 50, iters = 2)
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      cent, threshold = semThreshold)
+    Similarity.release(cent)
+    out
+  }
 
   /** Cross-modal curation capstone: a document survives only when BOTH
     * modalities pass — its text clears the token floor AND its
@@ -246,9 +255,12 @@ object ExtensionQueries {
     * pure projection and the vector gate never shuffles the corpus
     * after assignment, so the composition inherits both scale shapes. */
   private val qCurateMultimodal: Q = (spark, dir) => {
-    val surv = Similarity.semanticDedup(
-      Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
-      centroidStep = 50, threshold = semThreshold)
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      centroidStep = 50, iters = 2)
+    val surv = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      cent, threshold = semThreshold)
+    Similarity.release(cent)
     Tables.fanOut(Tables.documents(spark, dir))
       .join(surv, col("doc_id") === col("vec_id"))
       .withColumn("n_tok", Text.tokenCount(col("text")).cast(LongType))
@@ -757,20 +769,23 @@ object ExtensionQueries {
   )
 
   /** Semantic-dedup CTE chain ending at `surv(vec_id, cell, cos_rep)` —
-    * shared by q_semantic_dedup / q_curate_multimodal. */
+    * shared by q_semantic_dedup / q_curate_multimodal. Mirrors the
+    * TRAINED path: assignment (`af`) and rep scoring run against the
+    * 2-iteration k-means quantizer `cent2`, exactly as the Spark side
+    * passes kmeansCentroids output to the semanticDedup overload. */
   private lazy val semanticDedupCtes =
-    s"""$ivfAnnCtes,
+    s"""$ivfKmeansCtes,
        |j AS (SELECT a.cell, a.vec_id,
        |        ${cosine2Sql("a.embedding", "c.cvec")} AS cos
-       |      FROM assign a JOIN cent c ON a.cell = c.cid),
+       |      FROM af a JOIN cent2 c ON a.cell = c.cid),
        |r AS (SELECT cell, vec_id,
        |        row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id ASC) AS rn
        |      FROM j),
        |rv AS (SELECT r.cell, r.vec_id AS rep_id, a.embedding AS rvec
-       |       FROM r JOIN assign a ON r.vec_id = a.vec_id WHERE r.rn = 1),
+       |       FROM r JOIN af a ON r.vec_id = a.vec_id WHERE r.rn = 1),
        |scored AS (SELECT a.vec_id, a.cell, rv.rep_id,
        |             ${cosine2Sql("a.embedding", "rv.rvec")} AS cos_rep
-       |           FROM assign a JOIN rv ON a.cell = rv.cell),
+       |           FROM af a JOIN rv ON a.cell = rv.cell),
        |surv AS (SELECT vec_id, cell, cos_rep FROM scored
        |         WHERE vec_id = rep_id OR cos_rep < $semThreshold)""".stripMargin
 }

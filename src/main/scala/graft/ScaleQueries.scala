@@ -539,8 +539,11 @@ object ScaleQueries {
            least(greatest(o_totalprice, b.lo), b.hi) AS clipped
          FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority""",
     "q_cm_freq" -> {
+      // coalesce mirrors Sketch.cmKey's null sentinel: a NULL key must hash
+      // under '' in BOTH engines, not null out the '||' chain (which would
+      // silently drop the row from the sketch while Spark counts it)
       def cell(keyExpr: String) =
-        s"CAST('0x' || substring(md5('cm' || CAST(rs.r AS VARCHAR) || ':' || CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT) % $cmWidth"
+        s"CAST('0x' || substring(md5('cm' || CAST(rs.r AS VARCHAR) || ':' || coalesce(CAST($keyExpr AS VARCHAR), '')), 1, 15) AS BIGINT) % $cmWidth"
       s"""WITH rs AS (SELECT unnest(range(0, $cmDepth)) AS r),
           sk AS (SELECT rs.r AS r, ${cell("user_id")} AS c, count(*) AS cnt
                  FROM events, rs GROUP BY 1, 2),

@@ -153,8 +153,13 @@ object Index {
     val q = floor(
       log((col("n2") + 1).cast(DoubleType) / (col("n1") + col("v")).cast(DoubleType))
         * 1000000.0 + 0.5).cast(LongType)
+    // no broadcast hint on c1: the unigram-context relation is
+    // vocabulary-sized (tens of millions of rows on a web corpus), and a
+    // forced broadcast bypasses the planner's size check — OOM instead of
+    // a graceful shuffle-join at 100×. Statistics/AQE still broadcast it
+    // when it is actually small, same as the bigram join above.
     bg.join(c2, Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+      .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .select(col(idCol), q.as("q"))
       .groupBy(col(idCol))

@@ -25,15 +25,18 @@ object Quality {
     require(rules.map(_._1).distinct.size == rules.size,
       s"rule names must be unique, got ${rules.map(_._1)}")
     // coalesce: sum over an EMPTY frame is NULL — an empty partition/day
-    // must read as 0 violations / passed, not a null verdict
-    val aggs = rules.map { case (name, pred) =>
+    // must read as 0 violations / passed, not a null verdict.
+    // Internal columns are keyed by rule INDEX, not name: a name holding a
+    // dot or backtick would make col("__v_a.b") parse as a nested-field
+    // reference; the user-facing name only ever appears as a literal.
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
       coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)), lit(0L))
-        .as(s"__v_$name")
+        .as(s"__v_$i")
     }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(rules.map { case (name, _) =>
-        struct(lit(name).as("rule"), col(s"__v_$name").as("n_violations"),
-          (col(s"__v_$name") === 0L).as("passed"))
+      .select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule"), col(s"__v_$i").as("n_violations"),
+          (col(s"__v_$i") === 0L).as("passed"))
       }: _*)).as("r"))
       .select(col("r.*"))
   }

@@ -568,9 +568,20 @@ object Similarity {
     * is only safe on non-negative packs; assignment never unpacks its
     * cosine, this does). Output: (cell, n, rep_id, rep_cos). */
   def cellRepresentatives(emb: DataFrame, idCol: String, vecCol: String,
-                          centroidStep: Int): DataFrame = {
+                          centroidStep: Int): DataFrame =
+    cellRepresentatives(emb, idCol, vecCol,
+      centroids(emb, idCol, vecCol, centroidStep))
+
+  /** [[cellRepresentatives]] against an explicit quantizer `(cid, cvec)`
+    * — the production form. `cent` is the build side of every join here,
+    * so it must stay broadcast-sized: pass a BOUNDED centroid set
+    * ([[kmeansCentroids]] output with a fixed k). The every-Nth
+    * `centroidStep` overload is the cheap bootstrap whose cell count
+    * grows linearly with the corpus — fine for index exploration, wrong
+    * at 100× (the broadcast grows with it). */
+  def cellRepresentatives(emb: DataFrame, idCol: String, vecCol: String,
+                          cent: DataFrame): DataFrame = {
     val b = 1L << 40
-    val cent = centroids(emb, idCol, vecCol, centroidStep)
     repSelection(ivfAssignTo(emb, idCol, vecCol, cent), cent,
       idCol, vecCol, hasNative(emb))
       .select(col("cell"), col("n"),
@@ -608,21 +619,38 @@ object Similarity {
     * diversity kept. Output: surviving (idCol, cell, cos_rep).
     *
     * One assignment pass serves rep selection, rep-vector lookup and
-    * member scoring (persisted for its three consumers; the cache lives
-    * until the caller's session clears it — same contract as
-    * lshJaccard's persisted relations); the rep relation is |cells|
-    * rows and BROADCASTS into both the vector lookup and the scoring
-    * join, so after assignment nothing shuffles the corpus again. The
-    * all-pairs within-cell compare SemDeDup is known for is avoided
-    * entirely: members compare only to their cell's one exemplar, O(n)
-    * cosines total. */
+    * member scoring; the corpus-sized assignment cache is released
+    * before returning (the survivor result — three narrow columns — is
+    * persisted and materialized instead, same contract as
+    * [[minhashLsh]]: callers release it via [[release]]). The rep
+    * relation is |cells| rows and BROADCASTS into both the vector
+    * lookup and the scoring join, so after assignment nothing shuffles
+    * the corpus again. The all-pairs within-cell compare SemDeDup is
+    * known for is avoided entirely: members compare only to their
+    * cell's one exemplar, O(n) cosines total.
+    *
+    * This overload quantizes with the every-`centroidStep`-th seed —
+    * the cheap bootstrap. Its cell count is n/step: it GROWS WITH THE
+    * CORPUS, so the rep broadcast that is O(k) under a trained
+    * quantizer is O(n) here. Exploration-scale only; production runs
+    * pass a bounded trained set to the `cent` overload. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-                    centroidStep: Int, threshold: Double): DataFrame = {
+                    centroidStep: Int, threshold: Double): DataFrame =
+    semanticDedup(emb, idCol, vecCol,
+      centroids(emb, idCol, vecCol, centroidStep), threshold)
+
+  /** [[semanticDedup]] against an explicit quantizer `(cid, cvec)` —
+    * the production form. Broadcast invariant: `cent` (and with it the
+    * per-cell rep relation) must stay broadcast-sized — pass a BOUNDED
+    * k, e.g. [[kmeansCentroids]] output. Everything derived from it
+    * here is ≤ |cent| rows, so the corpus never shuffles after the
+    * assignment aggregation. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    cent: DataFrame, threshold: Double): DataFrame = {
     val native = hasNative(emb)
     val b = 1L << 40
-    val cent = centroids(emb, idCol, vecCol, centroidStep)
     val assigned = ivfAssignTo(emb, idCol, vecCol, cent)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val reps = repSelection(assigned, cent, idCol, vecCol, native)
       .select(col("cell"), (lit(b - 1) - pmod(col("__mp"), lit(b))).as("rep_id"))
     // broadcast the |cells|-row side: reps is an aggregate whose size
@@ -630,10 +658,14 @@ object Similarity {
     // the planner would shuffle the assignment relation on rep_id
     val repVecs = broadcast(reps).join(
       assigned.select(col(idCol).as("rep_id"), col(vecCol).as("__rv")), Seq("rep_id"))
-    assigned.join(broadcast(repVecs), Seq("cell"))
+    val out = assigned.join(broadcast(repVecs), Seq("cell"))
       .withColumn("cos_rep", round(cosineFor(native)(col(vecCol), col("__rv")), 6))
       .filter(col(idCol) === col("rep_id") || col("cos_rep") < threshold)
       .select(col(idCol), col("cell"), col("cos_rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    assigned.unpersist(blocking = false)
+    out
   }
 
   /** Trained coarse quantizer: deterministic Lloyd's k-means over the
@@ -677,9 +709,10 @@ object Similarity {
     cent
   }
 
-  /** Release the cache of a frame returned by [[lshJaccard]] or
-    * [[kmeansCentroids]] once the caller has consumed it. The lineage
-    * survives, so late re-use recomputes rather than fails. */
+  /** Release the cache of a frame returned by [[lshJaccard]],
+    * [[minhashLsh]], [[kmeansCentroids]] or [[semanticDedup]] once the
+    * caller has consumed it. The lineage survives, so late re-use
+    * recomputes rather than fails. */
   def release(df: DataFrame): Unit = df.unpersist(blocking = false)
 
   /** IVF ANN top-k over the TRAINED quantizer: k-means centroids, then

@@ -111,6 +111,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probes:\n$plan")
   }
 
+  test("semanticDedup(cent) broadcasts the centroid/rep side — corpus never shuffle-joins") {
+    val dims = 6
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(dims)(d => ((i * 7 + d * 3) % 11 - 5).toFloat))).toDF("vec_id", "embedding")
+    // bounded trained-style quantizer: 4 centroids, double components
+    val cent = (0L until 4L).map(k =>
+      (k, Array.tabulate(dims)(d => ((k * 5 + d) % 7 - 3).toDouble))).toDF("cid", "cvec")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding", cent, 0.99)
+    // out is persisted+materialized; the InMemoryRelation prints its cached
+    // physical plan, so the join shapes are still visible in the tree
+    val plan = planOf(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rep selection / scoring joins must broadcast the bounded centroid side:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus must never be the probe of a shuffle join after assignment:\n$plan")
+    Similarity.release(out)
+  }
+
   test("z-order projection prunes the scan to its two input columns") {
     val dir = graft.io.TempDirs.registered("graft-zorder-scan").toString
     (1L to 20L).map(i => (i, i * 7 % 50, s"pad$i", i * 1.5)).toDF("k", "c", "s", "v")
