@@ -217,6 +217,15 @@ object ScaleQueries {
       .filter(col("n_docs") >= 2)
       .select(md5(col("shingle")).as("span_md5"), col("n_docs"))
 
+  /** Stage 2 of exact substring dedup: remove every 8-token span held
+    * by >= 2 documents and rebuild each document from its surviving
+    * tokens — the pass that actually yields the deduplicated training
+    * corpus (stage 1, q_dup_spans, only inventories the spans). */
+  private val qDupRemove: Q = (spark, dir) =>
+    Curation.removeRepeatedSpans(
+      Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text",
+      n = 8, minDocFreq = 2)
+
   /** Token-length histogram per source (integer 32-token buckets — no
     * float log bucketing, which disagrees across engines at power-of-two
     * boundaries): the length-distribution profile driving truncation /
@@ -370,6 +379,7 @@ object ScaleQueries {
     "q_heavy_hitters"  -> qHeavyHitters,
     "q_table_diff"     -> qTableDiff,
     "q_dup_spans"      -> qDupSpans,
+    "q_dup_remove"     -> qDupRemove,
     "q_len_hist"       -> qLenHist,
     "q_line_dedup"     -> qLineDedup,
     "q_bloom_decontam" -> qBloomDecontam,
@@ -435,6 +445,31 @@ object ScaleQueries {
                 WHERE array_to_string(t[i:i+7], ' ') <> '')
          SELECT md5(shingle) AS span_md5, count(*) AS n_docs
          FROM sh GROUP BY shingle HAVING count(*) >= 2""",
+    "q_dup_remove" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+         tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+                 FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS st,
+                       md5(array_to_string(toks[i:i+7], ' ')) AS span_md5
+                FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+                WHERE len(toks) >= 8),
+         dup AS (SELECT span_md5 FROM (
+                   SELECT span_md5, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1)
+                 WHERE nd >= 2),
+         cov AS (SELECT DISTINCT s.doc_id, s.st + j AS pos
+                 FROM sp s JOIN dup d ON s.span_md5 = d.span_md5,
+                      unnest(range(0, 8)) AS g(j)),
+         surv AS (SELECT k.doc_id, k.pos, k.tok
+                  FROM tok k LEFT JOIN cov
+                    ON k.doc_id = cov.doc_id AND k.pos = cov.pos
+                  WHERE cov.pos IS NULL),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                        string_agg(tok, ' ' ORDER BY pos) AS clean_text
+                 FROM surv GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(a.n_kept, 0) AS n_kept,
+                CAST(len(t.toks) AS BIGINT) - coalesce(a.n_kept, 0) AS n_removed,
+                coalesce(a.clean_text, '') AS clean_text
+         FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id""",
     "q_len_hist" ->
       """WITH t AS (SELECT source,
            CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok

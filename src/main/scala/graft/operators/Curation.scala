@@ -307,6 +307,57 @@ object Curation {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Stage 2 of exact substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): cut every n-token
+    * span appearing in >= `minDocFreq` distinct documents, keep each
+    * document's surviving tokens in order. Stage 1 (the span
+    * inventory, q_dup_spans) reports the repeated spans; this is the
+    * removal pass that produces the deduplicated corpus (the
+    * reference's remark-level dedup, Kafka_GSMLSConsumer.py:196-219,
+    * is the document-level analog).
+    *
+    * Scale shape: one persisted tokenized relation feeds both the
+    * token and span projections (scan+split once — lineDedup's
+    * lifecycle); spans shuffle as 128-bit hashes, never as text; the
+    * document-frequency aggregation partial-combines map-side; covered
+    * positions explode to at most n rows per duplicated occurrence;
+    * survivors come from an anti-join on (doc, pos). Nothing is
+    * quadratic — the heaviest stage is the same shuffle-on-span-hash
+    * as stage 1. Every input document gets an output row, even when
+    * every token was cut (clean_text = '', n_kept = 0). */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, minDocFreq: Long): DataFrame = {
+    require(n > 0, "need a positive span length")
+    val tokd = df.select(col(idCol), split(col(textCol), "\\s+").as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = tokd.select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val spans = tokd.filter(size(col("__toks")) >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - n),
+          i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
+        .as(Seq("start", "span_md5")))
+    val dup = spans.select(col(idCol), col("span_md5")).distinct()
+      .groupBy(col("span_md5")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("span_md5"))
+    val covered = spans.join(dup, Seq("span_md5"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .distinct()
+    val surv = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = surv.groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    tokd.select(col(idCol), size(col("__toks")).cast(LongType).as("__n"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ---------------------------------------------------------------------
   // Bloom-gated decontamination — exact "corpus minus contaminated"
   // with a Bloom-filter prefilter, the runtime-filter pattern made

@@ -321,6 +321,23 @@ class CurationSpec extends SparkSpec {
     assert(out(1L) == "a\n\nb" && out(2L) == "\nc")
   }
 
+  test("removeRepeatedSpans cuts cross-doc spans, keeps unique text and short docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "lazy the quick brown dog barks"),   // shares "the quick brown" with 1, 4
+      (3L, "completely unique text here now"),
+      (4L, "the quick brown"),                  // IS the duplicated span
+      (5L, "ab cd")                             // shorter than a window
+    ).toDF("id", "text")
+    val out = Curation.removeRepeatedSpans(docs, "id", "text", n = 3, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 3L, "fox jumps")))
+    assert(out(2L) == ((3L, 3L, "lazy dog barks")))
+    assert(out(3L) == ((5L, 0L, "completely unique text here now")))
+    assert(out(4L) == ((0L, 3L, "")))      // fully-duplicated doc survives as an empty row
+    assert(out(5L) == ((2L, 0L, "ab cd")))
+  }
+
   // -----------------------------------------------------------------
   // Bloom-gated decontamination
   // -----------------------------------------------------------------
