@@ -87,6 +87,77 @@ object Quality {
         (col("__tt").cast(DoubleType) / 1e9).as("psi_total"))
   }
 
+  /** Per-source go/no-go scorecard — the one table a data curator reads
+    * before a training run: volume, mean quality, benchmark
+    * contamination, exact-duplicate rate, and token-length drift (PSI
+    * of the source's length distribution against the corpus-wide one),
+    * with a pass verdict per source. Composes the [[dqReport]],
+    * [[driftPsi]] and [[Curation.contaminationReport]] shapes into one
+    * grouped report.
+    *
+    * Engine parity: per-doc quality is quantized (floor(q·1e4 + 0.5))
+    * before the sum; PSI terms ride the same floor(x·1e9 + 0.5)
+    * quantization as [[driftPsi]] — every reported number is a pure
+    * function of integer counts, independent of addition order.
+    *
+    * Scale shape: one persisted projection of the corpus feeds the
+    * per-source aggregate, the duplicate count, and both histogram
+    * sides (scan once); contamination inherits contaminationReport's
+    * broadcast-bench join; everything downstream of the aggregations
+    * is arithmetic on |sources|·nBuckets rows. */
+  def sourceScorecard(docs: DataFrame, idCol: String, sourceCol: String,
+                      textCol: String, qualityCol: Column, nTokCol: Column,
+                      bench: DataFrame, shingleN: Int, minShared: Long,
+                      bucketTokens: Int = 32, nBuckets: Int = 20,
+                      minMeanQ: Double = 0.6, maxContamRate: Double = 0.08,
+                      maxPsi: Double = 0.25): DataFrame = {
+    require(nBuckets > 0 && bucketTokens > 0, "need positive bucket geometry")
+    val base = docs.select(col(idCol), col(sourceCol), col(textCol),
+        floor(qualityCol * 10000.0 + 0.5).cast(LongType).as("__q"),
+        least(lit(nBuckets - 1L),
+          (nTokCol.cast(LongType) / lit(bucketTokens.toLong)).cast(LongType)).as("__b"),
+        md5(col(textCol)).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perSrc = base.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__q")).as("__qs"),
+      count_distinct(col("__h")).as("__nh"))
+    val contam = Curation.contaminationReport(
+        base.select(col(idCol), col(textCol)), bench, idCol, textCol, shingleN, minShared)
+      .join(base.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_contam"))
+    val bCounts = base.groupBy(col(sourceCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val gCounts = base.groupBy(col("__b")).agg(count(lit(1)).as("__cg"))
+    val gTot = base.agg(count(lit(1)).as("__ng"))
+    val spine = perSrc.select(col(sourceCol), col("n_docs"))
+      .crossJoin(broadcast(
+        docs.sparkSession.range(nBuckets.toLong).select(col("id").as("__b"))))
+    val p = (col("__cg") + 1).cast(DoubleType) / (col("__ng") + nBuckets).cast(DoubleType)
+    val q = (col("__c") + 1).cast(DoubleType) / (col("n_docs") + nBuckets).cast(DoubleType)
+    val psi = spine
+      .join(bCounts, Seq(sourceCol, "__b"), "left").na.fill(0L, Seq("__c"))
+      .join(broadcast(gCounts), Seq("__b"), "left").na.fill(0L, Seq("__cg"))
+      .crossJoin(broadcast(gTot))
+      .select(col(sourceCol),
+        floor((p - q) * log(p / q) * lit(1e9) + lit(0.5)).cast(LongType).as("__qt"))
+      .groupBy(col(sourceCol)).agg(sum(col("__qt")).as("__psiq"))
+    val meanQ = round(col("__qs").cast(DoubleType) / 10000.0 / col("n_docs"), 4)
+    val contamRate =
+      round(coalesce(col("n_contam"), lit(0L)).cast(DoubleType) / col("n_docs"), 4)
+    val dupRate = round((col("n_docs") - col("__nh")).cast(DoubleType) / col("n_docs"), 4)
+    val psiLen = round(col("__psiq").cast(DoubleType) / 1e9, 6)
+    perSrc.join(psi, Seq(sourceCol))
+      .join(contam, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_docs"),
+        meanQ.as("mean_q"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        contamRate.as("contam_rate"),
+        dupRate.as("dup_rate"),
+        psiLen.as("psi_len"),
+        (meanQ >= minMeanQ && contamRate <= maxContamRate && psiLen <= maxPsi)
+          .as("passed"))
+  }
+
   /** Uniqueness expectation — not expressible as a row predicate:
     * violations = rows beyond the first per key (n - n_distinct over
     * the key tuple, nulls grouped like any other value — STRICTER than

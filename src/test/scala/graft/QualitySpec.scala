@@ -63,4 +63,30 @@ class QualitySpec extends SparkSpec {
       .collect().head
     assert((empty.getLong(1), empty.getBoolean(2)) == ((0L, true)))
   }
+
+  test("sourceScorecard: volume, dup rate, contamination and verdict per source") {
+    val corpus = Seq(
+      (1L, "a", "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a", "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+      (3L, "a", "completely different words appear in this document here"),
+      (4L, "b", "benchmark overlap five gram shared tokens run through here"),
+      (5L, "b", "more unique text lives in this second source entry")
+    ).toDF("doc_id", "source", "text")
+    // bench doc is doc 4's text -> >= 3 shared 5-grams -> b is contaminated
+    val bench = Seq(
+      (99L, "benchmark overlap five gram shared tokens run through here"))
+      .toDF("doc_id", "text")
+    val out = Quality.sourceScorecard(corpus, "doc_id", "source", "text",
+        lit(0.8), size(split(col("text"), "\\s+")), bench,
+        shingleN = 5, minShared = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getBoolean(7)))).toMap
+    val (aN, aQ, aC, aCr, aDr, aPsi, aPass) = out("a")
+    assert((aN, aQ, aC, aCr, aDr) == ((3L, 0.8, 0L, 0.0, 0.3333)))
+    assert(aPsi >= 0.0 && aPsi <= 0.25 && aPass) // same-shaped length dist: low drift
+    val (bN, bQ, bC, bCr, bDr, _, bPass) = out("b")
+    assert((bN, bQ, bC, bCr, bDr) == ((2L, 0.8, 1L, 0.5, 0.0)))
+    assert(!bPass) // contamination rate 0.5 > 0.08 fails the gate
+  }
 }
