@@ -268,6 +268,36 @@ object ExtensionQueries {
       .select(col("doc_id"), col("source"), col("n_tok"), col("cell"))
   }
 
+  /** ST12 — streaming semantic dedup: three out-of-order micro-batch
+    * deliveries (residues 2, 0, 1 — lower vec_ids arrive LATER) through
+    * the foreachBatch exemplar-state loop. A cell's exemplar is its
+    * FIRST arrival by (seq, vec_id), so the election depends on state
+    * carried across triggers: a per-batch-only implementation would
+    * re-elect exemplars in later batches and keep rows the persisted
+    * exemplar set must drop. Oracle recomputes the same greedy result
+    * set-wise (min-(seq,id) exemplar per cell, one cosine per member). */
+  private val qSt12StreamSemdedup: Q = (spark, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    val cent = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val in = graft.io.TempDirs.registered("graft-q-st12-in").toString
+    val out = graft.io.TempDirs.registered("graft-q-st12-out").toString
+    val ex = graft.io.TempDirs.registered("graft-q-st12-ex").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st12-ckpt").toString
+    Seq(2L, 0L, 1L).zipWithIndex.foreach { case (r, s) =>
+      emb.filter(pmod(col("vec_id"), lit(3L)) === r)
+        .withColumn("seq", lit(s.toLong))
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val schema = emb.withColumn("seq", lit(0L)).schema
+    val src = graft.streaming.Streaming.parquetSource(spark, in, schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runStreamingSemanticDedup(src,
+      "vec_id", "embedding", "seq", cent, semThreshold, ex, out, ckpt)
+    spark.read.parquet(out)
+      .select(col("vec_id"), col("cell"), col("cos_ex"), col("is_ex"))
+  }
+
   /** IVF ANN over the TRAINED coarse quantizer: 2 deterministic Lloyd
     * iterations from the every-50th seed, then 3-cell probe. */
   private val qSimIvfKmeans: Q = (spark, dir) =>
@@ -314,7 +344,8 @@ object ExtensionQueries {
     "q_ivf_cells"       -> qIvfCells,
     "q_cell_reps"       -> qCellReps,
     "q_semantic_dedup"  -> qSemanticDedup,
-    "q_curate_multimodal" -> qCurateMultimodal
+    "q_curate_multimodal" -> qCurateMultimodal,
+    "q_st12_stream_semdedup" -> qSt12StreamSemdedup
   )
 
   // =====================================================================
@@ -765,7 +796,27 @@ object ExtensionQueries {
                  CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT) AS n_tok,
                  s.cell
           FROM documents d JOIN surv s ON d.doc_id = s.vec_id
-          WHERE len(string_split_regex(d.text, '\\s+')) >= $mmMinTokens"""
+          WHERE len(string_split_regex(d.text, '\\s+')) >= $mmMinTokens""",
+    "q_st12_stream_semdedup" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id % 50 = 0),
+          arr AS (SELECT vec_id, embedding,
+              CASE WHEN vec_id % 3 = 2 THEN 0
+                   WHEN vec_id % 3 = 0 THEN 1 ELSE 2 END AS seq
+            FROM embeddings),
+          af AS (SELECT vec_id, embedding, seq, cid AS cell FROM (
+              SELECT a.vec_id, a.embedding, a.seq, c.cid,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY ${cosine2Sql("a.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+              FROM arr a CROSS JOIN cent c) t WHERE rn = 1),
+          ex AS (SELECT cell, vec_id AS ex_id, embedding AS ex_vec FROM (
+              SELECT *, row_number() OVER (PARTITION BY cell ORDER BY seq, vec_id) AS rn
+              FROM af) t WHERE rn = 1),
+          sc AS (SELECT a.vec_id, a.cell, e.ex_id,
+                   ${cosine2Sql("a.embedding", "e.ex_vec")} AS cos_ex
+                 FROM af a JOIN ex e ON a.cell = e.cell)
+          SELECT vec_id, cell, cos_ex, (vec_id = ex_id) AS is_ex
+          FROM sc WHERE vec_id = ex_id OR cos_ex < $semThreshold"""
   )
 
   /** Semantic-dedup CTE chain ending at `surv(vec_id, cell, cos_rep)` —

@@ -287,6 +287,73 @@ object Streaming {
   }
 
   // ---------------------------------------------------------------------
+  // ST12 — streaming semantic dedup: the incremental form of
+  // Similarity.semanticDedup. The quantizer is FIXED (trained offline,
+  // broadcast-sized, passed explicitly like the batch overload); the
+  // cross-trigger state is the per-cell exemplar set, persisted as a
+  // parquet side table the way the incremental merge persists its
+  // snapshot. Per micro-batch: assign arrivals to cells, elect a
+  // first-arrival exemplar for cells that have none (delivery order
+  // (seqCol, idCol) — deterministic under replay), score every arrival
+  // against its cell's one exemplar, keep exemplars plus arrivals below
+  // the threshold. The exemplar relation is ≤ |cells| rows and
+  // broadcasts into the scoring join; per-batch work is O(batch)
+  // cosines — semanticDedup's scale shape, arriving one trigger at a
+  // time. The within-batch election window sorts a micro-batch, which
+  // is trigger-bounded, never corpus-sized.
+  // ---------------------------------------------------------------------
+  def runStreamingSemanticDedup(src: DataFrame, idCol: String, vecCol: String,
+                                seqCol: String, cent: DataFrame, threshold: Double,
+                                exemplarPath: String, sinkPath: String,
+                                checkpointPath: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Similarity
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val withCell = Similarity
+          .ivfAssignTo(batch.select(col(idCol), col(vecCol)), idCol, vecCol, cent)
+          .join(batch.select(col(idCol), col(seqCol)), Seq(idCol))
+        val exDir = new org.apache.hadoop.fs.Path(exemplarPath)
+        val fs = exDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // a pre-created but never-written state dir means "no exemplars
+        // yet" — gate on data files, not directory existence
+        val existingOpt =
+          if (fs.exists(exDir) &&
+              fs.listStatus(exDir).exists(_.getPath.getName.startsWith("part-")))
+            Some(spark.read.parquet(exemplarPath))
+          else None
+        val unclaimed = existingOpt match {
+          case Some(ex) => withCell.join(ex.select(col("cell")), Seq("cell"), "left_anti")
+          case None     => withCell
+        }
+        val newEx = unclaimed
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("cell")).orderBy(col(seqCol), col(idCol))))
+          .filter(col("__rn") === 1)
+          .select(col("cell"), col(idCol).as("ex_id"), col(vecCol).as("ex_vec"))
+        newEx.write.mode("append").parquet(exemplarPath)
+        val allEx = existingOpt.map(_.unionByName(newEx)).getOrElse(newEx)
+        val cos = round(
+          Similarity.dotOf(batch, col(vecCol), col("ex_vec"))
+            / (Similarity.normOf(batch, col(vecCol))
+               * Similarity.normOf(batch, col("ex_vec"))), 6)
+        withCell.join(broadcast(allEx), Seq("cell"))
+          .withColumn("cos_ex", cos)
+          .filter(col(idCol) === col("ex_id") || col("cos_ex") < threshold)
+          .select(col(idCol), col("cell"), col("cos_ex"),
+            (col(idCol) === col("ex_id")).as("is_ex"))
+          .write.mode("append").parquet(sinkPath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  // ---------------------------------------------------------------------
   // ST6 — resume work-list (GSMLS.py:991-1047, 2375-2381): the full work
   // grid minus what the event log already records — a left anti join,
   // not a driver loop.

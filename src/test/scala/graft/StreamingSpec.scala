@@ -112,6 +112,36 @@ class StreamingSpec extends SparkSpec {
     assert(batches >= 2, s"expected >=2 committed micro-batches, saw $batches")
   }
 
+  test("ST12: streaming semantic dedup — persisted exemplars gate later batches") {
+    val in = tmp("graft-semdd-in")
+    val out = tmp("graft-semdd-out")
+    val ex = tmp("graft-semdd-ex")
+    val ckpt = tmp("graft-semdd-ckpt")
+    val cent = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))).toDF("cid", "cvec")
+    // batch 1 (seq 0): id 10 claims cell 0's exemplar slot
+    Seq((10L, Array(1.0f, 0.1f), 0L)).toDF("vec_id", "embedding", "seq")
+      .coalesce(1).write.parquet(s"$in/b1")
+    // batch 2 (seq 1): id 1 is an exact copy of the exemplar — dropped even
+    // though its id is LOWER (persisted state decides, not id order);
+    // id 2 is diverse in cell 0 — kept as a member; id 3 opens cell 1
+    Seq((1L, Array(1.0f, 0.1f), 1L),
+        (2L, Array(1.0f, 0.9f), 1L),
+        (3L, Array(0.0f, 1.0f), 1L)).toDF("vec_id", "embedding", "seq")
+      .coalesce(1).write.parquet(s"$in/b2")
+    val schema = spark.read.parquet(s"$in/b1").schema
+    val src = Streaming.parquetSource(spark, s"$in/*", schema) // 1 file per trigger
+    Streaming.runStreamingSemanticDedup(src, "vec_id", "embedding", "seq",
+      cent, 0.95, ex, out, ckpt)
+    val rows = spark.read.parquet(out).select("vec_id", "is_ex")
+      .as[(Long, Boolean)].collect().toMap
+    assert(rows.keySet == Set(10L, 2L, 3L), s"got $rows") // id 1 gated by state
+    assert(rows(10L) && rows(3L) && !rows(2L))
+    // the exemplar side table holds exactly one row per claimed cell
+    val exRows = spark.read.parquet(ex).select("cell", "ex_id")
+      .as[(Long, Long)].collect().toMap
+    assert(exRows == Map(0L -> 10L, 1L -> 3L))
+  }
+
   test("ST4: watermarked tumbling-window aggregation finalizes closed windows") {
     val in = tmp("graft-wmwin-in")
     val out = tmp("graft-wmwin-out")
