@@ -268,6 +268,21 @@ object ExtensionQueries {
       .select(col("doc_id"), col("source"), col("n_tok"), col("cell"))
   }
 
+  /** Recall CURVE of the seed-quantizer IVF probe: recall@{1,5,10,50}
+    * from ONE ranked-list join + one aggregation — the tune-nprobe
+    * sweep without a query per k. */
+  private val qRecallCurve: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    def ranked(df: DataFrame): DataFrame = df.withColumn("rank",
+      row_number().over(Window.orderBy(col("cosine_sim").desc, col("vec_id").asc)))
+    val cand = ranked(Similarity.ivfAnnTopK(emb, "vec_id", "embedding",
+      queryVec, centroidStep = 50, nprobe = 3, k = 50))
+    val truth = ranked(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      Similarity.vecLit(queryVec), 50))
+    Similarity.recallCurve(cand, truth, "vec_id", "rank", Seq(1, 5, 10, 50))
+  }
+
   /** ST12 — streaming semantic dedup: three out-of-order micro-batch
     * deliveries (residues 2, 0, 1 — lower vec_ids arrive LATER) through
     * the foreachBatch exemplar-state loop. A cell's exemplar is its
@@ -345,7 +360,8 @@ object ExtensionQueries {
     "q_cell_reps"       -> qCellReps,
     "q_semantic_dedup"  -> qSemanticDedup,
     "q_curate_multimodal" -> qCurateMultimodal,
-    "q_st12_stream_semdedup" -> qSt12StreamSemdedup
+    "q_st12_stream_semdedup" -> qSt12StreamSemdedup,
+    "q_recall_curve"    -> qRecallCurve
   )
 
   // =====================================================================
@@ -816,7 +832,24 @@ object ExtensionQueries {
                    ${cosine2Sql("a.embedding", "e.ex_vec")} AS cos_ex
                  FROM af a JOIN ex e ON a.cell = e.cell)
           SELECT vec_id, cell, cos_ex, (vec_id = ex_id) AS is_ex
-          FROM sc WHERE vec_id = ex_id OR cos_ex < $semThreshold"""
+          FROM sc WHERE vec_id = ex_id OR cos_ex < $semThreshold""",
+    "q_recall_curve" ->
+      s"""WITH $ivfAnnCtes,
+          ann AS (SELECT vec_id, rc FROM (
+              SELECT af.vec_id,
+                     row_number() OVER (ORDER BY ${cosineSql("af.embedding")} DESC, af.vec_id ASC) AS rc
+              FROM assign af JOIN probe p ON af.cell = p.cell) t WHERE rc <= 50),
+          tr AS (SELECT vec_id, rt FROM (
+              SELECT vec_id,
+                     row_number() OVER (ORDER BY ${cosineSql("embedding")} DESC, vec_id ASC) AS rt
+              FROM embeddings) t WHERE rt <= 50),
+          j AS (SELECT tr.rt, ann.rc FROM tr LEFT JOIN ann ON tr.vec_id = ann.vec_id)
+          SELECT CAST(u.k AS BIGINT) AS k,
+                 CAST(sum(CASE WHEN j.rt <= u.k AND coalesce(j.rc, 9999) <= u.k
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                 round(CAST(sum(CASE WHEN j.rt <= u.k AND coalesce(j.rc, 9999) <= u.k
+                                     THEN 1 ELSE 0 END) AS DOUBLE) / u.k, 4) AS recall
+          FROM j, unnest([1, 5, 10, 50]) AS u(k) GROUP BY u.k"""
   )
 
   /** Semantic-dedup CTE chain ending at `surv(vec_id, cell, cos_rep)` —

@@ -395,6 +395,31 @@ object Similarity {
       .select(lit(k.toLong).as("k"), col("n_hits"),
         round(col("n_hits").cast(DoubleType) / k, 4).as("recall"))
 
+  /** Recall@k for SEVERAL k in one aggregation pass — the recall curve
+    * an index tuner reads (recall@{1,5,10,50} from one run instead of a
+    * query per k). Inputs are RANKED lists (`idCol`, `rankCol` with
+    * ranks 1..max(ks)); a truth id is a hit at k iff both its truth
+    * rank and its candidate rank are ≤ k (absent from candidates →
+    * never a hit). One left join of two bounded lists + one aggregate
+    * whose per-k terms are CASE sums — adding a k adds a column to the
+    * same pass, not a pass. Output: (k, n_hits, recall) per k. */
+  def recallCurve(candidates: DataFrame, truth: DataFrame, idCol: String,
+                  rankCol: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "need at least one k")
+    val joined = truth
+      .select(col(idCol), col(rankCol).cast(LongType).as("__rt"))
+      .join(candidates.select(col(idCol), col(rankCol).cast(LongType).as("__rc")),
+        Seq(idCol), "left")
+    val aggs = ks.map(k =>
+      sum(when(col("__rt") <= k && col("__rc") <= k, 1L).otherwise(0L)).as(s"__h$k"))
+    joined.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ks.map(k =>
+        struct(lit(k.toLong).as("k"),
+          coalesce(col(s"__h$k"), lit(0L)).as("n_hits"))): _*)).as("r"))
+      .select(col("r.k").as("k"), col("r.n_hits").as("n_hits"),
+        round(col("r.n_hits").cast(DoubleType) / col("r.k"), 4).as("recall"))
+  }
+
   // ---------------------------------------------------------------------
   // Hyperplane-LSH ANN — signed-random-projection buckets with
   // multi-probe.

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Similarity}
+import graft.operators.{Curation, Index, Similarity}
 
 /** Plan-shape pins for the scale claims: these assert the PHYSICAL plan
   * properties the 100 TB design depends on, so a refactor that silently
@@ -109,6 +109,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"corpus must never shuffle for decontamination:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probes:\n$plan")
+  }
+
+  test("bm25TopK gates postings on broadcast query terms — never a term shuffle-join") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(Option(conf.get(k))).toOption.flatten)
+    try {
+      // disable size-based broadcasts so only the EXPLICIT query-term
+      // hints broadcast — at corpus scale statistics won't save a
+      // missing hint, and this pin must not pass by accident of tiny data
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val docs = (1L to 40L).map(i => (i, s"alpha beta tok$i gamma")).toDF("id", "text")
+      val qs = Seq((1L, "alpha gamma"), (2L, "beta tok7")).toDF("qid", "qtext")
+      val plan = planOf(Index.bm25TopK(docs, "id", "text", qs, "qid", "qtext", 5))
+      val smjOnTerm = plan.linesIterator
+        .filter(_.contains("SortMergeJoin")).filter(_.contains("term#")).toSeq
+      assert(smjOnTerm.isEmpty,
+        s"postings must reach the join only through the broadcast query-term gate:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast query-term joins:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
   }
 
   test("semanticDedup(cent) broadcasts the centroid/rep side — corpus never shuffle-joins") {
