@@ -238,8 +238,14 @@ object ExtensionQueries {
     * iterations from the every-50th seed, same training as
     * q_sim_ivf_kmeans) passed explicitly, so the rep broadcast is O(k),
     * not O(corpus/step). */
-  private val qSemanticDedup: Q = (spark, dir) => {
-    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+  private val qSemanticDedup: Q = (spark, dir) =>
+    trainedSemanticSurvivors(Tables.fanOut(Tables.embeddings(spark, dir)))
+
+  /** Trained-quantizer semantic-dedup survivors — ONE definition shared
+    * by q_semantic_dedup and q_curate_multimodal, so the training
+    * constants cannot drift from the shared `semanticDedupCtes` oracle
+    * chain. */
+  private def trainedSemanticSurvivors(emb: DataFrame): DataFrame = {
     val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
       centroidStep = 50, iters = 2)
     val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
@@ -255,12 +261,7 @@ object ExtensionQueries {
     * pure projection and the vector gate never shuffles the corpus
     * after assignment, so the composition inherits both scale shapes. */
   private val qCurateMultimodal: Q = (spark, dir) => {
-    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
-    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
-      centroidStep = 50, iters = 2)
-    val surv = Similarity.semanticDedup(emb, "vec_id", "embedding",
-      cent, threshold = semThreshold)
-    Similarity.release(cent)
+    val surv = trainedSemanticSurvivors(Tables.fanOut(Tables.embeddings(spark, dir)))
     Tables.fanOut(Tables.documents(spark, dir))
       .join(surv, col("doc_id") === col("vec_id"))
       .withColumn("n_tok", Text.tokenCount(col("text")).cast(LongType))
@@ -299,10 +300,23 @@ object ExtensionQueries {
     val out = graft.io.TempDirs.registered("graft-q-st12-out").toString
     val ex = graft.io.TempDirs.registered("graft-q-st12-ex").toString
     val ckpt = graft.io.TempDirs.registered("graft-q-st12-ckpt").toString
+    val seen = scala.collection.mutable.Set[String]()
     Seq(2L, 0L, 1L).zipWithIndex.foreach { case (r, s) =>
       emb.filter(pmod(col("vec_id"), lit(3L)) === r)
         .withColumn("seq", lit(s.toLong))
         .coalesce(1).write.mode("append").parquet(in)
+      // pin strictly increasing mtimes on each delivery's data files:
+      // FileStreamSource orders by modification time, and an mtime tie
+      // on a coarse-granularity filesystem would make delivery order —
+      // and with it the exemplar election — nondeterministic vs the
+      // oracle's (seq, id) recomputation
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + s * 60000L)
+          seen += f.getName
+        }
+      }
     }
     val schema = emb.withColumn("seq", lit(0L)).schema
     val src = graft.streaming.Streaming.parquetSource(spark, in, schema,

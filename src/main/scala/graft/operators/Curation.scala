@@ -324,7 +324,13 @@ object Curation {
     * survivors come from an anti-join on (doc, pos). Nothing is
     * quadratic — the heaviest stage is the same shuffle-on-span-hash
     * as stage 1. Every input document gets an output row, even when
-    * every token was cut (clean_text = '', n_kept = 0). */
+    * every token was cut (clean_text = '', n_kept = 0).
+    *
+    * Cache lifecycle: the tokenized relation stays persisted until the
+    * caller (or the harness's per-query clearCache) releases it — the
+    * rebuilt corpus is itself corpus-sized, so eagerly materializing it
+    * to free the cache early would double peak storage instead of
+    * halving it (same contract as [[lineDedup]]). */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                           n: Int, minDocFreq: Long): DataFrame = {
     require(n > 0, "need a positive span length")

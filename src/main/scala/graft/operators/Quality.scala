@@ -104,7 +104,10 @@ object Quality {
     * per-source aggregate, the duplicate count, and both histogram
     * sides (scan once); contamination inherits contaminationReport's
     * broadcast-bench join; everything downstream of the aggregations
-    * is arithmetic on |sources|·nBuckets rows. */
+    * is arithmetic on |sources|·nBuckets rows. The corpus-sized cache
+    * is released before returning — the |sources|-row report itself is
+    * persisted and materialized instead (re-reads cost nothing; a
+    * caller can `unpersist()` it). */
   def sourceScorecard(docs: DataFrame, idCol: String, sourceCol: String,
                       textCol: String, qualityCol: Column, nTokCol: Column,
                       bench: DataFrame, shingleN: Int, minShared: Long,
@@ -146,7 +149,7 @@ object Quality {
       round(coalesce(col("n_contam"), lit(0L)).cast(DoubleType) / col("n_docs"), 4)
     val dupRate = round((col("n_docs") - col("__nh")).cast(DoubleType) / col("n_docs"), 4)
     val psiLen = round(col("__psiq").cast(DoubleType) / 1e9, 6)
-    perSrc.join(psi, Seq(sourceCol))
+    val out = perSrc.join(psi, Seq(sourceCol))
       .join(contam, Seq(sourceCol), "left")
       .select(col(sourceCol), col("n_docs"),
         meanQ.as("mean_q"),
@@ -156,6 +159,10 @@ object Quality {
         psiLen.as("psi_len"),
         (meanQ >= minMeanQ && contamRate <= maxContamRate && psiLen <= maxPsi)
           .as("passed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    base.unpersist(blocking = false)
+    out
   }
 
   /** Uniqueness expectation — not expressible as a row predicate:

@@ -301,6 +301,13 @@ object Streaming {
   // cosines — semanticDedup's scale shape, arriving one trigger at a
   // time. The within-batch election window sorts a micro-batch, which
   // is trigger-bounded, never corpus-sized.
+  //
+  // Delivery semantics: like the other foreachBatch sinks here, the
+  // survivor sink is at-least-once — a crash between the sink append
+  // and the checkpoint commit re-emits that batch's survivors on
+  // restart (the exemplar side table is replay-safe: re-claimed cells
+  // produce no new exemplar rows). Readers take the exactly-once view
+  // with a dropDuplicates on the id column, the dedupedView pattern.
   // ---------------------------------------------------------------------
   def runStreamingSemanticDedup(src: DataFrame, idCol: String, vecCol: String,
                                 seqCol: String, cent: DataFrame, threshold: Double,
@@ -314,9 +321,14 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // persisted: the assignment aggregation feeds the exemplar
+        // election AND the scoring join (two separate write actions) —
+        // without the pin each action re-runs the |batch|×|cent| cosine
+        // argmax; batch-sized cache, released before the trigger ends
         val withCell = Similarity
           .ivfAssignTo(batch.select(col(idCol), col(vecCol)), idCol, vecCol, cent)
           .join(batch.select(col(idCol), col(seqCol)), Seq(idCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val exDir = new org.apache.hadoop.fs.Path(exemplarPath)
         val fs = exDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // a pre-created but never-written state dir means "no exemplars
@@ -347,6 +359,7 @@ object Streaming {
           .select(col(idCol), col("cell"), col("cos_ex"),
             (col(idCol) === col("ex_id")).as("is_ex"))
           .write.mode("append").parquet(sinkPath)
+        withCell.unpersist(blocking = false)
         ()
       }
       .start()

@@ -128,6 +128,13 @@ class StreamingSpec extends SparkSpec {
         (2L, Array(1.0f, 0.9f), 1L),
         (3L, Array(0.0f, 1.0f), 1L)).toDF("vec_id", "embedding", "seq")
       .coalesce(1).write.parquet(s"$in/b2")
+    // distinct mtimes: FileStreamSource orders deliveries by mtime, and a
+    // tie would make b2 processable first, scrambling exemplar election
+    def pinMtime(d: String, t: Long): Unit =
+      new java.io.File(d).listFiles().filter(_.getName.startsWith("part-"))
+        .foreach(_.setLastModified(t))
+    pinMtime(s"$in/b1", 1700000000000L)
+    pinMtime(s"$in/b2", 1700000060000L)
     val schema = spark.read.parquet(s"$in/b1").schema
     val src = Streaming.parquetSource(spark, s"$in/*", schema) // 1 file per trigger
     Streaming.runStreamingSemanticDedup(src, "vec_id", "embedding", "seq",
