@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Text
+import graft.operators.{Graph, Quality}
+
+/** Round-9 robust-statistics and graph-analytics queries with DuckDB
+  * oracles: PageRank authority over the trade graph (the link-quality
+  * prior of web-corpus curation), MAD outlier gating (the robust
+  * z-score), shuffle-skew diagnostics, and two per-document text
+  * signals a training pipeline filters on — token-distribution entropy
+  * and out-of-vocabulary rate.
+  */
+object StatsQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val prIters = 3
+  private val prDamping = 0.85
+  private val madK = 3.0
+  private val oovVocabK = 100
+
+  // =====================================================================
+  // Spark queries
+  // =====================================================================
+
+  /** Weighted PageRank over the nation-level trade graph: edges are
+    * supplier-nation → customer-nation with lineitem counts as weights.
+    * The heavy stage is the edge aggregation (lineitem⨝orders shuffle,
+    * then two broadcast dimension hops collapse 60k rows to ≤ N²
+    * edges); the iteration loop then runs on the bounded edge relation.
+    * Ranks are integer-quantized per edge contribution, so the result
+    * is addition-order-independent (see [[operators.Graph.pageRank]]). */
+  private val qPagerank: Q = (spark, dir) => {
+    val nation = Tables.nation(spark, dir)
+    val edges = Tables.fanOut(Tables.lineitem(spark, dir))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    Graph.pageRank(edges, "src", "dst", "w",
+        nation.select(col("n_nationkey")), "n_nationkey", prIters, prDamping)
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        Seq("n_nationkey"))
+      .select(col("n_nationkey").cast(LongType).as("nation_key"), col("n_name"),
+        round(col("pagerank"), 6).as("pr"))
+  }
+
+  /** Robust outlier gate on order totals per priority class: median,
+    * MAD, and the count beyond 3·1.4826·MAD — the filter that survives
+    * the very outliers a mean/σ gate would absorb. */
+  private val qMadOutliers: Q = (spark, dir) =>
+    Quality.robustOutliers(
+      Tables.fanOut(Tables.orders(spark, dir))
+        .select(col("o_orderpriority"), col("o_totalprice")),
+      "o_orderpriority", col("o_totalprice"), madK)
+
+  /** Shuffle-skew probe on the event stream: per event type, how
+    * concentrated the user_id key is — the report that decides between
+    * a plain shuffle, salting, or an AQE skew hint before the join is
+    * ever written. All-integer output. */
+  private val qSkewReport: Q = (spark, dir) =>
+    Quality.skewReport(Tables.fanOut(Tables.events(spark, dir)),
+      "event_type", "user_id")
+
+  /** Per-document token-distribution Shannon entropy (nats): the
+    * lexical-diversity quality signal — boilerplate and keyword-stuffed
+    * pages score low, natural prose high. H = ln(n) − (Σ c·ln c)/n over
+    * per-doc token counts; the Σ c·ln c term is integer-quantized
+    * (floor(x·1e6 + 0.5)) before summing, same engine-parity contract
+    * as the LM scorer. One explode + two map-side-combined hash aggs. */
+  private val qTEntropy: Q = (spark, dir) => {
+    val tok = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"),
+        sum(floor(col("c").cast(DoubleType) * log(col("c").cast(DoubleType))
+          * lit(1e6) + lit(0.5)).cast(LongType)).as("__qs"))
+      .select(col("doc_id"), col("n_tok"),
+        round(log(col("n_tok").cast(DoubleType))
+          - col("__qs").cast(DoubleType) / 1e6 / col("n_tok").cast(DoubleType), 4)
+          .as("entropy_nats"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus top-k
+    * vocabulary — the tokenizer-fit signal: a doc whose tokens mostly
+    * miss the vocabulary will fragment into subwords and waste context
+    * budget. The vocabulary is bounded (top-k by count desc, token asc)
+    * and broadcast into the token stream; rate is integer basis points,
+    * so the report is exactly reproducible. */
+  private val qOovRate: Q = (spark, dir) => {
+    val tok = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc).limit(oovVocabK)
+      .select(col("w"), lit(1).as("__in"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        expr("n_oov * 10000 div n_tok").as("oov_bp"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_pagerank"     -> qPagerank,
+    "q_mad_outliers" -> qMadOutliers,
+    "q_skew_report"  -> qSkewReport,
+    "q_t_entropy"    -> qTEntropy,
+    "q_oov_rate"     -> qOovRate
+  )
+
+  // =====================================================================
+  // Oracle SQL (DuckDB 1.0)
+  // =====================================================================
+
+  /** One PageRank iteration as a pair of CTEs: quantized contributions
+    * into `cN`, the rank update into `rN` — mirrors
+    * [[operators.Graph.pageRank]]'s formula term for term. Damping
+    * constants are built from CAST(… AS DOUBLE) expressions so both
+    * engines evaluate the identical IEEE operations (a plain 0.15
+    * literal would be DECIMAL in DuckDB and round differently). */
+  private def prIterSql(i: Int): String = {
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s"""c$i AS (SELECT sh.dst AS v,
+                 sum(CAST(floor(r.r * sh.s * 1e9 + 0.5) AS BIGINT)) AS cq
+               FROM sh JOIN $prev r ON sh.src = r.v GROUP BY 1),
+        r$i AS (SELECT r0.v,
+                 (CAST(1 AS DOUBLE) - CAST($prDamping AS DOUBLE)) / nn.n
+                   + CAST($prDamping AS DOUBLE)
+                     * CAST(coalesce(c$i.cq, 0) AS DOUBLE) / 1e9 AS r
+               FROM r0 LEFT JOIN c$i ON r0.v = c$i.v, nn)"""
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pagerank" ->
+      s"""WITH e AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                       CAST(count(*) AS DOUBLE) AS w
+                     FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       JOIN customer c ON o.o_custkey = c.c_custkey
+                       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     GROUP BY 1, 2),
+         ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+         sh AS (SELECT e.src, e.dst, e.w / ow.wout AS s
+                FROM e JOIN ow ON e.src = ow.src),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+         r0 AS (SELECT n_nationkey AS v, CAST(1 AS DOUBLE) / nn.n AS r
+                FROM nation, nn),
+         ${(1 to prIters).map(prIterSql).mkString(",\n         ")}
+         SELECT CAST(f.v AS BIGINT) AS nation_key, n.n_name, round(f.r, 6) AS pr
+         FROM r$prIters f JOIN nation n ON f.v = n.n_nationkey""",
+    "q_mad_outliers" ->
+      s"""WITH m AS (SELECT o_orderpriority AS g, median(o_totalprice) AS med
+                     FROM orders GROUP BY 1),
+         d AS (SELECT o.o_orderpriority AS g, m.med,
+                 abs(o.o_totalprice - m.med) AS dev
+               FROM orders o JOIN m ON o.o_orderpriority = m.g),
+         md AS (SELECT g, median(dev) AS mad FROM d GROUP BY 1)
+         SELECT d.g AS o_orderpriority, count(*) AS n,
+           CAST(sum(CASE WHEN CAST(floor(d.dev * 1e6 + 0.5) AS BIGINT) >
+                 CAST(floor(CAST($madK AS DOUBLE) * CAST(1.4826 AS DOUBLE)
+                            * md.mad * 1e6 + 0.5) AS BIGINT)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(any_value(d.med), 4) AS med,
+           round(any_value(md.mad), 4) AS mad
+         FROM d JOIN md ON d.g = md.g GROUP BY 1""",
+    "q_skew_report" ->
+      """WITH kc AS (SELECT event_type, user_id, count(*) AS c
+                     FROM events GROUP BY 1, 2)
+         SELECT event_type, CAST(sum(c) AS BIGINT) AS n_rows,
+           count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_key_rows,
+           (CAST(max(c) AS BIGINT) * 10000) // CAST(sum(c) AS BIGINT)
+             AS top_share_bp,
+           (CAST(max(c) AS BIGINT) * count(*) * 100) // CAST(sum(c) AS BIGINT)
+             AS skew_x100
+         FROM kc GROUP BY 1""",
+    "q_t_entropy" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+         w AS (SELECT doc_id, tok FROM t, unnest(toks) AS u(tok)
+               WHERE tok <> ''),
+         c AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+         a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+                 CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                   * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS qs
+               FROM c GROUP BY 1)
+         SELECT doc_id, n_tok,
+           round(ln(CAST(n_tok AS DOUBLE))
+             - CAST(qs AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 4)
+             AS entropy_nats
+         FROM a""",
+    "q_oov_rate" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+         w AS (SELECT doc_id, tok FROM t, unnest(toks) AS u(tok)
+               WHERE tok <> ''),
+         v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM w GROUP BY 1)
+               ORDER BY n DESC, tok ASC LIMIT $oovVocabK),
+         j AS (SELECT w.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+               FROM w LEFT JOIN v ON w.tok = v.tok)
+         SELECT doc_id, count(*) AS n_tok,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           (CAST(sum(oov) AS BIGINT) * 10000) // count(*) AS oov_bp
+         FROM j GROUP BY 1"""
+  )
+}

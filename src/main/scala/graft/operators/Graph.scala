@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics on edge relations — the link-quality side
+  * of corpus curation (PageRank-style authority is a standard quality
+  * prior for web-crawl training data; the connected-component half
+  * lives in [[Curation]]).
+  *
+  * Everything is expressed as joins + aggregations over the edge
+  * relation, so the shuffle unit is the edge partition — no
+  * driver-side adjacency, no per-node loops. At 100 TB the edge list
+  * shuffles on `src` once per iteration and the rank relation (one row
+  * per node) rides the same hash partitioning.
+  */
+object Graph {
+
+  /** Weighted PageRank, fixed iteration count.
+    *
+    * r₀(v) = 1/N; r_{t+1}(v) = (1−d)/N + d·Σ_{(u,v)∈E} r_t(u)·w(u,v)/W(u)
+    * where W(u) is u's total out-weight. Nodes without out-edges simply
+    * don't contribute (no dangling redistribution — callers wanting the
+    * stochastic-matrix variant can add a self-loop edge bank).
+    *
+    * Engine parity: each edge's contribution is quantized to an integer
+    * (floor(x·1e9 + 0.5)) BEFORE the per-node sum, so ranks are pure
+    * functions of integer sums — independent of partitioning and
+    * addition order, reproducible in any engine that applies the same
+    * formula. Drift cannot compound across iterations because every
+    * iteration re-quantizes.
+    *
+    * Scale shape: one aggregation builds W(u); each iteration is one
+    * hash join of edges against the (|V|-row) rank relation plus one
+    * map-side-combined aggregation on `dst`. The rank relation is
+    * persisted per iteration and the predecessor released, same
+    * contract as [[Similarity]]'s Lloyd loop; lineage stays one
+    * iteration deep. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+               nodes: DataFrame, nodeCol: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(wCol).cast(DoubleType).as("__w"))
+    val outw = e.groupBy(col("__src")).agg(sum(col("__w")).as("__wout"))
+    // share = w/W(u) is iteration-invariant: join it once, persist, and
+    // every iteration reuses the same materialized edge relation.
+    val share = e.join(outw, Seq("__src"))
+      .select(col("__src"), col("__dst"), (col("__w") / col("__wout")).as("__s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nrel = nodes.agg(count(lit(1)).as("__nn"))
+    val v0 = nodes.select(col(nodeCol).as("__v")).crossJoin(broadcast(nrel))
+    var r = v0.select(col("__v"), (lit(1.0) / col("__nn")).as("__r"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val contrib = share.join(r, col("__src") === col("__v"))
+        .select(col("__dst"),
+          floor(col("__r") * col("__s") * lit(1e9) + lit(0.5)).cast(LongType).as("__cq"))
+        .groupBy(col("__dst")).agg(sum(col("__cq")).as("__cq"))
+      val next = v0
+        .join(contrib, col("__v") === col("__dst"), "left")
+        .select(col("__v"),
+          (lit(1.0 - damping) / col("__nn")
+            + lit(damping) * coalesce(col("__cq"), lit(0L)).cast(DoubleType) / lit(1e9))
+            .as("__r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the predecessor
+      r.unpersist(blocking = false)
+      r = next
+    }
+    share.unpersist(blocking = false)
+    r.select(col("__v").as(nodeCol), col("__r").as("pagerank"))
+  }
+}

@@ -165,6 +165,69 @@ object Quality {
     out
   }
 
+  /** Robust outlier report per group: median, MAD (median absolute
+    * deviation), and the count of rows whose deviation exceeds
+    * k·1.4826·MAD — the robust z-score gate (1.4826 makes MAD a
+    * consistent σ estimator under normality), which a mean/stddev gate
+    * cannot do because the outliers it hunts corrupt the mean itself.
+    *
+    * Engine parity: the flag compares integer-quantized deviations
+    * (floor(x·1e6 + 0.5)) against the integer-quantized threshold, so
+    * the verdict never rides a raw double comparison. Exact `percentile`
+    * is the correctness anchor (both engines interpolate at rank
+    * p·(n−1)); `approx_percentile` is the drop-in scale path when a
+    * group's values no longer fit an aggregation buffer — same trade as
+    * the grouped-quantiles query. Scale shape: the projected input is
+    * persisted and scanned twice (median pass, deviation pass); the
+    * per-group median/MAD relations are |groups| rows and broadcast
+    * into the row-level joins. */
+  def robustOutliers(df: DataFrame, groupCol: String, value: Column,
+                     k: Double = 3.0): DataFrame = {
+    require(k > 0.0, s"need a positive cutoff multiplier, got $k")
+    val proj = df.select(col(groupCol), value.cast(DoubleType).as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = proj.groupBy(col(groupCol))
+      .agg(expr("percentile(__x, 0.5)").as("__med"))
+    val dev = proj.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), col("__med"), abs(col("__x") - col("__med")).as("__dev"))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    val out = dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(
+          floor(col("__dev") * 1e6 + 0.5).cast(LongType) >
+            floor(lit(k * 1.4826) * col("__mad") * 1e6 + 0.5).cast(LongType),
+          1L).otherwise(0L)).as("n_outliers"),
+        round(first(col("__med")), 4).as("med"),
+        round(first(col("__mad")), 4).as("mad"))
+    val materialized = out
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    proj.unpersist(blocking = false)
+    materialized
+  }
+
+  /** Key-distribution skew diagnostic per group: row count, distinct
+    * keys, the heaviest key's row count, its share (basis points), and
+    * the skew factor ×100 (heaviest key ÷ mean rows-per-key) — the
+    * probe a pipeline runs BEFORE shuffling on a key, deciding between
+    * a plain hash join, salting, or an AQE skew hint. All-integer
+    * arithmetic end to end, so the report is exactly reproducible.
+    *
+    * Scale shape: a two-level aggregation — (group, key) counts with
+    * map-side combine, then a per-group rollup — never a window over
+    * raw rows; the output is |groups| rows. */
+  def skewReport(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(keyCol)).agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__c")).as("max_key_rows"))
+      .select(col(groupCol), col("n_rows"), col("n_keys"), col("max_key_rows"),
+        expr("max_key_rows * 10000 div n_rows").as("top_share_bp"),
+        expr("max_key_rows * n_keys * 100 div n_rows").as("skew_x100"))
+
   /** Uniqueness expectation — not expressible as a row predicate:
     * violations = rows beyond the first per key (n - n_distinct over
     * the key tuple, nulls grouped like any other value — STRICTER than
