@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Text
-import graft.operators.{Graph, Quality}
+import graft.operators.{Graph, Index, Quality}
 
 /** Round-9 robust-statistics and graph-analytics queries with DuckDB
   * oracles: PageRank authority over the trade graph (the link-quality
@@ -21,6 +21,8 @@ object StatsQueries {
   private val prDamping = 0.85
   private val madK = 3.0
   private val oovVocabK = 100
+  private val dsirTargetLang = "en"
+  private val dsirK = 50
 
   // =====================================================================
   // Spark queries
@@ -114,12 +116,32 @@ object StatsQueries {
         expr("n_oov * 10000 div n_tok").as("oov_bp"))
   }
 
+  /** DSIR-shaped importance selection (Xie et al. 2023): score every
+    * document under a bigram LM trained on the TARGET slice (English
+    * docs — the distribution we want more of) and under one trained on
+    * the raw corpus; keep the top-k by the log-ratio
+    * lm_target − lm_raw. The two scoring passes share the corpus
+    * bigram relation; both count joins are vocabulary-bounded. */
+  private val qDsirSelect: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val target = docs.filter(col("lang") === dsirTargetLang)
+    val lmT = Index.lmScoreUnder(target, docs, "doc_id", "text")
+      .select(col("doc_id"), col("lm_score").as("lm_tgt"))
+    val lmR = Index.lmScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("lm_score").as("lm_raw"))
+    lmT.join(lmR, Seq("doc_id"))
+      .select(col("doc_id"), col("lm_tgt"), col("lm_raw"),
+        round(col("lm_tgt") - col("lm_raw"), 4).as("dsir"))
+      .orderBy(col("dsir").desc, col("doc_id").asc).limit(dsirK)
+  }
+
   def queries: Map[String, Q] = Map(
     "q_pagerank"     -> qPagerank,
     "q_mad_outliers" -> qMadOutliers,
     "q_skew_report"  -> qSkewReport,
     "q_t_entropy"    -> qTEntropy,
-    "q_oov_rate"     -> qOovRate
+    "q_oov_rate"     -> qOovRate,
+    "q_dsir_select"  -> qDsirSelect
   )
 
   // =====================================================================
@@ -202,6 +224,47 @@ object StatsQueries {
              - CAST(qs AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 4)
              AS entropy_nats
          FROM a""",
+    "q_dsir_select" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS wl
+                     FROM documents),
+         w AS (SELECT doc_id, lang, u.i AS pos, t.wl[u.i] AS w
+               FROM t, unnest(range(1, len(t.wl) + 1)) AS u(i)),
+         bg AS (SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+                FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         rc2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+         rc1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+         rvv AS (SELECT count(DISTINCT w) AS v FROM w),
+         rq AS (SELECT bg.doc_id,
+                  CAST(floor(ln(CAST(coalesce(n2, 0) + 1 AS DOUBLE)
+                    / CAST(coalesce(n1, 0) + v AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS q
+                FROM bg LEFT JOIN rc2 ON bg.w1 = rc2.w1 AND bg.w2 = rc2.w2
+                        LEFT JOIN rc1 ON bg.w1 = rc1.w1, rvv),
+         rlm AS (SELECT doc_id,
+                   round(CAST(sum(q) AS BIGINT) / 1000000.0 / count(*), 4)
+                     AS lm_raw
+                 FROM rq GROUP BY 1),
+         tc2 AS (SELECT w1, w2, count(*) AS n2 FROM bg
+                 WHERE lang = '$dsirTargetLang' GROUP BY 1, 2),
+         tc1 AS (SELECT w1, count(*) AS n1 FROM bg
+                 WHERE lang = '$dsirTargetLang' GROUP BY 1),
+         tvv AS (SELECT count(DISTINCT w) AS v FROM w
+                 WHERE lang = '$dsirTargetLang'),
+         tq AS (SELECT bg.doc_id,
+                  CAST(floor(ln(CAST(coalesce(n2, 0) + 1 AS DOUBLE)
+                    / CAST(coalesce(n1, 0) + v AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS q
+                FROM bg LEFT JOIN tc2 ON bg.w1 = tc2.w1 AND bg.w2 = tc2.w2
+                        LEFT JOIN tc1 ON bg.w1 = tc1.w1, tvv),
+         tlm AS (SELECT doc_id,
+                   round(CAST(sum(q) AS BIGINT) / 1000000.0 / count(*), 4)
+                     AS lm_tgt
+                 FROM tq GROUP BY 1)
+         SELECT tlm.doc_id, tlm.lm_tgt, rlm.lm_raw,
+           round(tlm.lm_tgt - rlm.lm_raw, 4) AS dsir
+         FROM tlm JOIN rlm ON tlm.doc_id = rlm.doc_id
+         ORDER BY dsir DESC, tlm.doc_id ASC LIMIT $dsirK""",
     "q_oov_rate" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
                      FROM documents),

@@ -140,16 +140,11 @@ object Index {
     * side stays small relative to the token stream; the context counts
     * and the vocabulary-size scalar broadcast. */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = df.select(col(idCol),
-      posexplode(terms(col(textCol))).as(Seq("pos", "w")))
-    val bg = w
-      .withColumn("w2",
-        lead(col("w"), 1).over(Window.partitionBy(idCol).orderBy("pos")))
-      .filter(col("w2").isNotNull)
-      .select(col(idCol), col("w").as("w1"), col("w2"))
+    val bg = docBigrams(df, idCol, textCol)
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
-    val v = w.agg(countDistinct(col("w")).as("v"))
+    val v = df.select(explode(terms(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
     val q = floor(
       log((col("n2") + 1).cast(DoubleType) / (col("n1") + col("v")).cast(DoubleType))
         * 1000000.0 + 0.5).cast(LongType)
@@ -160,6 +155,49 @@ object Index {
     // when it is actually small, same as the bigram join above.
     bg.join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col(idCol), q.as("q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("q")).cast(DoubleType) / 1000000.0 / count(lit(1)), 4)
+          .as("lm_score"))
+  }
+
+  /** Ordered per-document bigram relation (id, w1, w2). */
+  private def docBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(terms(col(textCol))).as(Seq("pos", "w")))
+      .withColumn("w2",
+        lead(col("w"), 1).over(Window.partitionBy(idCol).orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("w").as("w1"), col("w2"))
+
+  /** [[lmScore]] generalized to a SEPARATE training corpus: score every
+    * document of `docs` under the add-one-smoothed bigram LM estimated
+    * from `train`. With `train eq docs` this reduces exactly to
+    * [[lmScore]] (every scored bigram then exists in the counts, so the
+    * left joins never miss). Unseen bigrams fall back to
+    * ln(1/(c(w1)+V)); unseen contexts to ln(1/V) — standard Laplace.
+    *
+    * This is the scoring half of importance resampling (DSIR, Xie et
+    * al. 2023): rank corpus documents by lm_target − lm_raw and keep
+    * the top slice. Same integer-quantized mean as [[lmScore]], so the
+    * score is addition-order-independent. Shuffle shape also matches:
+    * the (w1,w2) and (w1) count joins are vocabulary-bounded with no
+    * forced broadcast; only the vocabulary-size scalar broadcasts. */
+  def lmScoreUnder(train: DataFrame, docs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val tb = docBigrams(train, idCol, textCol)
+    val c2 = tb.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = tb.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val v = train.select(explode(terms(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val q = floor(
+      log((coalesce(col("n2"), lit(0L)) + 1).cast(DoubleType)
+        / (coalesce(col("n1"), lit(0L)) + col("v")).cast(DoubleType))
+        * 1000000.0 + 0.5).cast(LongType)
+    docBigrams(docs, idCol, textCol)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .select(col(idCol), q.as("q"))
       .groupBy(col(idCol))

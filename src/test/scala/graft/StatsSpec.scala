@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Quality}
+import graft.operators.{Graph, Index, Quality}
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -53,6 +53,25 @@ class StatsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_outliers") == 1, row)
     assert(row.getAs[Double]("med") == 5.5)
     assert(row.getAs[Double]("mad") == 2.5)
+  }
+
+  test("lmScoreUnder on its own corpus reduces exactly to lmScore") {
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "the cat ran"),
+      (3L, "a dog sat on a log")).toDF("doc_id", "text")
+    val a = Index.lmScore(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Index.lmScoreUnder(docs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
+  test("lmScoreUnder backs off to ln(1/V) for fully unseen bigrams") {
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val score = Seq((9L, "c d")).toDF("doc_id", "text")
+    val r = Index.lmScoreUnder(train, score, "doc_id", "text").collect()
+    assert(r.length == 1)
+    // unseen context and bigram: ln((0+1)/(0+2)) = ln(0.5) ≈ -0.6931
+    assert(r.head.getAs[Double]("lm_score") == -0.6931, r.toSeq)
   }
 
   test("skewReport computes integer share and skew factor per group") {
