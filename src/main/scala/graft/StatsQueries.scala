@@ -23,21 +23,24 @@ object StatsQueries {
   private val oovVocabK = 100
   private val dsirTargetLang = "en"
   private val dsirK = 50
+  private val hitsIters = 2
+  private val pmiMinCount = 5L
+  private val pmiK = 50
+  private val corrScaleX = 1L   // l_quantity is integral
+  private val corrScaleY = 100L // l_extendedprice has 2 decimals — ×100 exact
+  private val corrScaleRatio = corrScaleX.toDouble / corrScaleY.toDouble
 
   // =====================================================================
   // Spark queries
   // =====================================================================
 
-  /** Weighted PageRank over the nation-level trade graph: edges are
-    * supplier-nation → customer-nation with lineitem counts as weights.
-    * The heavy stage is the edge aggregation (lineitem⨝orders shuffle,
-    * then two broadcast dimension hops collapse 60k rows to ≤ N²
-    * edges); the iteration loop then runs on the bounded edge relation.
-    * Ranks are integer-quantized per edge contribution, so the result
-    * is addition-order-independent (see [[operators.Graph.pageRank]]). */
-  private val qPagerank: Q = (spark, dir) => {
-    val nation = Tables.nation(spark, dir)
-    val edges = Tables.fanOut(Tables.lineitem(spark, dir))
+  /** Nation-level trade graph: supplier-nation → customer-nation edges
+    * with lineitem counts as weights. The heavy stage is the edge
+    * aggregation (lineitem⨝orders shuffle, then two broadcast dimension
+    * hops collapse the fact rows to ≤ N² edges); iterative consumers
+    * then run on the bounded edge relation. */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.lineitem(spark, dir))
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -49,13 +52,58 @@ object StatsQueries {
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-    Graph.pageRank(edges, "src", "dst", "w",
+
+  /** Weighted PageRank over the trade graph. Ranks are integer-quantized
+    * per edge contribution, so the result is addition-order-independent
+    * (see [[operators.Graph.pageRank]]). */
+  private val qPagerank: Q = (spark, dir) => {
+    val nation = Tables.nation(spark, dir)
+    Graph.pageRank(tradeEdges(spark, dir), "src", "dst", "w",
         nation.select(col("n_nationkey")), "n_nationkey", prIters, prDamping)
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
         Seq("n_nationkey"))
       .select(col("n_nationkey").cast(LongType).as("nation_key"), col("n_name"),
         round(col("pagerank"), 6).as("pr"))
   }
+
+  /** HITS hubs and authorities over the same trade graph — the
+    * exporter-side (hub) and importer-side (authority) view PageRank's
+    * single score conflates. Scores are exact ratios of integer sums
+    * (see [[operators.Graph.hits]]), so both engines agree bit-for-bit
+    * after rounding. */
+  private val qHits: Q = (spark, dir) => {
+    val nation = Tables.nation(spark, dir)
+    Graph.hits(tradeEdges(spark, dir), "src", "dst", "w",
+        nation.select(col("n_nationkey")), "n_nationkey", hitsIters)
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        Seq("n_nationkey"))
+      .select(col("n_nationkey").cast(LongType).as("nation_key"), col("n_name"),
+        round(col("hub"), 6).as("hub"), round(col("authority"), 6).as("authority"))
+  }
+
+  /** Top-k collocations by PMI over the document corpus — the phrase
+    * miner feeding phrase-aware tokenizer vocabularies (see
+    * [[operators.Index.pmiCollocations]]). */
+  private val qPmi: Q = (spark, dir) =>
+    Index.pmiCollocations(Tables.fanOut(Tables.documents(spark, dir)),
+      "doc_id", "text", pmiMinCount, pmiK)
+
+  /** Gopher-style per-rule quality verdicts for every document — which
+    * rule failed, not just a composite score (see
+    * [[functions.Text.gopherRules]]). Map-only projection. */
+  private val qGopherRules: Q = (spark, dir) =>
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), Text.gopherRules(col("text")).as("r"))
+      .select(col("doc_id"), col("r.*"))
+
+  /** Per-returnflag correlation + OLS of quantity vs extended price
+    * from exact integer moments — the grouped relationship probe whose
+    * result cannot drift with partitioning (see
+    * [[operators.Quality.corrOls]]; prices scale ×100 exactly). */
+  private val qCorrStats: Q = (spark, dir) =>
+    Quality.corrOls(Tables.fanOut(Tables.lineitem(spark, dir)),
+      "l_returnflag", col("l_quantity"), col("l_extendedprice"),
+      corrScaleX, corrScaleY)
 
   /** Robust outlier gate on order totals per priority class: median,
     * MAD, and the count beyond 3·1.4826·MAD — the filter that survives
@@ -137,11 +185,15 @@ object StatsQueries {
 
   def queries: Map[String, Q] = Map(
     "q_pagerank"     -> qPagerank,
+    "q_hits"         -> qHits,
     "q_mad_outliers" -> qMadOutliers,
     "q_skew_report"  -> qSkewReport,
     "q_t_entropy"    -> qTEntropy,
     "q_oov_rate"     -> qOovRate,
-    "q_dsir_select"  -> qDsirSelect
+    "q_dsir_select"  -> qDsirSelect,
+    "q_pmi"          -> qPmi,
+    "q_gopher_rules" -> qGopherRules,
+    "q_corr_stats"   -> qCorrStats
   )
 
   // =====================================================================
@@ -166,7 +218,127 @@ object StatsQueries {
                FROM r0 LEFT JOIN c$i ON r0.v = c$i.v, nn)"""
   }
 
+  /** One HITS half-step as three CTEs: quantized per-edge sums into
+    * `<out>s`, the integer grand total into `<out>t`, the normalized
+    * score relation into `<out>` — mirrors [[operators.Graph.hits]]'s
+    * halfStep term for term (quantize per edge, integer-sum per node,
+    * divide by the integer total). */
+  private def hitsHalfSql(out: String, prev: String,
+                          joinCol: String, outCol: String): String =
+    s"""${out}s AS (SELECT e.$outCol AS n,
+               sum(CAST(floor(p.x * e.w * 1e9 + 0.5) AS BIGINT)) AS sq
+             FROM e JOIN $prev p ON e.$joinCol = p.v GROUP BY 1),
+        ${out}t AS (SELECT sum(sq) AS tq FROM ${out}s),
+        $out AS (SELECT v.v,
+               CASE WHEN t.tq IS NULL OR t.tq = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE CAST(coalesce(s.sq, 0) AS DOUBLE) / CAST(t.tq AS DOUBLE)
+               END AS x
+             FROM v LEFT JOIN ${out}s s ON v.v = s.n, ${out}t t)"""
+
+  /** The full unrolled HITS iteration chain: a_i from h_{i-1}, then
+    * h_i from a_i. */
+  private def hitsItersSql: String =
+    (1 to hitsIters).map { i =>
+      hitsHalfSql(s"a$i", s"h${i - 1}", "src", "dst") + ",\n         " +
+        hitsHalfSql(s"h$i", s"a$i", "dst", "src")
+    }.mkString(",\n         ")
+
   def oracleSql: Map[String, String] = Map(
+    "q_hits" ->
+      s"""WITH e AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                       CAST(count(*) AS DOUBLE) AS w
+                     FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       JOIN customer c ON o.o_custkey = c.c_custkey
+                       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     GROUP BY 1, 2),
+         v AS (SELECT n_nationkey AS v FROM nation),
+         h0 AS (SELECT v, CAST(1 AS DOUBLE) AS x FROM v),
+         $hitsItersSql
+         SELECT CAST(h.v AS BIGINT) AS nation_key, n.n_name,
+           round(h.x, 6) AS hub, round(a.x, 6) AS authority
+         FROM h$hitsIters h JOIN a$hitsIters a ON h.v = a.v
+           JOIN nation n ON h.v = n.n_nationkey""",
+    "q_pmi" ->
+      s"""WITH t AS (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS wl
+                     FROM documents),
+         w AS (SELECT doc_id, u.i AS pos, t.wl[u.i] AS w
+               FROM t, unnest(range(1, len(t.wl) + 1)) AS u(i)),
+         bg AS (SELECT a.w AS w1, b.w AS w2
+                FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         p AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2
+               HAVING count(*) >= $pmiMinCount),
+         c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+         c2 AS (SELECT w2, count(*) AS n2r FROM bg GROUP BY 1),
+         nt AS (SELECT count(*) AS n_total FROM bg)
+         SELECT p.w1, p.w2, p.n12,
+           round(CAST(floor(ln(CAST(p.n12 AS DOUBLE) * CAST(nt.n_total AS DOUBLE)
+               / (CAST(c1.n1 AS DOUBLE) * CAST(c2.n2r AS DOUBLE)))
+             * 1e6 + 0.5) AS BIGINT) / 1e6, 4) AS pmi
+         FROM p JOIN c1 ON p.w1 = c1.w1 JOIN c2 ON p.w2 = c2.w2, nt
+         ORDER BY pmi DESC, p.w1 ASC, p.w2 ASC LIMIT $pmiK""",
+    "q_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS wl
+                    FROM documents),
+         w AS (SELECT doc_id, tok FROM t, unnest(wl) AS u(tok)),
+         agg AS (SELECT doc_id, count(*) AS n_words,
+                   CAST(sum(CASE WHEN regexp_matches(tok, '[a-z]')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+                   CAST(sum(CASE WHEN tok IN ('the','a','of','and','to',
+                     'in','is','that','it','for')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+                   CAST(sum(length(tok)) AS BIGINT) AS sum_len
+                 FROM w GROUP BY 1),
+         base AS (SELECT t.doc_id,
+                    CAST(coalesce(agg.n_words, 0) AS BIGINT) AS n_words,
+                    coalesce(agg.n_alpha, 0) AS n_alpha,
+                    coalesce(agg.n_stop, 0) AS n_stop,
+                    coalesce(agg.sum_len, 0) AS sum_len,
+                    CAST(len(regexp_extract_all(t.text, '#|\.\.\.')) AS BIGINT)
+                      AS n_sym
+                  FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id)
+         SELECT doc_id, n_words,
+           n_words BETWEEN 10 AND 100000 AS r_wordcount,
+           3 * n_words <= sum_len AND sum_len <= 10 * n_words AS r_meanwordlen,
+           5 * n_alpha >= 4 * n_words AS r_alphawords,
+           10 * n_sym <= n_words AS r_symbolratio,
+           n_stop >= 2 AS r_stopwords,
+           (n_words BETWEEN 10 AND 100000)
+             AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+             AND 5 * n_alpha >= 4 * n_words
+             AND 10 * n_sym <= n_words
+             AND n_stop >= 2 AS passed
+         FROM base""",
+    "q_corr_stats" ->
+      s"""WITH s AS (SELECT l_returnflag AS g,
+                       CAST(floor(l_quantity * $corrScaleX + 0.5) AS BIGINT) AS xi,
+                       CAST(floor(l_extendedprice * $corrScaleY + 0.5) AS BIGINT) AS yi
+                     FROM lineitem),
+         m AS (SELECT g, count(*) AS n,
+                 sum(xi) AS sx, sum(yi) AS sy, sum(xi * yi) AS sxy,
+                 sum(xi * xi) AS sxx, sum(yi * yi) AS syy
+               FROM s GROUP BY 1),
+         f AS (SELECT g, n,
+                 CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+                 CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vxn,
+                 CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vyn,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+               FROM m)
+         SELECT g AS l_returnflag, n,
+           CASE WHEN vxn > 0 AND vyn > 0
+             THEN round(covn / sqrt(vxn * vyn), 6) END AS corr,
+           CASE WHEN vxn > 0
+             THEN round(covn / vxn * $corrScaleRatio, 6) END AS beta,
+           CASE WHEN vxn > 0
+             THEN round((syd / $corrScaleY
+               - covn / vxn * $corrScaleRatio * sxd / $corrScaleX)
+               / CAST(n AS DOUBLE), 6) END AS alpha
+         FROM f""",
     "q_pagerank" ->
       s"""WITH e AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
                        CAST(count(*) AS DOUBLE) AS w

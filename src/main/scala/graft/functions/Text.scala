@@ -175,4 +175,44 @@ object Text {
     * single spaces, trimmed. */
   def normalizeText(c: Column): Column =
     trim(regexp_replace(regexp_replace(foldAccents(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  // ---------------------------------------------------------------------
+  // Gopher-style rule bank — the per-rule boolean filter set of Rae et
+  // al. 2021 (word-count bounds, mean-word-length band, symbol ratio,
+  // alphabetic-word fraction, stopword floor), as distinct from the
+  // weighted composite `qualityScore`: a curator reads WHICH rule a
+  // document failed, and ablates rules independently. Every threshold
+  // is an all-integer comparison (3n ≤ Σlen, 5·n_alpha ≥ 4n, …), so
+  // verdicts never ride a double — exactly reproducible in any engine.
+  // Pure projection: map-only at any scale.
+  // ---------------------------------------------------------------------
+  val wordPattern = "[a-z0-9]+"
+  val symbolPattern = "#|\\.\\.\\."
+
+  /** Per-document Gopher rule flags as a struct: word count within
+    * [minWords, maxWords]; mean word length within [3, 10]; symbol
+    * (# / ellipsis) to word ratio ≤ 1/10; ≥ 4/5 of words contain an
+    * alphabetic character; ≥ 2 stopword hits; and the conjunction.
+    * Words are maximal lowercase alnum runs (no empty tokens). */
+  def gopherRules(c: Column, minWords: Int = 10, maxWords: Int = 100000): Column = {
+    val words = regexp_extract_all(lower(c), lit(wordPattern), lit(0))
+    val nWords = size(words).cast(LongType)
+    val sumLen = length(regexp_replace(lower(c), "[^a-z0-9]", "")).cast(LongType)
+    val nAlpha = size(filter(words, w => w.rlike("[a-z]"))).cast(LongType)
+    val nSym = size(regexp_extract_all(c, lit(symbolPattern), lit(0))).cast(LongType)
+    val nStop = size(filter(words, w => w.isin(stopwords.head._2: _*))).cast(LongType)
+    val rWc = nWords.between(minWords.toLong, maxWords.toLong)
+    val rMwl = lit(3L) * nWords <= sumLen && sumLen <= lit(10L) * nWords
+    val rAlpha = lit(5L) * nAlpha >= lit(4L) * nWords
+    val rSym = lit(10L) * nSym <= nWords
+    val rStop = nStop >= 2L
+    struct(
+      nWords.as("n_words"),
+      rWc.as("r_wordcount"),
+      rMwl.as("r_meanwordlen"),
+      rAlpha.as("r_alphawords"),
+      rSym.as("r_symbolratio"),
+      rStop.as("r_stopwords"),
+      (rWc && rMwl && rAlpha && rSym && rStop).as("passed"))
+  }
 }

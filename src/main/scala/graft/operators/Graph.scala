@@ -74,4 +74,68 @@ object Graph {
     share.unpersist(blocking = false)
     r.select(col("__v").as(nodeCol), col("__r").as("pagerank"))
   }
+
+  /** Weighted HITS (Kleinberg): hub and authority scores, fixed
+    * iteration count — the bipartite-quality companion to [[pageRank]]
+    * (a good hub links to good authorities; a good authority is linked
+    * from good hubs). Per iteration:
+    * a(v) = Σ_{(u,v)∈E} w·h(u), then h(u) = Σ_{(u,v)∈E} w·a(v),
+    * each L1-normalized.
+    *
+    * Engine parity: per-edge contributions are quantized to integers
+    * (floor(x·1e9 + 0.5)) before the per-node sums, and normalization
+    * divides by the INTEGER total of those per-node integer sums — so
+    * every score is an exact ratio of two integers, independent of
+    * partitioning and addition order, and drift cannot compound across
+    * iterations.
+    *
+    * Scale shape: identical to [[pageRank]] — each half-step is one
+    * hash join of the edge relation against the |V|-row score relation
+    * plus one map-side-combined aggregation; the edge relation is
+    * persisted once and reused every iteration; score relations are
+    * |V| rows. Nodes with no in-edges (out-edges) get authority (hub)
+    * 0 — never null. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+           nodes: DataFrame, nodeCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(wCol).cast(DoubleType).as("__w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val v0 = nodes.select(col(nodeCol).as("__v"))
+    // one half-step: score the `out` side by joining the edge relation
+    // against the current opposite-side relation, quantize per edge,
+    // sum per node, then L1-normalize by the integer grand total
+    def halfStep(cur: DataFrame, joinSide: String, outSide: String): DataFrame = {
+      val sums = e.join(cur, col(joinSide) === col("__v"))
+        .select(col(outSide).as("__n"),
+          floor(col("__x") * col("__w") * lit(1e9) + lit(0.5)).cast(LongType).as("__cq"))
+        .groupBy(col("__n")).agg(sum(col("__cq")).as("__sq"))
+      val tot = sums.agg(sum(col("__sq")).as("__tq"))
+      v0.join(sums, col("__v") === col("__n"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("__v"),
+          when(col("__tq").isNull || col("__tq") === 0L, lit(0.0))
+            .otherwise(coalesce(col("__sq"), lit(0L)).cast(DoubleType)
+              / col("__tq").cast(DoubleType))
+            .as("__x"))
+    }
+    var h = v0.select(col("__v"), lit(1.0).as("__x"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val nextA = halfStep(h, "__src", "__dst").persist(StorageLevel.MEMORY_AND_DISK)
+      nextA.count()
+      if (a != null) a.unpersist(blocking = false)
+      a = nextA
+      val nextH = halfStep(a, "__dst", "__src").persist(StorageLevel.MEMORY_AND_DISK)
+      nextH.count()
+      h.unpersist(blocking = false)
+      h = nextH
+    }
+    val out = h.select(col("__v"), col("__x").as("hub"))
+      .join(a.select(col("__v"), col("__x").as("authority")), Seq("__v"))
+      .select(col("__v").as(nodeCol), col("hub"), col("authority"))
+    e.unpersist(blocking = false)
+    out
+  }
 }

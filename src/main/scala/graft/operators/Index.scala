@@ -163,6 +163,55 @@ object Index {
           .as("lm_score"))
   }
 
+  /** Collocation extraction: the top-k adjacent word pairs by pointwise
+    * mutual information, PMI = ln(c(w1,w2)·N / (c₁(w1)·c₂(w2))), where
+    * c₁/c₂ are the counts of the word in first/second position and N is
+    * the total bigram count — the classic "new york"/"machine learning"
+    * phrase miner, and the statistic behind phrase-aware tokenizer
+    * vocabularies. A `minCount` floor keeps rare-pair noise out (PMI is
+    * maximal for hapax pairs).
+    *
+    * Engine parity: PMI is a pure function of four exact integer counts,
+    * quantized (floor(x·1e6 + 0.5)) before the final rounding; ties
+    * break on (w1, w2) ascending.
+    *
+    * Scale shape: the bigram relation aggregates to vocabulary-bounded
+    * count relations; the pair relation (already ≤ |V|² but in practice
+    * Zipf-thin) joins the two positional count relations on single words
+    * — no corpus-sized side ever reaches a join build side, and the
+    * `minCount` filter lands before the joins, so at web scale the
+    * joined relation is the frequent-pair set only. The final cut is a
+    * bounded top-k. */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+                      minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, s"need a positive count floor, got $minCount")
+    require(k >= 1, s"need a positive k, got $k")
+    val bg = docBigrams(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= minCount)
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val c2r = bg.groupBy("w2").agg(count(lit(1)).as("n2r"))
+    val n = bg.agg(count(lit(1)).as("n_total"))
+    val pmi = round(
+      floor(log(col("n12").cast(DoubleType) * col("n_total").cast(DoubleType)
+          / (col("n1").cast(DoubleType) * col("n2r").cast(DoubleType)))
+        * lit(1e6) + lit(0.5)).cast(LongType).cast(DoubleType) / 1e6, 4)
+    val out = pairs
+      .join(c1, Seq("w1"))
+      .join(c2r, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n12"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the ≤ k-row result while the bigram relation is pinned,
+    // then release the corpus-sized cache (re-reads hit the k-row cache)
+    out.count()
+    bg.unpersist(blocking = false)
+    out
+  }
+
   /** Ordered per-document bigram relation (id, w1, w2). */
   private def docBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), posexplode(terms(col(textCol))).as(Seq("pos", "w")))

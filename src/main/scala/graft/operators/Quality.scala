@@ -228,6 +228,57 @@ object Quality {
         expr("max_key_rows * 10000 div n_rows").as("top_share_bp"),
         expr("max_key_rows * n_keys * 100 div n_rows").as("skew_x100"))
 
+  /** Grouped Pearson correlation + OLS slope/intercept from EXACT
+    * integer moments — the relationship probe beside [[robustOutliers]]'
+    * dispersion probe. Inputs are scaled to integers by the caller
+    * (`scaleX`/`scaleY`, e.g. 100 for 2-decimal currency — exact by
+    * construction); the five moments (Σx, Σy, Σxy, Σx², Σy²) are summed
+    * as DECIMAL(38,0), which is EXACT and addition-order-independent —
+    * the trap this operator exists to avoid is `corr()`/`covar_pop()`
+    * accumulating doubles, whose low bits depend on partitioning, so
+    * two runs of the same query can hash-differ. The final formula is a
+    * fixed IEEE double expression over those exact integers (identical
+    * in any engine), rounded to 6.
+    *
+    * Correlation is invariant under the positive scaling; the slope is
+    * reported in ORIGINAL units (rescaled by scaleX/scaleY). Groups
+    * with zero variance in either column report NULL corr/beta (a
+    * vertical or horizontal point cloud has no correlation), matching
+    * SQL `corr()` semantics.
+    *
+    * Scale shape: ONE map-side-combined aggregation — five sums and a
+    * count per group, constant state per group, one scan, one shuffle
+    * of |groups| rows. */
+  def corrOls(df: DataFrame, groupCol: String, x: Column, y: Column,
+              scaleX: Long = 1L, scaleY: Long = 1L): DataFrame = {
+    require(scaleX >= 1 && scaleY >= 1, "scales must be positive integers")
+    val dec = DecimalType(38, 0)
+    val xi = floor(x.cast(DoubleType) * scaleX + 0.5).cast(LongType)
+    val yi = floor(y.cast(DoubleType) * scaleY + 0.5).cast(LongType)
+    val m = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(xi.cast(dec)).as("sx"),
+      sum(yi.cast(dec)).as("sy"),
+      // per-row products in decimal, not long: two 10-digit scaled values
+      // would silently wrap a long product
+      sum(xi.cast(dec) * yi.cast(dec)).as("sxy"),
+      sum(xi.cast(dec) * xi.cast(dec)).as("sxx"),
+      sum(yi.cast(dec) * yi.cast(dec)).as("syy"))
+    def d(c: Column) = c.cast(DoubleType)
+    val covN = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val varXN = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val varYN = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    val corr = when(varXN > 0.0 && varYN > 0.0,
+      round(covN / sqrt(varXN * varYN), 6))
+    // slope on the scaled integers is beta·scaleX/scaleY in original units
+    val beta = when(varXN > 0.0,
+      covN / varXN * (scaleX.toDouble / scaleY.toDouble))
+    val alpha = when(varXN > 0.0,
+      round((d(col("sy")) / scaleY - beta * d(col("sx")) / scaleX) / d(col("n")), 6))
+    m.select(col(groupCol), col("n"),
+      corr.as("corr"), round(beta, 6).as("beta"), alpha.as("alpha"))
+  }
+
   /** Uniqueness expectation — not expressible as a row predicate:
     * violations = rows beyond the first per key (n - n_distinct over
     * the key tuple, nulls grouped like any other value — STRICTER than

@@ -74,6 +74,103 @@ class StatsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("lm_score") == -0.6931, r.toSeq)
   }
 
+  test("hits separates pure hubs from the pure authority") {
+    // A->C, B->C: A and B are hubs (link out), C the sole authority
+    val edges = Seq((1L, 3L, 1L), (2L, 3L, 1L)).toDF("s", "d", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("v")
+    val r = Graph.hits(edges, "s", "d", "w", nodes, "v", iters = 2)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(1L) == ((0.5, 0.0)), r)
+    assert(r(2L) == ((0.5, 0.0)), r)
+    assert(r(3L) == ((0.0, 1.0)), r)
+  }
+
+  test("hits splits authority by edge weight") {
+    // A routes weight 3 to B, 1 to C: authority 3/4 vs 1/4, A hub 1
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("s", "d", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("v")
+    val r = Graph.hits(edges, "s", "d", "w", nodes, "v", iters = 2)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(1L) == ((1.0, 0.0)), r)
+    assert(r(2L) == ((0.0, 0.75)), r)
+    assert(r(3L) == ((0.0, 0.25)), r)
+  }
+
+  test("pmiCollocations scores the dominant pair and applies the count floor") {
+    val docs = Seq((1L, "new york new york"), (2L, "new york city"))
+      .toDF("doc_id", "text")
+    // bigrams: (new,york)x3, (york,new), (york,city) — N=5
+    val r = Index.pmiCollocations(docs, "doc_id", "text", minCount = 2, k = 10)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "new" && r.head.getString(1) == "york")
+    assert(r.head.getLong(2) == 3L)
+    // ln(3*5/(3*3)) = ln(5/3) = 0.5108256... -> 0.5108
+    assert(r.head.getDouble(3) == 0.5108, r.head)
+  }
+
+  test("pmiCollocations orders by pmi then pair, and bounds to k") {
+    val docs = Seq((1L, "new york new york"), (2L, "new york city"))
+      .toDF("doc_id", "text")
+    val r = Index.pmiCollocations(docs, "doc_id", "text", minCount = 1, k = 2)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getDouble(3)))
+    // (york,city) and (york,new) both score ln(5/2)=0.9163, beating
+    // (new,york); the tie breaks on w2 ascending; k=2 cuts (new,york)
+    assert(r.toSeq == Seq(("york", "city", 0.9163), ("york", "new", 0.9163)))
+  }
+
+  test("gopherRules flags each failure mode independently") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was happy for a while in the sun that day it stayed"),
+      (2L, "hi there"),
+      (3L, "# item one # item two # item three # item four # item five # item six"),
+      (4L, "12 34 56 78 90 11 22 33 44 55 66 77")
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"), graft.functions.Text.gopherRules(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val good = r(1L)
+    assert(good.getAs[Long]("n_words") == 20L)
+    Seq("r_wordcount", "r_meanwordlen", "r_alphawords", "r_symbolratio",
+      "r_stopwords", "passed").foreach(f => assert(good.getAs[Boolean](f), f))
+    assert(!r(2L).getAs[Boolean]("r_wordcount") && !r(2L).getAs[Boolean]("passed"))
+    // 6 '#' against 12 words: 60 > 12
+    assert(!r(3L).getAs[Boolean]("r_symbolratio"))
+    assert(!r(3L).getAs[Boolean]("r_stopwords"))
+    // all-digit words: no alphabetic words, mean length 2 < 3
+    assert(!r(4L).getAs[Boolean]("r_alphawords"))
+    assert(!r(4L).getAs[Boolean]("r_meanwordlen"))
+  }
+
+  test("corrOls recovers a perfect line and its coefficients exactly") {
+    val df = Seq(("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0))
+      .toDF("g", "x", "y")
+    val r = Quality.corrOls(df, "g", col("x"), col("y")).collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("corr") == 1.0)
+    assert(r.getAs[Double]("beta") == 2.0)
+    assert(r.getAs[Double]("alpha") == 0.0)
+    val anti = Seq(("g", 1.0, 3.0), ("g", 2.0, 2.0), ("g", 3.0, 1.0))
+      .toDF("g", "x", "y")
+    val a = Quality.corrOls(anti, "g", col("x"), col("y")).collect().head
+    assert(a.getAs[Double]("corr") == -1.0 && a.getAs[Double]("beta") == -1.0)
+    assert(a.getAs[Double]("alpha") == 4.0)
+  }
+
+  test("corrOls rescales 2-decimal values exactly and nulls zero-variance groups") {
+    val df = Seq(("s", 1.0, 0.01), ("s", 2.0, 0.02), ("s", 3.0, 0.03),
+      ("z", 1.0, 5.0), ("z", 1.0, 7.0)).toDF("g", "x", "y")
+    val r = Quality.corrOls(df, "g", col("x"), col("y"), 1L, 100L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("s").getAs[Double]("corr") == 1.0)
+    assert(r("s").getAs[Double]("beta") == 0.01)
+    assert(r("s").getAs[Double]("alpha") == 0.0)
+    // x has zero variance in group z: corr/beta/alpha are NULL, not NaN
+    assert(r("z").isNullAt(r("z").fieldIndex("corr")))
+    assert(r("z").isNullAt(r("z").fieldIndex("beta")))
+    assert(r("z").isNullAt(r("z").fieldIndex("alpha")))
+  }
+
   test("skewReport computes integer share and skew factor per group") {
     val df = (Seq.fill(4)(("a", 1L)) ++ Seq(("a", 2L)) ++
       (1L to 5L).map(("b", _))).toDF("g", "k")
