@@ -49,6 +49,21 @@ object CurationQueries {
     Curation.connectedComponents(docs, "doc_id", pairs)
   }
 
+  /** Split-leakage report: near-duplicate pairs (the exact LSH →
+    * jaccard gate of q_sim_lsh_jaccard) that cross the deterministic
+    * 90/5/5 split of q_split — a test document with a near-dup in
+    * train inflates eval scores exactly like benchmark contamination
+    * does, so this is the dedup-before-split go/no-go check. */
+  private val qSplitLeakage: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val pairs = Similarity.lshJaccard(docs, "doc_id", "text",
+      shingleN, ExtensionQueries.minhashN, ExtensionQueries.rowsPerBand,
+      ExtensionQueries.lshBucketCap, ExtensionQueries.jaccardThreshold)
+    Curation.splitLeakage(pairs,
+      docs.select(col("doc_id"), ScaleQueries.splitColumn.as("split")),
+      "doc_id", "split")
+  }
+
   /** Benchmark decontamination: training docs sharing >= 3 distinct
     * 5-grams with the (broadcast) benchmark slice are flagged with
     * their overlap count. */
@@ -481,6 +496,7 @@ object CurationQueries {
     "q_pivot_events"   -> qPivotEvents,
     "q_rolling_avg"    -> qRollingAvg,
     "q_dup_components" -> qDupComponents,
+    "q_split_leakage"  -> qSplitLeakage,
     "q_decontaminate"  -> qDecontaminate,
     "q_strat_sample"   -> qStratSample,
     "q_shard_pack"     -> qShardPack,
@@ -536,6 +552,21 @@ object CurationQueries {
           comp AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
           SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
           FROM documents d LEFT JOIN comp c ON c.src = d.doc_id""",
+    "q_split_leakage" ->
+      s"""WITH ${ExtensionQueries.lshJaccardCtes},
+          sp AS (SELECT doc_id, ${ScaleQueries.splitCaseSql} AS split
+                 FROM documents)
+          SELECT least(sa.split, sb.split) AS split_lo,
+                 greatest(sa.split, sb.split) AS split_hi,
+                 count(*) AS n_pairs,
+                 round(max(p.jaccard), 4) AS max_sim,
+                 round(CAST(sum(CAST(floor(p.jaccard * 1e4 + 0.5) AS BIGINT))
+                     AS BIGINT) / 1e4 / count(*), 4) AS mean_sim
+          FROM lsh_pairs p
+            JOIN sp sa ON p.id_a = sa.doc_id
+            JOIN sp sb ON p.id_b = sb.doc_id
+          WHERE sa.split <> sb.split
+          GROUP BY 1, 2""",
     "q_decontaminate" ->
       s"""WITH $shingle5Cte,
           bsh AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % $benchMod = $benchRem)

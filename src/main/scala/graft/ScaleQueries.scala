@@ -193,16 +193,27 @@ object ScaleQueries {
   /** Deterministic 90/5/5 train/val/test split: the assignment is a
     * pure function of (salt, doc_id) — reproducible, new data never
     * reassigns old rows, map-only. */
-  private val qSplit: Q = (spark, dir) => {
+  /** Deterministic 90/5/5 split assignment for `doc_id` — shared by
+    * q_split and the split-leakage report so both stay on the identical
+    * hash by construction. */
+  private[graft] def splitColumn: org.apache.spark.sql.Column = {
     val bucket = pmod(
       conv(substring(md5(concat(lit("split6:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
         .cast(LongType), lit(10000L))
-    Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("source"),
-        when(bucket < 9000L, lit("train"))
-          .when(bucket < 9500L, lit("val"))
-          .otherwise(lit("test")).as("split"))
+    when(bucket < 9000L, lit("train"))
+      .when(bucket < 9500L, lit("val"))
+      .otherwise(lit("test"))
   }
+
+  /** DuckDB mirror of [[splitColumn]]. */
+  private[graft] val splitCaseSql: String =
+    """CASE WHEN CAST('0x' || substring(md5('split6:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9000 THEN 'train'
+           WHEN CAST('0x' || substring(md5('split6:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9500 THEN 'val'
+           ELSE 'test' END"""
+
+  private val qSplit: Q = (spark, dir) =>
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), splitColumn.as("split"))
 
   /** Repeated-span inventory — stage 1 of exact substring dedup (Lee et
     * al., "Deduplicating Training Data Makes Language Models Better"):
@@ -652,10 +663,7 @@ object ScaleQueries {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
     "q_split" ->
-      """SELECT doc_id, source,
-           CASE WHEN CAST('0x' || substring(md5('split6:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9000 THEN 'train'
-                WHEN CAST('0x' || substring(md5('split6:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9500 THEN 'val'
-                ELSE 'test' END AS split
+      s"""SELECT doc_id, source, $splitCaseSql AS split
          FROM documents"""
   )
 }

@@ -422,6 +422,38 @@ object Curation {
 
   // ---------------------------------------------------------------------
   // Column profiling — per-column count/null/distinct/min/max in ONE
+  /** Train/val/test leakage report: given a near-duplicate pair
+    * relation (`idA`, `idB`, `scoreCol`) and a split assignment
+    * (`idCol`, `splitCol`), count the pairs that CROSS a split boundary
+    * — the contamination a dedup-before-split pipeline exists to
+    * prevent (a test document with a near-duplicate in train inflates
+    * eval scores exactly like benchmark contamination does). One row
+    * per unordered split pair: pair count, max similarity, and the
+    * engine-parity mean (scores quantized ×1e4 to integers before
+    * summing, so the mean is addition-order independent).
+    *
+    * Scale shape: the pair relation is the near-dup output (≪ corpus);
+    * the split relation joins it twice on the id — at web scale the
+    * split side is corpus-sized, so these are plain hash joins that AQE
+    * broadcasts only when the pair side is small; the report itself is
+    * ≤ |splits|² rows. */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame, idCol: String,
+                   splitCol: String, idA: String = "id_a",
+                   idB: String = "id_b", scoreCol: String = "jaccard"): DataFrame = {
+    val spA = splits.select(col(idCol).as(idA), col(splitCol).as("__sp_a"))
+    val spB = splits.select(col(idCol).as(idB), col(splitCol).as("__sp_b"))
+    pairs.join(spA, Seq(idA)).join(spB, Seq(idB))
+      .filter(col("__sp_a") =!= col("__sp_b"))
+      .select(least(col("__sp_a"), col("__sp_b")).as("split_lo"),
+        greatest(col("__sp_a"), col("__sp_b")).as("split_hi"),
+        col(scoreCol).as("__s"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(max(col("__s")), 4).as("max_sim"),
+        round(sum(floor(col("__s") * 1e4 + 0.5).cast(LongType)).cast(DoubleType)
+          / 1e4 / count(lit(1)), 4).as("mean_sim"))
+  }
+
   // pass over the table: all aggregates ride a single global HashAggregate
   // (partial map-side combine, one tiny exchange), then the one result
   // row is exploded to long format. Profiling a 100 TB table costs one

@@ -358,4 +358,23 @@ class CurationSpec extends SparkSpec {
     val dirty = Seq.empty[String].toDF("dk")
     assert(Curation.bloomKeepClean(corpus, "k", dirty, "dk").count() == 2L)
   }
+
+  test("splitLeakage reports only cross-split pairs, unordered, with exact mean") {
+    val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.85), (5L, 6L, 1.0), (7L, 8L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val splits = Seq(1L -> "train", 2L -> "test", 3L -> "train", 4L -> "train",
+      5L -> "val", 6L -> "test", 7L -> "test", 8L -> "train")
+      .toDF("doc_id", "split")
+    val r = Curation.splitLeakage(pairs, splits, "doc_id", "split")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    // (3,4) is train-train: dropped. (1,2) and (7,8) both land in
+    // (test, train) regardless of pair orientation; (5,6) in (test, val)
+    assert(r.size == 2)
+    val tt = r(("test", "train"))
+    assert(tt.getAs[Long]("n_pairs") == 2L)
+    assert(tt.getAs[Double]("max_sim") == 0.9)
+    assert(tt.getAs[Double]("mean_sim") == 0.85) // (9000+8000)/1e4/2
+    val tv = r(("test", "val"))
+    assert(tv.getAs[Long]("n_pairs") == 1L && tv.getAs[Double]("max_sim") == 1.0)
+  }
 }
