@@ -66,6 +66,24 @@ object StatsQueries {
         round(col("pagerank"), 6).as("pr"))
   }
 
+  /** PageRank with dangling-mass redistribution on a graph with REAL
+    * sinks: keeping only src < dst edges makes the highest-keyed nation
+    * a guaranteed sink (and any nation lacking a higher-keyed partner a
+    * further one), so the stochastic-matrix variant actually differs
+    * from the drop-dangling default — without redistribution the total
+    * rank mass leaks and every authority score is biased low. */
+  private val qPagerankDangling: Q = (spark, dir) => {
+    val nation = Tables.nation(spark, dir)
+    Graph.pageRank(tradeEdges(spark, dir).filter(col("src") < col("dst")),
+        "src", "dst", "w",
+        nation.select(col("n_nationkey")), "n_nationkey", prIters, prDamping,
+        danglingRedistribute = true)
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        Seq("n_nationkey"))
+      .select(col("n_nationkey").cast(LongType).as("nation_key"), col("n_name"),
+        round(col("pagerank"), 6).as("pr"))
+  }
+
   /** HITS hubs and authorities over the same trade graph — the
     * exporter-side (hub) and importer-side (authority) view PageRank's
     * single score conflates. Scores are exact ratios of integer sums
@@ -168,23 +186,48 @@ object StatsQueries {
     * document under a bigram LM trained on the TARGET slice (English
     * docs — the distribution we want more of) and under one trained on
     * the raw corpus; keep the top-k by the log-ratio
-    * lm_target − lm_raw. The two scoring passes share the corpus
-    * bigram relation; both count joins are vocabulary-bounded. */
+    * lm_target − lm_raw. The corpus is tokenized ONCE: a persisted
+    * lang-carrying token relation feeds a persisted bigram relation,
+    * and both scoring passes (and both vocabulary scalars) derive from
+    * those two caches — the target slice is a filter of the shared
+    * bigrams, never a re-explode. Both count joins stay
+    * vocabulary-bounded; the corpus-sized caches are released once the
+    * k-row result is materialized. */
   private val qDsirSelect: Q = (spark, dir) => {
     val docs = Tables.fanOut(Tables.documents(spark, dir))
-    val target = docs.filter(col("lang") === dsirTargetLang)
-    val lmT = Index.lmScoreUnder(target, docs, "doc_id", "text")
+    val toks = Index.docTokens(docs, "doc_id", "text", Seq("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bg = Index.bigramsFromTokens(toks, "doc_id", Seq("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val score = bg.select(col("doc_id"), col("w1"), col("w2"))
+    val tgt = bg.filter(col("lang") === dsirTargetLang)
+    val lmT = Index.lmScoreOver(score,
+        tgt.groupBy("w1", "w2").agg(count(lit(1)).as("n2")),
+        tgt.groupBy("w1").agg(count(lit(1)).as("n1")),
+        toks.filter(col("lang") === dsirTargetLang)
+          .agg(countDistinct(col("w")).as("v")),
+        "doc_id")
       .select(col("doc_id"), col("lm_score").as("lm_tgt"))
-    val lmR = Index.lmScore(docs, "doc_id", "text")
+    val lmR = Index.lmScoreOver(score,
+        score.groupBy("w1", "w2").agg(count(lit(1)).as("n2")),
+        score.groupBy("w1").agg(count(lit(1)).as("n1")),
+        toks.agg(countDistinct(col("w")).as("v")),
+        "doc_id")
       .select(col("doc_id"), col("lm_score").as("lm_raw"))
-    lmT.join(lmR, Seq("doc_id"))
+    val out = lmT.join(lmR, Seq("doc_id"))
       .select(col("doc_id"), col("lm_tgt"), col("lm_raw"),
         round(col("lm_tgt") - col("lm_raw"), 4).as("dsir"))
       .orderBy(col("dsir").desc, col("doc_id").asc).limit(dsirK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the k-row result, then drop the corpus caches
+    bg.unpersist(blocking = false)
+    toks.unpersist(blocking = false)
+    out
   }
 
   def queries: Map[String, Q] = Map(
     "q_pagerank"     -> qPagerank,
+    "q_pagerank_dangling" -> qPagerankDangling,
     "q_hits"         -> qHits,
     "q_mad_outliers" -> qMadOutliers,
     "q_skew_report"  -> qSkewReport,
@@ -216,6 +259,28 @@ object StatsQueries {
                    + CAST($prDamping AS DOUBLE)
                      * CAST(coalesce(c$i.cq, 0) AS DOUBLE) / 1e9 AS r
                FROM r0 LEFT JOIN c$i ON r0.v = c$i.v, nn)"""
+  }
+
+  /** One dangling-redistributing PageRank iteration: the quantized
+    * dangling mass into `dN` (ranks of nodes absent from the share
+    * relation's source set), contributions into `cN`, and the
+    * stochastic-matrix update into `rN` — mirrors
+    * [[operators.Graph.pageRank]] with `danglingRedistribute = true`
+    * term for term. */
+  private def prDanglingIterSql(i: Int): String = {
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s"""d$i AS (SELECT coalesce(sum(CAST(floor(r.r * 1e9 + 0.5) AS BIGINT)), 0) AS dq
+               FROM $prev r LEFT JOIN srcs s ON r.v = s.src
+               WHERE s.src IS NULL),
+        c$i AS (SELECT sh.dst AS v,
+                 sum(CAST(floor(r.r * sh.s * 1e9 + 0.5) AS BIGINT)) AS cq
+               FROM sh JOIN $prev r ON sh.src = r.v GROUP BY 1),
+        r$i AS (SELECT r0.v,
+                 (CAST(1 AS DOUBLE) - CAST($prDamping AS DOUBLE)) / nn.n
+                   + CAST($prDamping AS DOUBLE)
+                     * (CAST(coalesce(c$i.cq, 0) AS DOUBLE) / 1e9
+                        + CAST(d$i.dq AS DOUBLE) / 1e9 / nn.n) AS r
+               FROM r0 LEFT JOIN c$i ON r0.v = c$i.v, nn, d$i)"""
   }
 
   /** One HITS half-step as three CTEs: quantized per-edge sums into
@@ -356,6 +421,25 @@ object StatsQueries {
          ${(1 to prIters).map(prIterSql).mkString(",\n         ")}
          SELECT CAST(f.v AS BIGINT) AS nation_key, n.n_name, round(f.r, 6) AS pr
          FROM r$prIters f JOIN nation n ON f.v = n.n_nationkey""",
+    "q_pagerank_dangling" ->
+      s"""WITH e AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                       CAST(count(*) AS DOUBLE) AS w
+                     FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       JOIN customer c ON o.o_custkey = c.c_custkey
+                       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     WHERE s.s_nationkey < c.c_nationkey
+                     GROUP BY 1, 2),
+         ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+         sh AS (SELECT e.src, e.dst, e.w / ow.wout AS s
+                FROM e JOIN ow ON e.src = ow.src),
+         srcs AS (SELECT DISTINCT src FROM sh),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+         r0 AS (SELECT n_nationkey AS v, CAST(1 AS DOUBLE) / nn.n AS r
+                FROM nation, nn),
+         ${(1 to prIters).map(prDanglingIterSql).mkString(",\n         ")}
+         SELECT CAST(f.v AS BIGINT) AS nation_key, n.n_name, round(f.r, 6) AS pr
+         FROM r$prIters f JOIN nation n ON f.v = n.n_nationkey""",
     "q_mad_outliers" ->
       s"""WITH m AS (SELECT o_orderpriority AS g, median(o_totalprice) AS med
                      FROM orders GROUP BY 1),
@@ -376,10 +460,10 @@ object StatsQueries {
                      FROM events GROUP BY 1, 2)
          SELECT event_type, CAST(sum(c) AS BIGINT) AS n_rows,
            count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_key_rows,
-           (CAST(max(c) AS BIGINT) * 10000) // CAST(sum(c) AS BIGINT)
-             AS top_share_bp,
-           (CAST(max(c) AS BIGINT) * count(*) * 100) // CAST(sum(c) AS BIGINT)
-             AS skew_x100
+           CAST((CAST(max(c) AS HUGEINT) * 10000) // CAST(sum(c) AS BIGINT)
+             AS BIGINT) AS top_share_bp,
+           CAST((CAST(max(c) AS HUGEINT) * count(*) * 100) // CAST(sum(c) AS BIGINT)
+             AS BIGINT) AS skew_x100
          FROM kc GROUP BY 1""",
     "q_t_entropy" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks

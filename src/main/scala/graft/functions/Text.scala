@@ -36,6 +36,12 @@ object Text {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人")
   )
 
+  /** English stopword list looked up BY KEY — [[qualityScore]] and
+    * [[gopherRules]] hard-depend on the English list specifically (their
+    * oracles inline these ten words), so a positional `stopwords.head`
+    * would silently diverge if the language table were ever reordered. */
+  val englishStopwords: Seq[String] = stopwords.toMap.apply("en")
+
   def stopwordHits(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(words: _*)))
 
@@ -69,7 +75,7 @@ object Text {
   /** Composite quality score in [0,1]-ish: rewards alpha density and
     * stopword presence, penalizes extreme token lengths & punctuation. */
   def qualityScore(c: Column): Column = {
-    val enRatio = stopwordRatio(c, stopwords.head._2)
+    val enRatio = stopwordRatio(c, englishStopwords)
     round(
       alphaRatio(c) * lit(0.4)
         + least(enRatio * lit(4.0), lit(1.0)) * lit(0.3)
@@ -200,7 +206,7 @@ object Text {
     val sumLen = length(regexp_replace(lower(c), "[^a-z0-9]", "")).cast(LongType)
     val nAlpha = size(filter(words, w => w.rlike("[a-z]"))).cast(LongType)
     val nSym = size(regexp_extract_all(c, lit(symbolPattern), lit(0))).cast(LongType)
-    val nStop = size(filter(words, w => w.isin(stopwords.head._2: _*))).cast(LongType)
+    val nStop = size(filter(words, w => w.isin(englishStopwords: _*))).cast(LongType)
     val rWc = nWords.between(minWords.toLong, maxWords.toLong)
     val rMwl = lit(3L) * nWords <= sumLen && sumLen <= lit(10L) * nWords
     val rAlpha = lit(5L) * nAlpha >= lit(4L) * nWords

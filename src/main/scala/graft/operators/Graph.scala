@@ -21,9 +21,20 @@ object Graph {
   /** Weighted PageRank, fixed iteration count.
     *
     * r₀(v) = 1/N; r_{t+1}(v) = (1−d)/N + d·Σ_{(u,v)∈E} r_t(u)·w(u,v)/W(u)
-    * where W(u) is u's total out-weight. Nodes without out-edges simply
-    * don't contribute (no dangling redistribution — callers wanting the
-    * stochastic-matrix variant can add a self-loop edge bank).
+    * where W(u) is u's total out-weight. Edges with non-positive weight
+    * are DROPPED before the share relation is built (a zero-total
+    * source would otherwise yield null/inf shares, and a negative
+    * weight would silently corrupt ranks), so W(u) > 0 holds for every
+    * surviving source by construction.
+    *
+    * Dangling nodes (no out-edges after the weight filter) default to
+    * not contributing; with `danglingRedistribute = true` their rank
+    * mass is redistributed uniformly each iteration —
+    * r_{t+1}(v) = (1−d)/N + d·(Σ contrib(v) + D_t/N) where
+    * D_t = Σ_{dangling u} r_t(u) — the stochastic-matrix variant, which
+    * keeps Σr = 1 and is the correct form for web graphs with sinks.
+    * The dangling mass is itself an integer sum of per-node quantized
+    * ranks, so the engine-parity contract below still holds.
     *
     * Engine parity: each edge's contribution is quantized to an integer
     * (floor(x·1e9 + 0.5)) BEFORE the per-node sum, so ranks are pure
@@ -40,11 +51,13 @@ object Graph {
     * iteration deep. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
                nodes: DataFrame, nodeCol: String,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+               iters: Int = 3, damping: Double = 0.85,
+               danglingRedistribute: Boolean = false): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
-      col(wCol).cast(DoubleType).as("__w"))
+        col(wCol).cast(DoubleType).as("__w"))
+      .filter(col("__w") > 0.0) // W(u) > 0 for every surviving source
     val outw = e.groupBy(col("__src")).agg(sum(col("__w")).as("__wout"))
     // share = w/W(u) is iteration-invariant: join it once, persist, and
     // every iteration reuses the same materialized edge relation.
@@ -53,6 +66,13 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nrel = nodes.agg(count(lit(1)).as("__nn"))
     val v0 = nodes.select(col(nodeCol).as("__v")).crossJoin(broadcast(nrel))
+    // the dangling set is iteration-invariant: |V|-bounded, derived once
+    val dangling = if (danglingRedistribute)
+      v0.select(col("__v"))
+        .join(share.select(col("__src")).distinct(),
+          col("__v") === col("__src"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    else null
     var r = v0.select(col("__v"), (lit(1.0) / col("__nn")).as("__r"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to iters) {
@@ -60,18 +80,31 @@ object Graph {
         .select(col("__dst"),
           floor(col("__r") * col("__s") * lit(1e9) + lit(0.5)).cast(LongType).as("__cq"))
         .groupBy(col("__dst")).agg(sum(col("__cq")).as("__cq"))
-      val next = v0
-        .join(contrib, col("__v") === col("__dst"), "left")
-        .select(col("__v"),
+      val joined = v0.join(contrib, col("__v") === col("__dst"), "left")
+      val next = (if (!danglingRedistribute)
+        joined.select(col("__v"),
           (lit(1.0 - damping) / col("__nn")
             + lit(damping) * coalesce(col("__cq"), lit(0L)).cast(DoubleType) / lit(1e9))
             .as("__r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      else {
+        // quantized dangling mass: a 1-row broadcast, never a shuffle
+        val dq = r.join(dangling.withColumnRenamed("__v", "__dv"),
+            col("__v") === col("__dv"), "left_semi")
+          .agg(coalesce(sum(floor(col("__r") * lit(1e9) + lit(0.5)).cast(LongType)),
+            lit(0L)).as("__dq"))
+        joined.crossJoin(broadcast(dq))
+          .select(col("__v"),
+            (lit(1.0 - damping) / col("__nn")
+              + lit(damping) * (coalesce(col("__cq"), lit(0L)).cast(DoubleType) / lit(1e9)
+                + col("__dq").cast(DoubleType) / lit(1e9) / col("__nn")))
+              .as("__r"))
+      }).persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before releasing the predecessor
       r.unpersist(blocking = false)
       r = next
     }
     share.unpersist(blocking = false)
+    if (dangling != null) dangling.unpersist(blocking = false)
     r.select(col("__v").as(nodeCol), col("__r").as("pagerank"))
   }
 
@@ -104,31 +137,42 @@ object Graph {
     val v0 = nodes.select(col(nodeCol).as("__v"))
     // one half-step: score the `out` side by joining the edge relation
     // against the current opposite-side relation, quantize per edge,
-    // sum per node, then L1-normalize by the integer grand total
-    def halfStep(cur: DataFrame, joinSide: String, outSide: String): DataFrame = {
+    // sum per node, then L1-normalize by the integer grand total. The
+    // per-node sums relation feeds BOTH the grand-total agg and the
+    // normalization join, so it is persisted for the half-step's
+    // lifetime — without the pin the dominant edge-join shuffle would
+    // run twice per half-step. The caller releases it (second element)
+    // once the normalized relation is materialized.
+    def halfStep(cur: DataFrame, joinSide: String, outSide: String): (DataFrame, DataFrame) = {
       val sums = e.join(cur, col(joinSide) === col("__v"))
         .select(col(outSide).as("__n"),
           floor(col("__x") * col("__w") * lit(1e9) + lit(0.5)).cast(LongType).as("__cq"))
         .groupBy(col("__n")).agg(sum(col("__cq")).as("__sq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val tot = sums.agg(sum(col("__sq")).as("__tq"))
-      v0.join(sums, col("__v") === col("__n"), "left")
+      val out = v0.join(sums, col("__v") === col("__n"), "left")
         .crossJoin(broadcast(tot))
         .select(col("__v"),
           when(col("__tq").isNull || col("__tq") === 0L, lit(0.0))
             .otherwise(coalesce(col("__sq"), lit(0L)).cast(DoubleType)
               / col("__tq").cast(DoubleType))
             .as("__x"))
+      (out, sums)
     }
     var h = v0.select(col("__v"), lit(1.0).as("__x"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var a: DataFrame = null
     for (_ <- 1 to iters) {
-      val nextA = halfStep(h, "__src", "__dst").persist(StorageLevel.MEMORY_AND_DISK)
+      val (stepA, sumsA) = halfStep(h, "__src", "__dst")
+      val nextA = stepA.persist(StorageLevel.MEMORY_AND_DISK)
       nextA.count()
+      sumsA.unpersist(blocking = false)
       if (a != null) a.unpersist(blocking = false)
       a = nextA
-      val nextH = halfStep(a, "__dst", "__src").persist(StorageLevel.MEMORY_AND_DISK)
+      val (stepH, sumsH) = halfStep(a, "__dst", "__src")
+      val nextH = stepH.persist(StorageLevel.MEMORY_AND_DISK)
       nextH.count()
+      sumsH.unpersist(blocking = false)
       h.unpersist(blocking = false)
       h = nextH
     }

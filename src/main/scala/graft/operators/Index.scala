@@ -212,13 +212,58 @@ object Index {
     out
   }
 
+  /** Positioned token relation (id, carry…, pos, w) — the shared
+    * tokenize pass under [[lmScore]]/[[lmScoreUnder]]/[[pmiCollocations]].
+    * `carry` columns (e.g. a language label) ride along so a caller can
+    * derive BOTH a sliced count relation and the full scoring relation
+    * from ONE persisted tokenization instead of re-exploding the corpus
+    * per pass (the DSIR query does exactly this). */
+  def docTokens(df: DataFrame, idCol: String, textCol: String,
+                carry: Seq[String] = Nil): DataFrame =
+    df.select((col(idCol) +: carry.map(col)) :+
+      posexplode(terms(col(textCol))).as(Seq("pos", "w")): _*)
+
+  /** Adjacent-bigram relation (id, carry…, w1, w2) from a positioned
+    * token relation — one window per document, no re-tokenize. */
+  def bigramsFromTokens(toks: DataFrame, idCol: String,
+                        carry: Seq[String] = Nil): DataFrame =
+    toks
+      .withColumn("__w2",
+        lead(col("w"), 1).over(Window.partitionBy(idCol).orderBy("pos")))
+      .filter(col("__w2").isNotNull)
+      .select((col(idCol) +: carry.map(col)) ++
+        Seq(col("w").as("w1"), col("__w2").as("w2")): _*)
+
   /** Ordered per-document bigram relation (id, w1, w2). */
   private def docBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), posexplode(terms(col(textCol))).as(Seq("pos", "w")))
-      .withColumn("w2",
-        lead(col("w"), 1).over(Window.partitionBy(idCol).orderBy("pos")))
-      .filter(col("w2").isNotNull)
-      .select(col(idCol), col("w").as("w1"), col("w2"))
+    bigramsFromTokens(docTokens(df, idCol, textCol), idCol)
+
+  /** Scoring core shared by [[lmScoreUnder]] and the DSIR query: score
+    * the `scoreBg` bigram relation (id, w1, w2) under precomputed
+    * add-one-smoothed counts — `c2(w1, w2, n2)`, `c1(w1, n1)` and the
+    * 1-row vocabulary size `v(v)`. Left joins + coalesce implement the
+    * Laplace fallbacks (unseen bigram → ln(1/(c(w1)+V)), unseen context
+    * → ln(1/V)); when the counts were estimated from the scored corpus
+    * itself the joins never miss and this reduces exactly to
+    * [[lmScore]]. Same integer-quantized mean, same vocabulary-bounded
+    * join shape (no forced broadcast on the count relations — see the
+    * note in [[lmScore]]). */
+  def lmScoreOver(scoreBg: DataFrame, c2: DataFrame, c1: DataFrame,
+                  v: DataFrame, idCol: String): DataFrame = {
+    val q = floor(
+      log((coalesce(col("n2"), lit(0L)) + 1).cast(DoubleType)
+        / (coalesce(col("n1"), lit(0L)) + col("v")).cast(DoubleType))
+        * 1000000.0 + 0.5).cast(LongType)
+    scoreBg
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col(idCol), q.as("q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("q")).cast(DoubleType) / 1000000.0 / count(lit(1)), 4)
+          .as("lm_score"))
+  }
 
   /** [[lmScore]] generalized to a SEPARATE training corpus: score every
     * document of `docs` under the add-one-smoothed bigram LM estimated
@@ -240,18 +285,6 @@ object Index {
     val c1 = tb.groupBy("w1").agg(count(lit(1)).as("n1"))
     val v = train.select(explode(terms(col(textCol))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    val q = floor(
-      log((coalesce(col("n2"), lit(0L)) + 1).cast(DoubleType)
-        / (coalesce(col("n1"), lit(0L)) + col("v")).cast(DoubleType))
-        * 1000000.0 + 0.5).cast(LongType)
-    docBigrams(docs, idCol, textCol)
-      .join(c2, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
-      .crossJoin(broadcast(v))
-      .select(col(idCol), q.as("q"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("q")).cast(DoubleType) / 1000000.0 / count(lit(1)), 4)
-          .as("lm_score"))
+    lmScoreOver(docBigrams(docs, idCol, textCol), c2, c1, v, idCol)
   }
 }

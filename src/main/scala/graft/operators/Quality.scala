@@ -213,7 +213,12 @@ object Quality {
     * the skew factor ×100 (heaviest key ÷ mean rows-per-key) — the
     * probe a pipeline runs BEFORE shuffling on a key, deciding between
     * a plain hash join, salting, or an AQE skew hint. All-integer
-    * arithmetic end to end, so the report is exactly reproducible.
+    * arithmetic end to end, so the report is exactly reproducible: the
+    * ratio numerators are formed in DECIMAL(38,0) (as [[corrOls]] does
+    * for its moments) because `max_key_rows * n_keys * 100` can exceed
+    * Long for a group holding both a heavy key and many distinct keys
+    * (~1e8 rows on the top key × ~1e9 keys already wraps), and the
+    * integral division of decimals is exact.
     *
     * Scale shape: a two-level aggregation — (group, key) counts with
     * map-side combine, then a per-group rollup — never a window over
@@ -225,8 +230,10 @@ object Quality {
         count(lit(1)).as("n_keys"),
         max(col("__c")).as("max_key_rows"))
       .select(col(groupCol), col("n_rows"), col("n_keys"), col("max_key_rows"),
-        expr("max_key_rows * 10000 div n_rows").as("top_share_bp"),
-        expr("max_key_rows * n_keys * 100 div n_rows").as("skew_x100"))
+        expr("CAST(max_key_rows AS DECIMAL(38,0)) * 10000 div n_rows")
+          .as("top_share_bp"),
+        expr("CAST(max_key_rows AS DECIMAL(38,0)) * n_keys * 100 div n_rows")
+          .as("skew_x100"))
 
   /** Grouped Pearson correlation + OLS slope/intercept from EXACT
     * integer moments — the relationship probe beside [[robustOutliers]]'
