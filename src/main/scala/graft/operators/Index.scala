@@ -181,7 +181,10 @@ object Index {
     * — no corpus-sized side ever reaches a join build side, and the
     * `minCount` filter lands before the joins, so at web scale the
     * joined relation is the frequent-pair set only. The final cut is a
-    * bounded top-k. */
+    * bounded top-k, persisted and materialized before the corpus-sized
+    * bigram cache is released — release the k-row result via
+    * [[Similarity.release]] / `unpersist()` when done; no corpus-sized
+    * cache survives this call. */
   def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
                       minCount: Long, k: Int): DataFrame = {
     require(minCount >= 1, s"need a positive count floor, got $minCount")

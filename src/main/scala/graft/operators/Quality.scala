@@ -106,8 +106,9 @@ object Quality {
     * broadcast-bench join; everything downstream of the aggregations
     * is arithmetic on |sources|·nBuckets rows. The corpus-sized cache
     * is released before returning — the |sources|-row report itself is
-    * persisted and materialized instead (re-reads cost nothing; a
-    * caller can `unpersist()` it). */
+    * persisted and materialized instead (re-reads cost nothing).
+    * Release the report via [[Similarity.release]] / `unpersist()` when
+    * done; no corpus-sized cache survives this call. */
   def sourceScorecard(docs: DataFrame, idCol: String, sourceCol: String,
                       textCol: String, qualityCol: Column, nTokCol: Column,
                       bench: DataFrame, shingleN: Int, minShared: Long,
@@ -174,24 +175,41 @@ object Quality {
     * Engine parity: the flag compares integer-quantized deviations
     * (floor(x·1e6 + 0.5)) against the integer-quantized threshold, so
     * the verdict never rides a raw double comparison. Exact `percentile`
-    * is the correctness anchor (both engines interpolate at rank
-    * p·(n−1)); `approx_percentile` is the drop-in scale path when a
-    * group's values no longer fit an aggregation buffer — same trade as
-    * the grouped-quantiles query. Scale shape: the projected input is
-    * persisted and scanned twice (median pass, deviation pass); the
-    * per-group median/MAD relations are |groups| rows and broadcast
-    * into the row-level joins. */
+    * (the default) is the correctness anchor (both engines interpolate
+    * at rank p·(n−1)); `approx = true` switches both median passes to
+    * `approx_percentile` — the scale path when a group's values no
+    * longer fit an exact aggregation buffer (same trade as the grouped
+    * quantiles query): constant sketch state per group at the given
+    * `accuracy` (rank error ≤ 1/accuracy), identical report schema.
+    * `approx_percentile` returns a RANK ELEMENT rather than
+    * interpolating, so on even-sized groups the reported median can
+    * sit one inter-element gap below the exact value — the outlier
+    * verdict is what the spec pins as agreeing, and on odd-sized
+    * groups the medians coincide too.
+    *
+    * Scale shape: the projected input is persisted and scanned twice
+    * (median pass, deviation pass); the per-group median/MAD relations
+    * are |groups| rows and broadcast into the row-level joins. The
+    * |groups|-row report is persisted and materialized before the
+    * corpus-sized projection cache is released — release the report
+    * itself via [[Similarity.release]] / `unpersist()` when done; no
+    * corpus-sized cache survives this call. */
   def robustOutliers(df: DataFrame, groupCol: String, value: Column,
-                     k: Double = 3.0): DataFrame = {
+                     k: Double = 3.0, approx: Boolean = false,
+                     accuracy: Int = 10000): DataFrame = {
     require(k > 0.0, s"need a positive cutoff multiplier, got $k")
+    require(accuracy >= 1, s"need a positive sketch accuracy, got $accuracy")
+    def median(c: String) =
+      if (approx) expr(s"approx_percentile($c, 0.5, $accuracy)")
+      else expr(s"percentile($c, 0.5)")
     val proj = df.select(col(groupCol), value.cast(DoubleType).as("__x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val med = proj.groupBy(col(groupCol))
-      .agg(expr("percentile(__x, 0.5)").as("__med"))
+      .agg(median("__x").cast(DoubleType).as("__med"))
     val dev = proj.join(broadcast(med), Seq(groupCol))
       .select(col(groupCol), col("__med"), abs(col("__x") - col("__med")).as("__dev"))
     val mad = dev.groupBy(col(groupCol))
-      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+      .agg(median("__dev").cast(DoubleType).as("__mad"))
     val out = dev.join(broadcast(mad), Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),

@@ -42,6 +42,37 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r(3L) - (teleport + 0.85 * (1.0 / 3) * 0.25)) < 1e-6, r)
   }
 
+  test("pageRank redistributes dangling mass when asked (stochastic-matrix form)") {
+    // A->B with B a sink. r0 = (1/2, 1/2); dangling mass D0 = r(B) = 1/2.
+    // r1(A) = 0.15/2 + 0.85*(0 + (1/2)/2)          = 0.2875
+    // r1(B) = 0.15/2 + 0.85*(1/2 + (1/2)/2)        = 0.7125  (sums to 1)
+    val edges = Seq((1L, 2L, 1L)).toDF("s", "d", "w")
+    val nodes = Seq(1L, 2L).toDF("v")
+    val r = Graph.pageRank(edges, "s", "d", "w", nodes, "v", iters = 1,
+        danglingRedistribute = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.2875) < 1e-6, r)
+    assert(math.abs(r(2L) - 0.7125) < 1e-6, r)
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, "mass must be conserved")
+    // without redistribution the sink's mass leaks: total < 1
+    val drop = Graph.pageRank(edges, "s", "d", "w", nodes, "v", iters = 1)
+      .collect().map(_.getDouble(1)).sum
+    assert(drop < 1.0 - 1e-6, s"dropped-mass total should undershoot 1, got $drop")
+  }
+
+  test("pageRank drops non-positive-weight edges before building shares") {
+    // the w=0 edge must not make A's shares null/inf; with it gone this
+    // is exactly the A->B sink graph
+    val edges = Seq((1L, 2L, 1L), (3L, 1L, 0L), (3L, 2L, 0L)).toDF("s", "d", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("v")
+    val r = Graph.pageRank(edges, "s", "d", "w", nodes, "v", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val teleport = 0.15 / 3
+    assert(math.abs(r(1L) - teleport) < 1e-6, r)
+    assert(math.abs(r(3L) - teleport) < 1e-6, r)
+    assert(math.abs(r(2L) - (teleport + 0.85 * (1.0 / 3))) < 1e-6, r)
+  }
+
   test("robustOutliers flags only the planted extreme under MAD") {
     // 1..9 plus 1000: median 5.5, MAD 2.5, cutoff 3*1.4826*2.5 ≈ 11.1 —
     // a mean/σ gate would have its σ inflated ~300x by the outlier
@@ -53,6 +84,55 @@ class StatsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_outliers") == 1, row)
     assert(row.getAs[Double]("med") == 5.5)
     assert(row.getAs[Double]("mad") == 2.5)
+  }
+
+  test("robustOutliers approx path agrees with the exact verdict") {
+    // three groups with planted extremes: the 100x scale path must
+    // reproduce the exact OUTLIER VERDICT everywhere; on odd-sized
+    // groups (where the exact percentile doesn't interpolate) the
+    // medians themselves coincide too
+    val df = (((1 to 9).map(_.toDouble) :+ 1000.0).map(("even", _)) ++
+      ((1 to 10).map(_.toDouble) :+ 1000.0).map(("odd", _)) ++
+      (1 to 20).map(i => ("clean", i.toDouble))).toDF("g", "x")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getAs[Long]("n"),
+        r.getAs[Long]("n_outliers"), r.getAs[Double]("med"),
+        r.getAs[Double]("mad"))).sortBy(_._1).toSeq
+    val exact = key(Quality.robustOutliers(df, "g", col("x")).collect())
+    val approx = key(Quality.robustOutliers(df, "g", col("x"),
+      approx = true).collect())
+    assert(exact.map(t => (t._1, t._2, t._3)) == approx.map(t => (t._1, t._2, t._3)),
+      s"verdicts must agree: exact=$exact approx=$approx")
+    assert(exact.map(t => (t._1, t._3)).toSet ==
+      Set(("even", 1L), ("odd", 1L), ("clean", 0L)))
+    // odd-sized group: rank element == interpolated value, full agreement
+    assert(exact.find(_._1 == "odd") == approx.find(_._1 == "odd"))
+    // even-sized group: medians differ by at most one inter-element gap
+    val (e, a) = (exact.find(_._1 == "even").get, approx.find(_._1 == "even").get)
+    assert(math.abs(e._4 - a._4) <= 1.0 && math.abs(e._5 - a._5) <= 1.0)
+  }
+
+  test("persisted-report operators leave no corpus-sized cache behind") {
+    // release contract: after the operator returns, the ONLY surviving
+    // cache is its own bounded report — releasing that must leave the
+    // context cache-empty (a leaked corpus cache would still show here)
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val docs = Seq((1L, "the cat sat on the mat again and again and again"),
+      (2L, "the cat sat on a log near the mat"),
+      (3L, "a dog ran past the cat on the mat")).toDF("doc_id", "text")
+    val reports = Seq(
+      Quality.robustOutliers(docs, "doc_id", length(col("text"))),
+      Index.pmiCollocations(docs, "doc_id", "text", minCount = 2, k = 5),
+      Quality.sourceScorecard(
+        docs.withColumn("source", lit("s")), "doc_id", "source", "text",
+        lit(0.8), size(split(col("text"), "\\s+")),
+        Seq((99L, "benchmark text entirely elsewhere")).toDF("doc_id", "text"),
+        shingleN = 5, minShared = 3))
+    reports.foreach(_.collect()) // reports are usable after the call...
+    reports.foreach(graft.operators.Similarity.release)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
   test("lmScoreUnder on its own corpus reduces exactly to lmScore") {
