@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.Text
+import graft.operators.{Curation, Index, Similarity}
+
+/** The end-to-end curation DAG — the pipeline a real training run
+  * executes, composed from the individually-proven stages:
+  *
+  *   Gopher rule gate → exact dedup → LSH near-dup dedup (connected
+  *   components) → semantic dedup (trained quantizer) →
+  *   benchmark decontamination → DSIR importance selection →
+  *   deterministic 90/5/5 split → split-leakage check → shard packing.
+  *
+  * The point beyond "the stages compose": shared relations are
+  * computed ONCE. The LSH near-dup pair relation feeds both the
+  * component resolution (stage 3) and the final split-leakage check
+  * (stage 8) from a single persisted materialization — the leakage
+  * check costs two hash joins against a ≤-pairs relation, not a
+  * recomputed LSH chain. Likewise one persisted tokenization feeds
+  * both DSIR scoring passes, and each stage consumes the previous
+  * survivor relation instead of re-deriving it.
+  *
+  * Because near-dup CLUSTERS were collapsed to canonicals before the
+  * split, no surviving pair can cross a split boundary — the DAG's
+  * leakage count is structurally zero, and the query PROVES that by
+  * reporting it from the reused pair relation (the oracle recomputes
+  * the whole pipeline independently and must agree).
+  *
+  * Scale shape: every stage keeps its standalone shape (map-only gate,
+  * hash-partitioned dedups, capped LSH buckets, broadcast quantizer,
+  * broadcast bench shingles, vocabulary-bounded LM joins, bounded
+  * top-k selection, one window per split for packing); the composition
+  * adds only id-semi-joins between consecutive survivor relations.
+  * Reference: the reference's cleaning lifecycles chain the same way
+  * (GSMLS.py pipeline stages), re-expressed as one declarative DAG.
+  */
+object CurationE2E {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private[graft] val e2eK = 200          // DSIR keep budget for the composed DAG
+  private[graft] val e2eTargetLang = "en" // DSIR target slice
+  private val gopherMinWords = 10
+  private val gopherMaxWords = 100000
+
+  private val qCurationE2e: Q = (spark, dir) => {
+    import ExtensionQueries.{minhashN, rowsPerBand, lshBucketCap, jaccardThreshold, semThreshold}
+    import CurationQueries.{shingleN, decontamN, decontamMinShared, benchMod, benchRem, shardBudget}
+    val docsAll = Tables.fanOut(Tables.documents(spark, dir))
+    val bench = docsAll.filter(col("doc_id") % benchMod === benchRem)
+    val corpus = docsAll.filter(col("doc_id") % benchMod =!= benchRem)
+    // 1 — Gopher gate: map-only projection filter
+    val gated = corpus.filter(
+      Text.gopherRules(col("text"), gopherMinWords, gopherMaxWords)
+        .getField("passed"))
+    // 2 — exact dedup: keep the minimum doc_id per content hash.
+    // Stage boundaries are cut with eager localCheckpoint rather than
+    // persist: each later stage references its survivor relation 2-3
+    // times, and because DataFrame plans are trees (not DAGs) the
+    // composed 9-stage plan would otherwise re-embed every upstream
+    // subtree per reference — exponential analysis cost. Checkpointing
+    // materializes the (small, post-filter) survivor set once and
+    // replaces the subtree with a flat scan, exactly the
+    // [[Curation.connectedComponents]] lineage discipline.
+    val exact = gated
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
+    // 3 — LSH near-dup dedup. The pair relation is persisted by
+    // lshJaccard and REUSED by the split-leakage check in stage 8.
+    val pairs = Similarity.lshJaccard(exact, "doc_id", "text",
+      shingleN, minhashN, rowsPerBand, lshBucketCap, jaccardThreshold)
+    val canonical = Curation.connectedComponents(exact, "doc_id", pairs)
+      .filter(col("component") === col("doc_id")).select("doc_id")
+    val nearKept = exact.join(canonical, Seq("doc_id"), "left_semi")
+    // 4 — semantic dedup: quantizer trained ONCE on the full embedding
+    // corpus (the production trained-quantizer path), applied to the
+    // survivors' vectors only
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      centroidStep = 50, iters = 2)
+    val embSub = emb.join(nearKept.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val surv = Similarity.semanticDedup(embSub, "vec_id", "embedding",
+      cent, semThreshold)
+    Similarity.release(cent)
+    val semKept = nearKept.join(surv.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // 5 — benchmark decontamination: drop survivors sharing >= minShared
+    // distinct 5-grams with the (broadcast) benchmark slice
+    val contam = Curation.contaminationReport(semKept, bench,
+      "doc_id", "text", decontamN, decontamMinShared)
+    val clean = semKept.join(contam.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // 6 — DSIR selection: one persisted tokenization feeds both LM
+    // scoring passes (target = the clean English slice, raw = all clean)
+    val toks = Index.docTokens(clean, "doc_id", "text", Seq("lang"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bg = Index.bigramsFromTokens(toks, "doc_id", Seq("lang"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val score = bg.select(col("doc_id"), col("w1"), col("w2"))
+    val tgt = bg.filter(col("lang") === e2eTargetLang)
+    val lmT = Index.lmScoreOver(score,
+        tgt.groupBy("w1", "w2").agg(count(lit(1)).as("n2")),
+        tgt.groupBy("w1").agg(count(lit(1)).as("n1")),
+        toks.filter(col("lang") === e2eTargetLang)
+          .agg(countDistinct(col("w")).as("v")),
+        "doc_id")
+      .select(col("doc_id"), col("lm_score").as("lm_tgt"))
+    val lmR = Index.lmScoreOver(score,
+        score.groupBy("w1", "w2").agg(count(lit(1)).as("n2")),
+        score.groupBy("w1").agg(count(lit(1)).as("n1")),
+        toks.agg(countDistinct(col("w")).as("v")),
+        "doc_id")
+      .select(col("doc_id"), col("lm_score").as("lm_raw"))
+    val selId = lmT.join(lmR, Seq("doc_id"))
+      .select(col("doc_id"), round(col("lm_tgt") - col("lm_raw"), 4).as("dsir"))
+      .orderBy(col("dsir").desc, col("doc_id").asc).limit(e2eK)
+      .select("doc_id")
+    // 7 — deterministic 90/5/5 split of the selected set
+    val selected = clean.join(selId, Seq("doc_id"), "left_semi")
+      .withColumn("split", ScaleQueries.splitColumn)
+      .localCheckpoint()
+    // 8 — split-leakage check on the REUSED stage-3 pair relation: two
+    // hash joins on id, structurally zero because clusters collapsed
+    // before the split — the oracle must agree from scratch
+    val leaks = pairs
+      .join(selected.select(col("doc_id").as("id_a"), col("split").as("__sp_a")),
+        Seq("id_a"))
+      .join(selected.select(col("doc_id").as("id_b"), col("split").as("__sp_b")),
+        Seq("id_b"))
+      .filter(col("__sp_a") =!= col("__sp_b"))
+      .agg(count(lit(1)).as("n_leaks"))
+    // 9 — token-budget shard packing per split
+    val out = Curation.packShards(selected, "split", "doc_id",
+        Text.tokenCount(col("text")), shardBudget)
+      .crossJoin(broadcast(leaks))
+      .select(col("doc_id"), col("source"), col("split"), col("n_tok"),
+        col("shard"), col("n_leaks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the <= e2eK-row result, then drop the DAG caches
+    Seq(pairs, surv, toks, bg).foreach(Similarity.release)
+    out
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_curation_e2e" -> qCurationE2e
+  )
+
+  // =====================================================================
+  // Oracle SQL (DuckDB 1.0) — the WHOLE pipeline recomputed from scratch:
+  // gopher CTEs (g_*), the shared LSH chain over the exact survivors,
+  // recursive-CTE components, the trained-quantizer semantic chain over
+  // the survivors' vectors, 5-gram decontamination, DSIR CTEs (d_*),
+  // split, leakage, and packing.
+  // =====================================================================
+
+  private def stopListSql: String =
+    Text.englishStopwords.map(w => s"'$w'").mkString(",")
+
+  def oracleSql: Map[String, String] = {
+    import ExtensionQueries.{lshJaccardCtesFrom, semanticDedupCtesOver}
+    import CurationQueries.{decontamN, decontamMinShared, benchMod, benchRem, shardBudget}
+    val n1 = decontamN - 1 // 1-based inclusive slice width for 5-grams
+    val n2 = decontamN - 2
+    Map(
+      "q_curation_e2e" ->
+        s"""WITH RECURSIVE
+           corpus AS MATERIALIZED (SELECT doc_id, text, lang, source, n_chars
+                      FROM documents WHERE doc_id % $benchMod <> $benchRem),
+           bench_d AS MATERIALIZED (SELECT doc_id, text FROM documents
+                       WHERE doc_id % $benchMod = $benchRem),
+           g_t AS (SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS wl
+                   FROM corpus),
+           g_w AS (SELECT doc_id, tok FROM g_t, unnest(wl) AS u(tok)),
+           g_agg AS (SELECT doc_id, count(*) AS n_words,
+                       CAST(sum(CASE WHEN regexp_matches(tok, '[a-z]')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+                       CAST(sum(CASE WHEN tok IN ($stopListSql)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+                       CAST(sum(length(tok)) AS BIGINT) AS sum_len
+                     FROM g_w GROUP BY 1),
+           g_base AS (SELECT t.doc_id,
+                        CAST(coalesce(agg.n_words, 0) AS BIGINT) AS n_words,
+                        coalesce(agg.n_alpha, 0) AS n_alpha,
+                        coalesce(agg.n_stop, 0) AS n_stop,
+                        coalesce(agg.sum_len, 0) AS sum_len,
+                        CAST(len(regexp_extract_all(t.text, '#|\\.\\.\\.')) AS BIGINT)
+                          AS n_sym
+                      FROM g_t t LEFT JOIN g_agg agg ON t.doc_id = agg.doc_id),
+           gated AS (SELECT c.doc_id, c.text, c.lang, c.source, c.n_chars
+                     FROM corpus c JOIN g_base g ON c.doc_id = g.doc_id
+                     WHERE g.n_words BETWEEN $gopherMinWords AND $gopherMaxWords
+                       AND 3 * g.n_words <= g.sum_len
+                       AND g.sum_len <= 10 * g.n_words
+                       AND 5 * g.n_alpha >= 4 * g.n_words
+                       AND 10 * g.n_sym <= g.n_words
+                       AND g.n_stop >= 2),
+           exd AS MATERIALIZED (SELECT doc_id, text, lang, source, n_chars FROM (
+                     SELECT g.*, row_number() OVER
+                       (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                     FROM gated g) t WHERE rn = 1),
+           ${lshJaccardCtesFrom("exd", materializePairs = true)},
+           edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
+                     UNION SELECT id_b, id_a FROM lsh_pairs),
+           reach(src, dst) AS (SELECT a, b FROM edges
+                     UNION SELECT r2.src, e2.b
+                           FROM reach r2 JOIN edges e2 ON r2.dst = e2.a),
+           comp AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src),
+           nearkept AS MATERIALIZED (SELECT e.doc_id, e.text, e.lang, e.source, e.n_chars
+                        FROM exd e LEFT JOIN comp c ON c.src = e.doc_id
+                        WHERE least(e.doc_id, coalesce(c.mn, e.doc_id)) = e.doc_id),
+           emb_f AS (SELECT em.vec_id, em.embedding
+                     FROM embeddings em JOIN nearkept k ON em.vec_id = k.doc_id),
+           ${semanticDedupCtesOver("emb_f")},
+           semkept AS MATERIALIZED (SELECT k.doc_id, k.text, k.lang, k.source, k.n_chars
+                       FROM nearkept k JOIN surv s ON k.doc_id = s.vec_id),
+           tk5c AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+                    FROM semkept),
+           sh5c AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+$n1], ' ') AS shingle
+                    FROM tk5c, unnest(range(1, greatest(len(t)-$n2, 1))) AS u(i)
+                    WHERE array_to_string(t[i:i+$n1], ' ') <> ''),
+           tk5b AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+                    FROM bench_d),
+           bsh AS (SELECT DISTINCT array_to_string(t[i:i+$n1], ' ') AS shingle
+                   FROM tk5b, unnest(range(1, greatest(len(t)-$n2, 1))) AS u(i)
+                   WHERE array_to_string(t[i:i+$n1], ' ') <> ''),
+           contam AS (SELECT s.doc_id FROM sh5c s JOIN bsh b ON s.shingle = b.shingle
+                      GROUP BY s.doc_id HAVING count(*) >= $decontamMinShared),
+           clean AS MATERIALIZED (SELECT k.doc_id, k.text, k.lang, k.source
+                     FROM semkept k LEFT JOIN contam c ON k.doc_id = c.doc_id
+                     WHERE c.doc_id IS NULL),
+           d_t AS (SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS wl
+                   FROM clean),
+           d_w AS MATERIALIZED (SELECT doc_id, lang, u.i AS pos, d_t.wl[u.i] AS w
+                   FROM d_t, unnest(range(1, len(d_t.wl) + 1)) AS u(i)),
+           d_bg AS MATERIALIZED (SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+                    FROM d_w a JOIN d_w b
+                      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+           d_rc2 AS (SELECT w1, w2, count(*) AS n2 FROM d_bg GROUP BY 1, 2),
+           d_rc1 AS (SELECT w1, count(*) AS n1 FROM d_bg GROUP BY 1),
+           d_rvv AS (SELECT count(DISTINCT w) AS v FROM d_w),
+           d_rq AS (SELECT d_bg.doc_id,
+                      CAST(floor(ln(CAST(coalesce(n2, 0) + 1 AS DOUBLE)
+                        / CAST(coalesce(n1, 0) + v AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS q
+                    FROM d_bg LEFT JOIN d_rc2 ON d_bg.w1 = d_rc2.w1 AND d_bg.w2 = d_rc2.w2
+                            LEFT JOIN d_rc1 ON d_bg.w1 = d_rc1.w1, d_rvv),
+           d_rlm AS (SELECT doc_id,
+                       round(CAST(sum(q) AS BIGINT) / 1000000.0 / count(*), 4)
+                         AS lm_raw
+                     FROM d_rq GROUP BY 1),
+           d_tc2 AS (SELECT w1, w2, count(*) AS n2 FROM d_bg
+                     WHERE lang = '$e2eTargetLang' GROUP BY 1, 2),
+           d_tc1 AS (SELECT w1, count(*) AS n1 FROM d_bg
+                     WHERE lang = '$e2eTargetLang' GROUP BY 1),
+           d_tvv AS (SELECT count(DISTINCT w) AS v FROM d_w
+                     WHERE lang = '$e2eTargetLang'),
+           d_tq AS (SELECT d_bg.doc_id,
+                      CAST(floor(ln(CAST(coalesce(n2, 0) + 1 AS DOUBLE)
+                        / CAST(coalesce(n1, 0) + v AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS q
+                    FROM d_bg LEFT JOIN d_tc2 ON d_bg.w1 = d_tc2.w1 AND d_bg.w2 = d_tc2.w2
+                            LEFT JOIN d_tc1 ON d_bg.w1 = d_tc1.w1, d_tvv),
+           d_tlm AS (SELECT doc_id,
+                       round(CAST(sum(q) AS BIGINT) / 1000000.0 / count(*), 4)
+                         AS lm_tgt
+                     FROM d_tq GROUP BY 1),
+           selid AS (SELECT d_tlm.doc_id
+                     FROM d_tlm JOIN d_rlm ON d_tlm.doc_id = d_rlm.doc_id
+                     ORDER BY round(d_tlm.lm_tgt - d_rlm.lm_raw, 4) DESC,
+                       d_tlm.doc_id ASC LIMIT $e2eK),
+           selected AS MATERIALIZED (SELECT doc_id, source, text,
+                          ${ScaleQueries.splitCaseSql} AS split
+                        FROM clean JOIN selid USING (doc_id)),
+           leaks AS (SELECT count(*) AS n_leaks
+                     FROM lsh_pairs p JOIN selected a ON p.id_a = a.doc_id
+                                      JOIN selected b ON p.id_b = b.doc_id
+                     WHERE a.split <> b.split),
+           sel2 AS (SELECT doc_id, source, split,
+                      CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+                    FROM selected),
+           packed AS (SELECT doc_id, source, split, n_tok,
+                        CAST(floor(CAST(coalesce(sum(n_tok) OVER
+                          (PARTITION BY split ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS DOUBLE) / $shardBudget) AS BIGINT) AS shard
+                      FROM sel2)
+           SELECT p.doc_id, p.source, p.split, p.n_tok, p.shard, l.n_leaks
+           FROM packed p, leaks l"""
+    )
+  }
+}

@@ -20,13 +20,13 @@ import graft.operators.{Curation, Quality, Relational, Similarity}
 object CurationQueries {
   private type Q = (SparkSession, String) => DataFrame
 
-  private val shingleN = 3          // must match ExtensionQueries.shingleCte
-  private val decontamN = 5         // n-gram width for decontamination
-  private val decontamMinShared = 3 // flag docs sharing >= this many n-grams
-  private val benchMod = 25         // doc_id % benchMod == benchRem -> benchmark set
-  private val benchRem = 7
+  private[graft] val shingleN = 3          // must match ExtensionQueries.shingleCte
+  private[graft] val decontamN = 5         // n-gram width for decontamination
+  private[graft] val decontamMinShared = 3 // flag docs sharing >= this many n-grams
+  private[graft] val benchMod = 25         // doc_id % benchMod == benchRem -> benchmark set
+  private[graft] val benchRem = 7
   private val sampleSalt = "round5"
-  private val shardBudget = 2000L   // tokens per training shard
+  private[graft] val shardBudget = 2000L   // tokens per training shard
   private val nTiers = 4
   private val srcMinMeanQ = 0.68    // source gate: mean-quality floor...
   private val srcMinDocs = 5L       // ...and minimum corpus presence

@@ -33,7 +33,7 @@ object ExtensionQueries {
   // near-dups live (>=5 is fingerprint noise).
   private val simhashChunks = 4      // 16-bit chunks of the 64-bit fingerprint
   private val simhashMaxHamming = 3  // pigeonhole: < simhashChunks
-  private val semThreshold = 0.95    // semantic-dedup cosine-to-exemplar cut
+  private[graft] val semThreshold = 0.95    // semantic-dedup cosine-to-exemplar cut
   private val mmMinTokens = 10       // cross-modal curation token floor
 
   // =====================================================================
@@ -383,12 +383,17 @@ object ExtensionQueries {
   // =====================================================================
 
   /** Distinct (doc_id, 3-shingle) pairs — DuckDB list slicing is 1-based
-    * inclusive, so t[i:i+2] is the 3-token window starting at i. */
-  private val shingleCte =
-    """toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-      |       FROM toks, unnest(range(1, greatest(len(t)-1, 1))) AS u(i)
-      |       WHERE array_to_string(t[i:i+2], ' ') <> '')""".stripMargin
+    * inclusive, so t[i:i+2] is the 3-token window starting at i. The
+    * source relation is parameterized so the same chain can run over a
+    * filtered survivor set (the composed curation DAG) as well as the
+    * raw `documents` table. */
+  private def shingleCteFrom(docsSrc: String): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM $docsSrc),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       |       FROM toks, unnest(range(1, greatest(len(t)-1, 1))) AS u(i)
+       |       WHERE array_to_string(t[i:i+2], ' ') <> '')""".stripMargin
+
+  private val shingleCte = shingleCteFrom("documents")
 
   /** Kirsch-Mitzenmacher minhash mirror: two 60-bit base hashes from
     * md5 hex, h_i = (h1 + i*h2) mod p — same constants as
@@ -548,8 +553,9 @@ object ExtensionQueries {
     * [[Similarity.lshJaccard]], shared by q_sim_lsh_jaccard and the
     * duplicate-cluster query (CurationQueries), so both stay in
     * lockstep with the Spark constants by construction. */
-  private[graft] val lshJaccardCtes: String =
-    s"""$shingleCte,
+  private[graft] def lshJaccardCtesFrom(docsSrc: String,
+                                        materializePairs: Boolean = false): String =
+    s"""${shingleCteFrom(docsSrc)},
           $minhashBase,
           sig AS (SELECT doc_id, $minhashAggs FROM shb GROUP BY doc_id),
           banded AS ($bandedSql),
@@ -566,11 +572,13 @@ object ExtensionQueries {
                     JOIN sh a ON a.doc_id = c.id_a
                     JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
                     GROUP BY 1, 2),
-          lsh_pairs AS (SELECT i.id_a, i.id_b,
+          lsh_pairs AS ${if (materializePairs) "MATERIALIZED " else ""}(SELECT i.id_a, i.id_b,
                  round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
           FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
                        JOIN sizes sb ON i.id_b = sb.doc_id
           WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= $jaccardThreshold)"""
+
+  private[graft] val lshJaccardCtes: String = lshJaccardCtesFrom("documents")
 
   /** Shingle → signature → banding → candidate-pair → signature-agreement
     * estimate chain ending in `est(id_a, id_b, jaccard_est)` — the oracle
@@ -871,6 +879,39 @@ object ExtensionQueries {
     * TRAINED path: assignment (`af`) and rep scoring run against the
     * 2-iteration k-means quantizer `cent2`, exactly as the Spark side
     * passes kmeansCentroids output to the semanticDedup overload. */
+  /** Semantic-dedup chain with the ASSIGNMENT source parameterized —
+    * the quantizer still trains on the full `embeddings` corpus
+    * (cent0 → cent2, exactly as [[Similarity.kmeansCentroids]] over the
+    * whole table), but assignment/rep-scoring/survivor selection run
+    * over `assignSrc` (a `(vec_id, embedding)` relation, e.g. the
+    * vectors of documents surviving earlier curation stages). Ends at
+    * `surv(vec_id, cell, cos_rep)`; shares [[kmeansIterSql]] and the
+    * cosine helpers with [[semanticDedupCtes]] so the constants cannot
+    * drift. */
+  private[graft] def semanticDedupCtesOver(assignSrc: String): String =
+    s"""cent0 AS (SELECT vec_id AS cid, embedding AS cvec
+       |    FROM embeddings WHERE vec_id % 50 = 0),
+       |${kmeansIterSql("cent0", "1")},
+       |${kmeansIterSql("cent1", "2")},
+       |af AS MATERIALIZED (SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosine2Sql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
+       |    FROM $assignSrc e CROSS JOIN cent2 c) t WHERE rn = 1),
+       |j AS (SELECT a.cell, a.vec_id,
+       |        ${cosine2Sql("a.embedding", "c.cvec")} AS cos
+       |      FROM af a JOIN cent2 c ON a.cell = c.cid),
+       |r AS (SELECT cell, vec_id,
+       |        row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id ASC) AS rn
+       |      FROM j),
+       |rv AS (SELECT r.cell, r.vec_id AS rep_id, a.embedding AS rvec
+       |       FROM r JOIN af a ON r.vec_id = a.vec_id WHERE r.rn = 1),
+       |scored AS (SELECT a.vec_id, a.cell, rv.rep_id,
+       |             ${cosine2Sql("a.embedding", "rv.rvec")} AS cos_rep
+       |           FROM af a JOIN rv ON a.cell = rv.cell),
+       |surv AS (SELECT vec_id, cell, cos_rep FROM scored
+       |         WHERE vec_id = rep_id OR cos_rep < $semThreshold)""".stripMargin
+
   private lazy val semanticDedupCtes =
     s"""$ivfKmeansCtes,
        |j AS (SELECT a.cell, a.vec_id,
