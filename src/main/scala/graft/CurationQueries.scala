@@ -130,6 +130,35 @@ object CurationQueries {
       decontamN, decontamMinShared)
   }
 
+  /** ST13 — incremental source scorecard: the corpus arrives in three
+    * out-of-order micro-batch deliveries (doc_id residues 2, 0, 1);
+    * cross-trigger state is the mergeable integer accumulators plus the
+    * distinct content-hash set. The drained snapshot must equal the
+    * BATCH scorecard over everything delivered — the oracle is
+    * literally q_source_scorecard's. Delivery order cannot matter: every
+    * merge is a commutative integer sum or a set union. */
+  private val qSt13IncrScorecard: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val corpus = docs.filter(col("doc_id") % benchMod =!= benchRem)
+    val bench = docs.filter(col("doc_id") % benchMod === benchRem)
+    val benchSh = Similarity.shingles(bench, "doc_id", "text", decontamN)
+      .select(col("shingle")).distinct()
+    val in = graft.io.TempDirs.registered("graft-q-st13-in").toString
+    val state = graft.io.TempDirs.registered("graft-q-st13-state").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st13-ckpt").toString
+    Seq(2L, 0L, 1L).foreach { r =>
+      corpus.filter(pmod(col("doc_id"), lit(3L)) === r)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val src = graft.streaming.Streaming.parquetSource(spark, in, corpus.schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runIncrementalScorecard(src, "doc_id", "source",
+      "text", Text.qualityScore(col("text")), Text.tokenCount(col("text")),
+      benchSh, decontamN, decontamMinShared, bucketTokens = 32, nBuckets = 20,
+      stateRoot = state, checkpointPath = ckpt)
+    graft.streaming.Streaming.scorecardSnapshot(spark, state, "source", nBuckets = 20)
+  }
+
   /** As-of join: every purchase event picks the latest strictly-prior
     * click of the same user (null payload when no click precedes). */
   private val qAsofJoin: Q = (spark, dir) => {
@@ -503,6 +532,7 @@ object CurationQueries {
     "q_quality_tiers"  -> qQualityTiers,
     "q_source_filter"  -> qSourceFilter,
     "q_source_scorecard" -> qSourceScorecard,
+    "q_st13_incr_scorecard" -> qSt13IncrScorecard,
     "q_asof_join"      -> qAsofJoin,
     "q_t_redact"       -> qTRedact,
     "q_profile"        -> qProfile,
@@ -538,6 +568,53 @@ object CurationQueries {
        |      + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 0.1 ELSE 0.0 END)
        |      - punct_ratio * 0.4, 4) AS q
        |  FROM qf)""".stripMargin
+
+  /** Shared by q_source_scorecard and its streaming form
+    * q_st13_incr_scorecard: the drained incremental state is a pure
+    * function of the same integer accumulators, so both queries
+    * answer to the identical batch recomputation. */
+  private lazy val sourceScorecardSql: String =
+    s"""WITH $qualityCte,
+          $shingle5Cte,
+          corpus AS (SELECT d.doc_id, d.source,
+              CAST(floor(s.q * 10000.0 + 0.5) AS BIGINT) AS qq,
+              least(19, CAST(len(string_split_regex(d.text, '\\s+')) // 32 AS BIGINT)) AS b,
+              md5(d.text) AS h
+            FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+            WHERE d.doc_id % $benchMod <> $benchRem),
+          pr AS (SELECT source, count(*) AS n_docs,
+                   CAST(sum(qq) AS BIGINT) AS qs, count(DISTINCT h) AS nh
+                 FROM corpus GROUP BY source),
+          bsh AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % $benchMod = $benchRem),
+          cd AS (SELECT s.doc_id FROM sh5 s JOIN bsh ON s.shingle = bsh.shingle
+                 WHERE s.doc_id % $benchMod <> $benchRem
+                 GROUP BY s.doc_id HAVING count(*) >= $decontamMinShared),
+          nc AS (SELECT c.source, count(*) AS n_contam
+                 FROM cd JOIN corpus c ON cd.doc_id = c.doc_id GROUP BY c.source),
+          bc AS (SELECT source, b, count(*) AS c FROM corpus GROUP BY source, b),
+          gc AS (SELECT b, count(*) AS cg FROM corpus GROUP BY b),
+          gt AS (SELECT count(*) AS ng FROM corpus),
+          spine AS (SELECT p.source, p.n_docs, u.b FROM pr p, unnest(range(0, 20)) AS u(b)),
+          terms AS (SELECT sp.source,
+              CAST(floor(((CAST(coalesce(gc.cg, 0) + 1 AS DOUBLE) / CAST(gt.ng + 20 AS DOUBLE)
+                           - CAST(coalesce(bc.c, 0) + 1 AS DOUBLE) / CAST(sp.n_docs + 20 AS DOUBLE))
+                          * ln((CAST(coalesce(gc.cg, 0) + 1 AS DOUBLE) / CAST(gt.ng + 20 AS DOUBLE))
+                               / (CAST(coalesce(bc.c, 0) + 1 AS DOUBLE) / CAST(sp.n_docs + 20 AS DOUBLE))))
+                         * 1000000000.0 + 0.5) AS BIGINT) AS qt
+            FROM spine sp LEFT JOIN bc ON sp.source = bc.source AND sp.b = bc.b
+                          LEFT JOIN gc ON sp.b = gc.b, gt),
+          ps AS (SELECT source, CAST(sum(qt) AS BIGINT) AS psiq FROM terms GROUP BY source)
+          SELECT pr.source, pr.n_docs,
+            round(CAST(qs AS DOUBLE) / 10000.0 / pr.n_docs, 4) AS mean_q,
+            CAST(coalesce(nc.n_contam, 0) AS BIGINT) AS n_contam,
+            round(CAST(coalesce(nc.n_contam, 0) AS DOUBLE) / pr.n_docs, 4) AS contam_rate,
+            round(CAST(pr.n_docs - nh AS DOUBLE) / pr.n_docs, 4) AS dup_rate,
+            round(CAST(psiq AS DOUBLE) / 1000000000.0, 6) AS psi_len,
+            (round(CAST(qs AS DOUBLE) / 10000.0 / pr.n_docs, 4) >= 0.6
+             AND round(CAST(coalesce(nc.n_contam, 0) AS DOUBLE) / pr.n_docs, 4) <= 0.08
+             AND round(CAST(psiq AS DOUBLE) / 1000000000.0, 6) <= 0.25) AS passed
+          FROM pr JOIN ps ON pr.source = ps.source
+          LEFT JOIN nc ON pr.source = nc.source"""
 
   def oracleSql: Map[String, String] = Map(
     // Independent formulation: transitive closure over the symmetrized
@@ -601,48 +678,8 @@ object CurationQueries {
           SELECT s.source, s.doc_id, s.q, t.src_n_docs, t.src_mean_q
           FROM scored s JOIN stats t USING (source)
           WHERE t.src_mean_q >= $srcMinMeanQ AND t.src_n_docs >= $srcMinDocs""",
-    "q_source_scorecard" ->
-      s"""WITH $qualityCte,
-          $shingle5Cte,
-          corpus AS (SELECT d.doc_id, d.source,
-              CAST(floor(s.q * 10000.0 + 0.5) AS BIGINT) AS qq,
-              least(19, CAST(len(string_split_regex(d.text, '\\s+')) // 32 AS BIGINT)) AS b,
-              md5(d.text) AS h
-            FROM documents d JOIN scored s ON d.doc_id = s.doc_id
-            WHERE d.doc_id % $benchMod <> $benchRem),
-          pr AS (SELECT source, count(*) AS n_docs,
-                   CAST(sum(qq) AS BIGINT) AS qs, count(DISTINCT h) AS nh
-                 FROM corpus GROUP BY source),
-          bsh AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % $benchMod = $benchRem),
-          cd AS (SELECT s.doc_id FROM sh5 s JOIN bsh ON s.shingle = bsh.shingle
-                 WHERE s.doc_id % $benchMod <> $benchRem
-                 GROUP BY s.doc_id HAVING count(*) >= $decontamMinShared),
-          nc AS (SELECT c.source, count(*) AS n_contam
-                 FROM cd JOIN corpus c ON cd.doc_id = c.doc_id GROUP BY c.source),
-          bc AS (SELECT source, b, count(*) AS c FROM corpus GROUP BY source, b),
-          gc AS (SELECT b, count(*) AS cg FROM corpus GROUP BY b),
-          gt AS (SELECT count(*) AS ng FROM corpus),
-          spine AS (SELECT p.source, p.n_docs, u.b FROM pr p, unnest(range(0, 20)) AS u(b)),
-          terms AS (SELECT sp.source,
-              CAST(floor(((CAST(coalesce(gc.cg, 0) + 1 AS DOUBLE) / CAST(gt.ng + 20 AS DOUBLE)
-                           - CAST(coalesce(bc.c, 0) + 1 AS DOUBLE) / CAST(sp.n_docs + 20 AS DOUBLE))
-                          * ln((CAST(coalesce(gc.cg, 0) + 1 AS DOUBLE) / CAST(gt.ng + 20 AS DOUBLE))
-                               / (CAST(coalesce(bc.c, 0) + 1 AS DOUBLE) / CAST(sp.n_docs + 20 AS DOUBLE))))
-                         * 1000000000.0 + 0.5) AS BIGINT) AS qt
-            FROM spine sp LEFT JOIN bc ON sp.source = bc.source AND sp.b = bc.b
-                          LEFT JOIN gc ON sp.b = gc.b, gt),
-          ps AS (SELECT source, CAST(sum(qt) AS BIGINT) AS psiq FROM terms GROUP BY source)
-          SELECT pr.source, pr.n_docs,
-            round(CAST(qs AS DOUBLE) / 10000.0 / pr.n_docs, 4) AS mean_q,
-            CAST(coalesce(nc.n_contam, 0) AS BIGINT) AS n_contam,
-            round(CAST(coalesce(nc.n_contam, 0) AS DOUBLE) / pr.n_docs, 4) AS contam_rate,
-            round(CAST(pr.n_docs - nh AS DOUBLE) / pr.n_docs, 4) AS dup_rate,
-            round(CAST(psiq AS DOUBLE) / 1000000000.0, 6) AS psi_len,
-            (round(CAST(qs AS DOUBLE) / 10000.0 / pr.n_docs, 4) >= 0.6
-             AND round(CAST(coalesce(nc.n_contam, 0) AS DOUBLE) / pr.n_docs, 4) <= 0.08
-             AND round(CAST(psiq AS DOUBLE) / 1000000000.0, 6) <= 0.25) AS passed
-          FROM pr JOIN ps ON pr.source = ps.source
-          LEFT JOIN nc ON pr.source = nc.source""",
+    "q_source_scorecard" -> sourceScorecardSql,
+    "q_st13_incr_scorecard" -> sourceScorecardSql,
     "q_t_redact" ->
       s"""SELECT doc_id,
           regexp_replace(regexp_replace(regexp_replace(

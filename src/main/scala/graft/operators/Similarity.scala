@@ -709,7 +709,6 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
                       centroidStep: Int, iters: Int): DataFrame = {
     var cent = centroids(emb, idCol, vecCol, centroidStep)
-    var prev: Option[DataFrame] = None // persisted frame of the prior iteration
     for (_ <- 0 until iters) {
       val assigned = ivfAssignTo(emb, idCol, vecCol, cent)
       val comps = assigned
@@ -718,18 +717,18 @@ object Similarity {
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("q")).as("s"), count(lit(1)).as("c"))
         .withColumn("comp", round(col("s").cast(DoubleType) / col("c") / 1e6, 6))
-      val next = comps.groupBy(col("cell"))
+      // Eager localCheckpoint, not persist+count+release-prev: the
+      // checkpoint is the iteration's materialization barrier AND cuts
+      // lineage to a flat k-row scan, so no release bookkeeping exists
+      // to churn the cache (unpersisting a prior iteration re-caches
+      // dependents, dropping the trained relation's data — see
+      // Graph.pageRank). Blocks are k rows, freed by the context
+      // cleaner when the frames go out of scope.
+      cent = comps.groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
           e => e.getField("comp")).as("cvec"))
         .select(col("cell").as("cid"), col("cvec"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      // Iteration i+1's plan no longer references iteration i's frame once
-      // `next` is materialized — release it so a long-lived session doesn't
-      // accumulate one cached k-row frame per iteration per invocation.
-      prev.foreach(_.unpersist(blocking = false))
-      prev = Some(next)
-      cent = next
+        .localCheckpoint()
     }
     cent
   }

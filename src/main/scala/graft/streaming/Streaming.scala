@@ -367,6 +367,164 @@ object Streaming {
   }
 
   // ---------------------------------------------------------------------
+  // ST13 — incremental source scorecard: the streaming form of
+  // Quality.sourceScorecard, completing the batch/streaming symmetry the
+  // dedup tier has. Every scorecard ingredient is mergeable, so the
+  // cross-trigger state is a set of INTEGER accumulators, not documents:
+  //   - per-source (n_docs, Σ quantized quality, n_contaminated) and
+  //     per-(source, length-bucket) counts — versioned like the
+  //     incremental merge (a replayed batch overwrites its own version
+  //     directory, so at-least-once redelivery cannot double-count);
+  //   - the distinct (source, content-hash) set for the exact-dup rate —
+  //     append-only with an anti-join gate, so replays and cross-batch
+  //     duplicates are no-ops.
+  // A document's contamination verdict depends only on its own shingles
+  // vs the static (broadcast) benchmark set, so it is batch-local.
+  // Per-trigger cost is O(batch) + O(|sources|·nBuckets) state rewrite;
+  // the final report is a pure function of the same integers the batch
+  // operator aggregates, so the drained scorecard equals
+  // Quality.sourceScorecard over everything delivered — the oracle.
+  // ---------------------------------------------------------------------
+  def runIncrementalScorecard(src: DataFrame, idCol: String, sourceCol: String,
+                              textCol: String, qualityCol: Column, nTokCol: Column,
+                              benchShingles: DataFrame, shingleN: Int,
+                              minShared: Long, bucketTokens: Int, nBuckets: Int,
+                              stateRoot: String, checkpointPath: String): Unit = {
+    import org.apache.spark.sql.types.LongType
+    import graft.operators.Similarity
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        // persisted: the projection feeds the contamination join, both
+        // accumulator deltas, and the hash delta — batch-sized cache,
+        // released before the trigger ends
+        val base = batch.select(col(idCol), col(sourceCol), col(textCol),
+            floor(qualityCol * 10000.0 + 0.5).cast(LongType).as("__q"),
+            least(lit(nBuckets - 1L),
+              (nTokCol.cast(LongType) / lit(bucketTokens.toLong)).cast(LongType))
+              .as("__b"),
+            md5(col(textCol)).as("__h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val flagged = Similarity
+          .shingles(base.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
+          .join(broadcast(benchShingles), Seq("shingle"))
+          .groupBy(col(idCol)).agg(count(lit(1)).as("__ns"))
+          .filter(col("__ns") >= minShared)
+          .select(col(idCol), lit(1L).as("__c"))
+        val srcDelta = base
+          .join(flagged, Seq(idCol), "left")
+          .groupBy(col(sourceCol)).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("__q")).as("qs"),
+            coalesce(sum(col("__c")), lit(0L)).as("n_contam"))
+        val bktDelta = base.groupBy(col(sourceCol), col("__b"))
+          .agg(count(lit(1)).as("c"))
+        val (srcAll, bktAll) = latestScorecardDir(spark, stateRoot, id) match {
+          case Some(dir) =>
+            (spark.read.parquet(s"$dir/src").unionByName(srcDelta)
+               .groupBy(col(sourceCol)).agg(
+                 sum(col("n_docs")).as("n_docs"), sum(col("qs")).as("qs"),
+                 sum(col("n_contam")).as("n_contam")),
+             spark.read.parquet(s"$dir/bkt").unionByName(bktDelta)
+               .groupBy(col(sourceCol), col("__b")).agg(sum(col("c")).as("c")))
+          case None => (srcDelta, bktDelta)
+        }
+        srcAll.write.mode("overwrite").parquet(s"$stateRoot/v$id/src")
+        bktAll.write.mode("overwrite").parquet(s"$stateRoot/v$id/bkt")
+        val hDir = s"$stateRoot/hashes"
+        val hPath = new org.apache.hadoop.fs.Path(hDir)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bh = base.select(col(sourceCol), col("__h")).distinct()
+        val newH =
+          if (fs.exists(hPath) &&
+              fs.listStatus(hPath).exists(_.getPath.getName.startsWith("part-")))
+            bh.join(spark.read.parquet(hDir), Seq(sourceCol, "__h"), "left_anti")
+          else bh
+        // materialize BEFORE appending to the directory the anti-join
+        // reads, so the write job never lists its own new files
+        val newHp = newH.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        newHp.count()
+        newHp.write.mode("append").parquet(hDir)
+        newHp.unpersist(blocking = false)
+        base.unpersist(blocking = false)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Final report over the drained state — mirrors
+    * [[graft.operators.Quality.sourceScorecard]]'s arithmetic term for
+    * term (quantized quality mean, Laplace-smoothed PSI with
+    * floor(x·1e9 + 0.5) terms, exact-dup rate from the distinct-hash
+    * set), so the streaming result is bit-identical to the batch
+    * operator over the same deliveries. */
+  def scorecardSnapshot(spark: SparkSession, stateRoot: String, sourceCol: String,
+                        nBuckets: Int, minMeanQ: Double = 0.6,
+                        maxContamRate: Double = 0.08,
+                        maxPsi: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val dir = latestScorecardDir(spark, stateRoot, Long.MaxValue)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed scorecard state under $stateRoot"))
+    val perSrc = spark.read.parquet(s"$dir/src")
+    val bCounts = spark.read.parquet(s"$dir/bkt")
+    val nh = spark.read.parquet(s"$stateRoot/hashes")
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__nh"))
+    val gCounts = bCounts.groupBy(col("__b")).agg(sum(col("c")).as("__cg"))
+    val gTot = perSrc.agg(sum(col("n_docs")).as("__ng"))
+    val spine = perSrc.select(col(sourceCol), col("n_docs"))
+      .crossJoin(broadcast(
+        spark.range(nBuckets.toLong).select(col("id").as("__b"))))
+    val p = (col("__cg") + 1).cast(DoubleType) / (col("__ng") + nBuckets).cast(DoubleType)
+    val q = (col("c") + 1).cast(DoubleType) / (col("n_docs") + nBuckets).cast(DoubleType)
+    val psi = spine
+      .join(bCounts, Seq(sourceCol, "__b"), "left").na.fill(0L, Seq("c"))
+      .join(broadcast(gCounts), Seq("__b"), "left").na.fill(0L, Seq("__cg"))
+      .crossJoin(broadcast(gTot))
+      .select(col(sourceCol),
+        floor((p - q) * log(p / q) * lit(1e9) + lit(0.5)).cast(LongType).as("__qt"))
+      .groupBy(col(sourceCol)).agg(sum(col("__qt")).as("__psiq"))
+    val meanQ = round(col("qs").cast(DoubleType) / 10000.0 / col("n_docs"), 4)
+    val contamRate = round(col("n_contam").cast(DoubleType) / col("n_docs"), 4)
+    val dupRate = round((col("n_docs") - col("__nh")).cast(DoubleType) / col("n_docs"), 4)
+    val psiLen = round(col("__psiq").cast(DoubleType) / 1e9, 6)
+    perSrc.join(psi, Seq(sourceCol)).join(nh, Seq(sourceCol))
+      .select(col(sourceCol), col("n_docs"), meanQ.as("mean_q"),
+        col("n_contam"), contamRate.as("contam_rate"),
+        dupRate.as("dup_rate"), psiLen.as("psi_len"),
+        (meanQ >= minMeanQ && contamRate <= maxContamRate && psiLen <= maxPsi)
+          .as("passed"))
+  }
+
+  /** Newest fully-committed scorecard version directory below
+    * `beforeId` (both state tables must carry _SUCCESS — a crashed
+    * mid-write version is invisible, same contract as the incremental
+    * merge). */
+  private def latestScorecardDir(spark: SparkSession, stateRoot: String,
+                                 beforeId: Long): Option[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(stateRoot)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return None
+    fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+      .flatMap { vp =>
+        vp.getName match {
+          case n if n.startsWith("v") =>
+            n.drop(1).toLongOption.filter { v =>
+              v < beforeId &&
+              fs.exists(new org.apache.hadoop.fs.Path(vp, "src/_SUCCESS")) &&
+              fs.exists(new org.apache.hadoop.fs.Path(vp, "bkt/_SUCCESS"))
+            }.map(v => (v, vp.toString))
+          case _ => None
+        }
+      }
+      .sortBy(_._1).lastOption.map(_._2)
+  }
+
+  // ---------------------------------------------------------------------
   // ST6 — resume work-list (GSMLS.py:991-1047, 2375-2381): the full work
   // grid minus what the event log already records — a left anti join,
   // not a driver loop.

@@ -215,6 +215,33 @@ class StreamingSpec extends SparkSpec {
     assert(vDirs("v1") <= 2, s"delta must rewrite only touched buckets: $vDirs")
   }
 
+  test("ST13: incremental scorecard merges batches; cross-batch dup counted once") {
+    import graft.io.TempDirs
+    val in = TempDirs.registered("graft-st13spec-in").toString
+    val state = TempDirs.registered("graft-st13spec-state").toString
+    val ckpt = TempDirs.registered("graft-st13spec-ckpt").toString
+    val text = "the quick brown fox jumps over the lazy dog today"
+    val b1 = Seq((1L, "a", text), (2L, "a", "completely different words here now"))
+      .toDF("doc_id", "source", "text")
+    val b2 = Seq((3L, "a", text), // exact dup of doc 1, in a LATER batch
+      (4L, "b", "more unique text lives in this entry"))
+      .toDF("doc_id", "source", "text")
+    b1.coalesce(1).write.mode("append").parquet(in)
+    b2.coalesce(1).write.mode("append").parquet(in)
+    val src = Streaming.parquetSource(spark, in, b1.schema, maxFilesPerTrigger = 1)
+    Streaming.runIncrementalScorecard(src, "doc_id", "source", "text",
+      lit(0.8), size(split(col("text"), "\\s+")),
+      benchShingles = Seq.empty[String].toDF("shingle"),
+      shingleN = 5, minShared = 3, bucketTokens = 32, nBuckets = 20,
+      stateRoot = state, checkpointPath = ckpt)
+    val out = Streaming.scorecardSnapshot(spark, state, "source", nBuckets = 20)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(5)))).toMap
+    // source a: 3 docs across two batches, one cross-batch exact dup
+    assert(out("a") == ((3L, 0.8, 0L, 0.3333)), out)
+    assert(out("b") == ((1L, 0.8, 0L, 0.0)), out)
+  }
+
   test("mergedSnapshot skips an uncommitted (crashed partial) version dir") {
     import graft.io.TempDirs
     val state = TempDirs.registered("graft-snap-partial").toString
