@@ -24,6 +24,7 @@ object StatsQueries {
   private val dsirTargetLang = "en"
   private val dsirK = 50
   private val hitsIters = 2
+  private val pprTopicRegion = 0  // AFRICA seed set for personalized PageRank
   private val pmiMinCount = 5L
   private val pmiK = 50
   private val corrScaleX = 1L   // l_quantity is integral
@@ -82,6 +83,24 @@ object StatsQueries {
         Seq("n_nationkey"))
       .select(col("n_nationkey").cast(LongType).as("nation_key"), col("n_name"),
         round(col("pagerank"), 6).as("pr"))
+  }
+
+  /** Personalized PageRank seeded on one region's nations: authority
+    * relative to the AFRICA seed set, not global popularity — nations
+    * score by trade-link proximity to the topic, and nations
+    * unreachable from it score 0 (see
+    * [[operators.Graph.pageRankPersonalized]]). */
+  private val qPagerankTopic: Q = (spark, dir) => {
+    val nation = Tables.nation(spark, dir)
+    Graph.pageRankPersonalized(tradeEdges(spark, dir), "src", "dst", "w",
+        nation.select(col("n_nationkey")), "n_nationkey",
+        nation.filter(col("n_regionkey") === pprTopicRegion)
+          .select(col("n_nationkey")),
+        prIters, prDamping)
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        Seq("n_nationkey"))
+      .select(col("n_nationkey").cast(LongType).as("nation_key"), col("n_name"),
+        round(col("ppr"), 6).as("ppr"))
   }
 
   /** HITS hubs and authorities over the same trade graph — the
@@ -228,6 +247,7 @@ object StatsQueries {
   def queries: Map[String, Q] = Map(
     "q_pagerank"     -> qPagerank,
     "q_pagerank_dangling" -> qPagerankDangling,
+    "q_pagerank_topic" -> qPagerankTopic,
     "q_hits"         -> qHits,
     "q_mad_outliers" -> qMadOutliers,
     "q_skew_report"  -> qSkewReport,
@@ -259,6 +279,21 @@ object StatsQueries {
                    + CAST($prDamping AS DOUBLE)
                      * CAST(coalesce(c$i.cq, 0) AS DOUBLE) / 1e9 AS r
                FROM r0 LEFT JOIN c$i ON r0.v = c$i.v, nn)"""
+  }
+
+  /** One personalized-PageRank iteration: contributions into `cN`, the
+    * topic-teleport update into `rN` — mirrors
+    * [[operators.Graph.pageRankPersonalized]] term for term. */
+  private def prTopicIterSql(i: Int): String = {
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s"""c$i AS (SELECT sh.dst AS v,
+                 sum(CAST(floor(r.r * sh.s * 1e9 + 0.5) AS BIGINT)) AS cq
+               FROM sh JOIN $prev r ON sh.src = r.v GROUP BY 1),
+        r$i AS (SELECT tv.v,
+                 (CAST(1 AS DOUBLE) - CAST($prDamping AS DOUBLE)) * tv.t
+                   + CAST($prDamping AS DOUBLE)
+                     * CAST(coalesce(c$i.cq, 0) AS DOUBLE) / 1e9 AS r
+               FROM tv LEFT JOIN c$i ON tv.v = c$i.v)"""
   }
 
   /** One dangling-redistributing PageRank iteration: the quantized
@@ -420,6 +455,28 @@ object StatsQueries {
                 FROM nation, nn),
          ${(1 to prIters).map(prIterSql).mkString(",\n         ")}
          SELECT CAST(f.v AS BIGINT) AS nation_key, n.n_name, round(f.r, 6) AS pr
+         FROM r$prIters f JOIN nation n ON f.v = n.n_nationkey""",
+    "q_pagerank_topic" ->
+      s"""WITH e AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                       CAST(count(*) AS DOUBLE) AS w
+                     FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       JOIN customer c ON o.o_custkey = c.c_custkey
+                       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     GROUP BY 1, 2),
+         ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+         sh AS (SELECT e.src, e.dst, e.w / ow.wout AS s
+                FROM e JOIN ow ON e.src = ow.src),
+         ts AS (SELECT n_nationkey AS v FROM nation
+                WHERE n_regionkey = $pprTopicRegion),
+         ns AS (SELECT count(*) AS n FROM ts),
+         tv AS (SELECT n.n_nationkey AS v,
+                  CASE WHEN t.v IS NOT NULL THEN CAST(1 AS DOUBLE) / ns.n
+                       ELSE CAST(0 AS DOUBLE) END AS t
+                FROM nation n LEFT JOIN ts t ON n.n_nationkey = t.v, ns),
+         r0 AS (SELECT v, t AS r FROM tv),
+         ${(1 to prIters).map(prTopicIterSql).mkString(",\n         ")}
+         SELECT CAST(f.v AS BIGINT) AS nation_key, n.n_name, round(f.r, 6) AS ppr
          FROM r$prIters f JOIN nation n ON f.v = n.n_nationkey""",
     "q_pagerank_dangling" ->
       s"""WITH e AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,

@@ -110,6 +110,62 @@ object Graph {
     r.select(col("__v").as(nodeCol), col("__r").as("pagerank"))
   }
 
+  /** Personalized (topic-sensitive) PageRank — Haveliwala 2002: the
+    * teleport distribution concentrates on a TOPIC SET S instead of
+    * being uniform, so authority flows from the topic outward:
+    * r₀(v) = t(v); r_{t+1}(v) = (1−d)·t(v) + d·Σ contrib(v), with
+    * t(v) = 1/|S| for v ∈ S and 0 elsewhere. The curation use: score
+    * sources by their link-proximity to a trusted seed set rather than
+    * by global popularity. Nodes unreachable from S (and outside it)
+    * score exactly 0. Dangling mass is dropped (document sinks don't
+    * recycle into the topic) — compose with the dangling option of
+    * [[pageRank]] if the stochastic form is ever needed.
+    *
+    * Same engine-parity contract as [[pageRank]] (per-edge integer
+    * quantization before sums) and the same scale shape: the teleport
+    * relation is |V| rows built once (broadcast-joined against the
+    * topic set), each iteration one edge-vs-|V|-row hash join + one
+    * map-side-combined agg, iteration state eager-localCheckpointed.
+    * `topic` must hold `nodeCol`; non-positive-weight edges drop. */
+  def pageRankPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+                           wCol: String, nodes: DataFrame, nodeCol: String,
+                           topic: DataFrame, iters: Int = 3,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(wCol).cast(DoubleType).as("__w"))
+      .filter(col("__w") > 0.0)
+    val outw = e.groupBy(col("__src")).agg(sum(col("__w")).as("__wout"))
+    val share = e.join(outw, Seq("__src"))
+      .select(col("__src"), col("__dst"), (col("__w") / col("__wout")).as("__s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ns = topic.agg(count(lit(1)).as("__ns"))
+    val tvec = nodes.select(col(nodeCol).as("__v"))
+      .join(broadcast(topic.select(col(nodeCol).as("__tv"))),
+        col("__v") === col("__tv"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("__v"),
+        when(col("__tv").isNotNull, lit(1.0) / col("__ns"))
+          .otherwise(lit(0.0)).as("__t"))
+      .localCheckpoint()
+    var r = tvec.select(col("__v"), col("__t").as("__r")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = share.join(r, col("__src") === col("__v"))
+        .select(col("__dst"),
+          floor(col("__r") * col("__s") * lit(1e9) + lit(0.5)).cast(LongType).as("__cq"))
+        .groupBy(col("__dst")).agg(sum(col("__cq")).as("__cq"))
+      r = tvec.join(contrib, col("__v") === col("__dst"), "left")
+        .select(col("__v"),
+          (lit(1.0 - damping) * col("__t")
+            + lit(damping) * coalesce(col("__cq"), lit(0L)).cast(DoubleType) / lit(1e9))
+            .as("__r"))
+        .localCheckpoint()
+    }
+    share.unpersist(blocking = false)
+    r.select(col("__v").as(nodeCol), col("__r").as("ppr"))
+  }
+
   /** Weighted HITS (Kleinberg): hub and authority scores, fixed
     * iteration count — the bipartite-quality companion to [[pageRank]]
     * (a good hub links to good authorities; a good authority is linked

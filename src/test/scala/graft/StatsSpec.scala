@@ -60,6 +60,21 @@ class StatsSpec extends SparkSpec {
     assert(drop < 1.0 - 1e-6, s"dropped-mass total should undershoot 1, got $drop")
   }
 
+  test("personalized pageRank concentrates teleport on the topic set") {
+    // topic = {A}; A->B. r0 = (1,0,0).
+    // r1(A) = 0.15·1 = 0.15; r1(B) = 0.85·r0(A) = 0.85; r1(C) = 0 —
+    // C is outside the topic and unreachable, so it scores exactly 0
+    val edges = Seq((1L, 2L, 1L)).toDF("s", "d", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("v")
+    val topic = Seq(1L).toDF("v")
+    val r = Graph.pageRankPersonalized(edges, "s", "d", "w", nodes, "v", topic,
+        iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.15) < 1e-6, r)
+    assert(math.abs(r(2L) - 0.85) < 1e-6, r)
+    assert(r(3L) == 0.0, r)
+  }
+
   test("pageRank drops non-positive-weight edges before building shares") {
     // the w=0 edge must not make A's shares null/inf; with it gone this
     // is exactly the A->B sink graph
