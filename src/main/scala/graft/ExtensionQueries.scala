@@ -89,6 +89,37 @@ object ExtensionQueries {
     Similarity.minhashJaccardEstimate(pairs, sig, "doc_id", minhashN)
   }
 
+  /** Estimator calibration: the |signature-estimate − exact jaccard|
+    * error histogram over the LSH candidate pairs — the measure-don't-
+    * guess eval a user runs before choosing the no-reverify estimator
+    * path over the exact verify (k=16 signatures: sd ≈ √(J(1−J)/16) ≈
+    * 0.1, so mass should sit in the low percent-buckets). One shingle pass
+    * and one signature pass feed BOTH scorers; candidates are persisted
+    * once for the two joins; zero-overlap candidates score exact 0 via
+    * the left join. */
+  private val qMinhashCalibration: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val sh = Similarity.shingles(docs, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = Similarity.minhashSignature(sh, "doc_id", minhashN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    val cands = Similarity.lshCandidatePairs(sig, "doc_id", minhashN,
+        rowsPerBand, lshBucketCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    val est = Similarity.minhashJaccardEstimate(cands, sig, "doc_id", minhashN)
+    val exact = Similarity.jaccardForPairs(cands, sh, "doc_id", threshold = 0.0)
+    val out = est.join(exact, Seq("id_a", "id_b"), "left")
+      .select(floor(abs(col("jaccard_est") - coalesce(col("jaccard"), lit(0.0)))
+        * 100).cast(LongType).as("err_bucket"))
+      .groupBy(col("err_bucket")).agg(count(lit(1)).as("n_pairs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    Seq(cands, sig, sh).foreach(Similarity.release)
+    out
+  }
+
   /** LSH candidate near-duplicate pairs (4 bands × 4 rows, bucket cap). */
   private val qSimLshPairs: Q = (spark, dir) =>
     Similarity.minhashLsh(Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text",
@@ -354,6 +385,7 @@ object ExtensionQueries {
     "q_sim_exact_dedup" -> qSimExactDedup,
     "q_sim_minhash"     -> qSimMinhash,
     "q_sim_lsh_pairs"   -> qSimLshPairs,
+    "q_minhash_calibration" -> qMinhashCalibration,
     "q_sim_minhash_est" -> qSimMinhashEst,
     "q_sim_simhash"     -> qSimSimhash,
     "q_sim_simhash_pairs" -> qSimSimhashPairs,
@@ -669,6 +701,22 @@ object ExtensionQueries {
     "q_sim_minhash_est" ->
       s"""WITH $minhashEstCtes
           SELECT id_a, id_b, jaccard_est FROM est""",
+    "q_minhash_calibration" ->
+      s"""WITH $minhashEstCtes,
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          itr AS (SELECT c.id_a, c.id_b, count(*) AS inter
+                  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+                  GROUP BY 1, 2),
+          ex AS (SELECT i.id_a, i.id_b,
+                   round(inter / (sa.sz + sb.sz - inter), 4) AS j
+                 FROM itr i JOIN sizes sa ON i.id_a = sa.doc_id
+                            JOIN sizes sb ON i.id_b = sb.doc_id)
+          SELECT CAST(floor(abs(e.jaccard_est - coalesce(x.j, 0.0)) * 100) AS BIGINT)
+                   AS err_bucket,
+                 count(*) AS n_pairs
+          FROM est e LEFT JOIN ex x ON e.id_a = x.id_a AND e.id_b = x.id_b
+          GROUP BY 1""",
     "q_sim_simhash" ->
       s"""WITH $simhashCtes
           SELECT doc_id, simhash FROM sims""",
