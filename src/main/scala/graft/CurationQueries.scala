@@ -26,6 +26,8 @@ object CurationQueries {
   private[graft] val benchMod = 25         // doc_id % benchMod == benchRem -> benchmark set
   private[graft] val benchRem = 7
   private val sampleSalt = "round5"
+  private val curveFloor = 0.5             // loosest dedup cut for the curve
+  private val curveBps = Seq(5000L, 7000L, 9000L)
   private[graft] val shardBudget = 2000L   // tokens per training shard
   private val nTiers = 4
   private val srcMinMeanQ = 0.68    // source gate: mean-quality floor...
@@ -128,6 +130,44 @@ object CurationQueries {
       Text.qualityScore(col("text")), Text.tokenCount(col("text")),
       docs.filter(col("doc_id") % benchMod === benchRem),
       decontamN, decontamMinShared)
+  }
+
+  /** Near-dup cluster-size histogram: how big the template families
+    * are — the dedup audit a curator reads to distinguish a corpus of
+    * singletons from one dominated by a few giant boilerplate clusters
+    * (and to sanity-check the bucket caps aren't splitting real
+    * clusters). Reuses the connected-components relation; two bounded
+    * aggregations on top. */
+  private val qDupSizeHist: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val pairs = Similarity.lshJaccard(docs, "doc_id", "text",
+      shingleN, ExtensionQueries.minhashN, ExtensionQueries.rowsPerBand,
+      ExtensionQueries.lshBucketCap, ExtensionQueries.jaccardThreshold)
+    Curation.connectedComponents(docs, "doc_id", pairs)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+  }
+
+  /** Dedup threshold-sensitivity curve: pair and affected-document
+    * counts at jaccard cuts 0.50/0.70/0.90 from ONE pair materialization
+    * (computed at the loosest cut) — the tune-the-threshold sweep
+    * without a full LSH chain per candidate value, the q_recall_curve
+    * move applied to dedup. Thresholds ride integer basis points so the
+    * report is engine-exact. */
+  private val qDedupThresholdCurve: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val pairs = Similarity.lshJaccard(docs, "doc_id", "text",
+      shingleN, ExtensionQueries.minhashN, ExtensionQueries.rowsPerBand,
+      ExtensionQueries.lshBucketCap, threshold = curveFloor)
+    val th = spark.range(1).select(
+      explode(array(curveBps.map(lit): _*)).as("bp"))
+    val pp = broadcast(th).join(pairs, col("jaccard") >= col("bp") / 10000.0)
+    val np = pp.groupBy(col("bp")).agg(count(lit(1)).as("n_pairs"))
+    val nd = pp.select(col("bp"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .groupBy(col("bp")).agg(count(lit(1)).as("n_docs"))
+    np.join(nd, Seq("bp"))
+      .select(col("bp").as("threshold_bp"), col("n_pairs"), col("n_docs"))
   }
 
   /** ST13 — incremental source scorecard: the corpus arrives in three
@@ -533,6 +573,8 @@ object CurationQueries {
     "q_source_filter"  -> qSourceFilter,
     "q_source_scorecard" -> qSourceScorecard,
     "q_st13_incr_scorecard" -> qSt13IncrScorecard,
+    "q_dup_size_hist" -> qDupSizeHist,
+    "q_dedup_threshold_curve" -> qDedupThresholdCurve,
     "q_asof_join"      -> qAsofJoin,
     "q_t_redact"       -> qTRedact,
     "q_profile"        -> qProfile,
@@ -620,6 +662,52 @@ object CurationQueries {
     // Independent formulation: transitive closure over the symmetrized
     // near-dup edges, component = min reachable id. Spark's label
     // propagation must converge to exactly this relation.
+    "q_dup_size_hist" ->
+      s"""WITH RECURSIVE ${ExtensionQueries.lshJaccardCtes},
+          edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
+                    UNION SELECT id_b, id_a FROM lsh_pairs),
+          reach(src, dst) AS (SELECT a, b FROM edges
+                    UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+          comp AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src),
+          lbl AS (SELECT least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
+                  FROM documents d LEFT JOIN comp c ON c.src = d.doc_id),
+          cs AS (SELECT component, count(*) AS sz FROM lbl GROUP BY 1)
+          SELECT sz, count(*) AS n_clusters FROM cs GROUP BY 1""",
+    "q_dedup_threshold_curve" ->
+      s"""WITH ${ExtensionQueries.lshJaccardCtesFrom("documents", threshold = 0.5)},
+          th AS (SELECT unnest([5000, 7000, 9000]::BIGINT[]) AS bp),
+          pp AS (SELECT th.bp, p.id_a, p.id_b, p.jaccard
+                 FROM th JOIN lsh_pairs p ON p.jaccard >= th.bp / 10000.0),
+          np AS (SELECT bp, count(*) AS n_pairs FROM pp GROUP BY 1),
+          nd AS (SELECT bp, count(*) AS n_docs FROM (
+                   SELECT DISTINCT bp, id FROM (
+                     SELECT bp, id_a AS id FROM pp
+                     UNION ALL SELECT bp, id_b FROM pp)) GROUP BY 1)
+          SELECT np.bp AS threshold_bp, np.n_pairs, nd.n_docs
+          FROM np JOIN nd ON np.bp = nd.bp""",
+    "q_dup_size_hist" ->
+      s"""WITH RECURSIVE ${ExtensionQueries.lshJaccardCtes},
+          edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
+                    UNION SELECT id_b, id_a FROM lsh_pairs),
+          reach(src, dst) AS (SELECT a, b FROM edges
+                    UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+          comp AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src),
+          lbl AS (SELECT least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
+                  FROM documents d LEFT JOIN comp c ON c.src = d.doc_id),
+          cs AS (SELECT component, count(*) AS sz FROM lbl GROUP BY 1)
+          SELECT sz, count(*) AS n_clusters FROM cs GROUP BY 1""",
+    "q_dedup_threshold_curve" ->
+      s"""WITH ${ExtensionQueries.lshJaccardCtesFrom("documents", threshold = 0.5)},
+          th AS (SELECT unnest([5000, 7000, 9000]::BIGINT[]) AS bp),
+          pp AS (SELECT th.bp, p.id_a, p.id_b, p.jaccard
+                 FROM th JOIN lsh_pairs p ON p.jaccard >= th.bp / 10000.0),
+          np AS (SELECT bp, count(*) AS n_pairs FROM pp GROUP BY 1),
+          nd AS (SELECT bp, count(*) AS n_docs FROM (
+                   SELECT DISTINCT bp, id FROM (
+                     SELECT bp, id_a AS id FROM pp
+                     UNION ALL SELECT bp, id_b FROM pp)) GROUP BY 1)
+          SELECT np.bp AS threshold_bp, np.n_pairs, nd.n_docs
+          FROM np JOIN nd ON np.bp = nd.bp""",
     "q_dup_components" ->
       s"""WITH RECURSIVE ${ExtensionQueries.lshJaccardCtes},
           edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs

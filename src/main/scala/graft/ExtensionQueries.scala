@@ -586,7 +586,8 @@ object ExtensionQueries {
     * duplicate-cluster query (CurationQueries), so both stay in
     * lockstep with the Spark constants by construction. */
   private[graft] def lshJaccardCtesFrom(docsSrc: String,
-                                        materializePairs: Boolean = false): String =
+                                        materializePairs: Boolean = false,
+                                        threshold: Double = jaccardThreshold): String =
     s"""${shingleCteFrom(docsSrc)},
           $minhashBase,
           sig AS (SELECT doc_id, $minhashAggs FROM shb GROUP BY doc_id),
@@ -608,7 +609,7 @@ object ExtensionQueries {
                  round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
           FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
                        JOIN sizes sb ON i.id_b = sb.doc_id
-          WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= $jaccardThreshold)"""
+          WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= $threshold)"""
 
   private[graft] val lshJaccardCtes: String = lshJaccardCtesFrom("documents")
 
