@@ -358,6 +358,47 @@ object ExtensionQueries {
       .select(col("vec_id"), col("cell"), col("cos_ex"), col("is_ex"))
   }
 
+  /** ST14 — streaming LSH near-dup dedup: three out-of-order
+    * micro-batch deliveries (residues 2, 0, 1 — lower doc_ids arrive
+    * LATER) through the signature-store ingestion loop. First ARRIVAL
+    * wins: a near-duplicate of an already-seen document drops even when
+    * its id is smaller, so the verdict depends on cross-trigger state,
+    * not id order. Oracle recomputes the prefix logic set-wise (bucket
+    * occupancy at the later doc's trigger, (seq, id)-ordered pairs,
+    * signature-agreement estimate). */
+  private val qSt14StreamLshDedup: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val in = graft.io.TempDirs.registered("graft-q-st14-in").toString
+    val sig = graft.io.TempDirs.registered("graft-q-st14-sig").toString
+    val out = graft.io.TempDirs.registered("graft-q-st14-out").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st14-ckpt").toString
+    val seen = scala.collection.mutable.Set[String]()
+    Seq(2L, 0L, 1L).zipWithIndex.foreach { case (r, s) =>
+      docs.filter(pmod(col("doc_id"), lit(3L)) === r)
+        .withColumn("seq", lit(s.toLong))
+        .coalesce(1).write.mode("append").parquet(in)
+      // pin strictly increasing mtimes per delivery (FileStreamSource
+      // orders by modification time; a tie would make arrival order —
+      // and with it the first-arrival election — nondeterministic)
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + s * 60000L)
+          seen += f.getName
+        }
+      }
+    }
+    val schema = docs.withColumn("seq", lit(0L)).schema
+    val src = graft.streaming.Streaming.parquetSource(spark, in, schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runStreamingLshDedup(src, "doc_id", "text", "seq",
+      shingleN = 3, numHashes = minhashN, rowsPerBand = rowsPerBand,
+      maxBucketSize = lshBucketCap, threshold = jaccardThreshold,
+      sigPath = sig, sinkPath = out, checkpointPath = ckpt)
+    spark.read.parquet(out).select(col("doc_id"), col("seq"))
+  }
+
   /** IVF ANN over the TRAINED coarse quantizer: 2 deterministic Lloyd
     * iterations from the every-50th seed, then 3-cell probe. */
   private val qSimIvfKmeans: Q = (spark, dir) =>
@@ -407,6 +448,7 @@ object ExtensionQueries {
     "q_semantic_dedup"  -> qSemanticDedup,
     "q_curate_multimodal" -> qCurateMultimodal,
     "q_st12_stream_semdedup" -> qSt12StreamSemdedup,
+    "q_st14_stream_lshdedup" -> qSt14StreamLshDedup,
     "q_recall_curve"    -> qRecallCurve
   )
 
@@ -904,6 +946,36 @@ object ExtensionQueries {
                  FROM af a JOIN ex e ON a.cell = e.cell)
           SELECT vec_id, cell, cos_ex, (vec_id = ex_id) AS is_ex
           FROM sc WHERE vec_id = ex_id OR cos_ex < $semThreshold""",
+    "q_st14_stream_lshdedup" -> {
+      val matchSum = (0 until minhashN).map(i =>
+        s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString("(", " + ", ")")
+      s"""WITH $shingleCte,
+          $minhashBase,
+          sig AS (SELECT doc_id, $minhashAggs FROM shb GROUP BY doc_id),
+          arr AS (SELECT doc_id,
+                    CASE WHEN doc_id % 3 = 2 THEN 0
+                         WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS seq
+                  FROM documents),
+          banded AS ($bandedSql),
+          bs AS (SELECT b.doc_id, b.band, b.band_key, a.seq
+                 FROM banded b JOIN arr a ON b.doc_id = a.doc_id),
+          pairs AS (SELECT DISTINCT e.doc_id AS id_a, l.doc_id AS id_b
+                    FROM bs e JOIN bs l
+                      ON e.band = l.band AND e.band_key = l.band_key
+                     AND (e.seq < l.seq OR (e.seq = l.seq AND e.doc_id < l.doc_id))
+                    WHERE (SELECT count(*) FROM bs x
+                           WHERE x.band = l.band AND x.band_key = l.band_key
+                             AND x.seq <= l.seq) <= $lshBucketCap),
+          est AS (SELECT p.id_a, p.id_b,
+                    round(CAST($matchSum AS DOUBLE) / $minhashN, 4) AS jaccard_est
+                  FROM pairs p JOIN sig a ON a.doc_id = p.id_a
+                               JOIN sig b ON b.doc_id = p.id_b),
+          drops AS (SELECT DISTINCT id_b FROM est
+                    WHERE jaccard_est >= $jaccardThreshold)
+          SELECT d.doc_id, a.seq
+          FROM documents d JOIN arr a ON d.doc_id = a.doc_id
+          WHERE d.doc_id NOT IN (SELECT id_b FROM drops)"""
+    },
     "q_recall_curve" ->
       s"""WITH $ivfAnnCtes,
           ann AS (SELECT vec_id, rc FROM (

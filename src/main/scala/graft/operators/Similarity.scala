@@ -106,20 +106,27 @@ object Similarity {
     * quadratically. Dropped buckets only lose recall for keys so common
     * they are boilerplate; exact-dedup catches identical docs first.
     */
-  def lshCandidatePairs(sig: DataFrame, idCol: String,
-                        numHashes: Int, rowsPerBand: Int,
-                        maxBucketSize: Int = 100): DataFrame = {
+  /** Band-key relation (id, band, band_key) of a signature relation —
+    * ONE posexplode projection, NOT a union of per-band branches (a
+    * union would re-evaluate the upstream signature aggregation once
+    * per band). Shared by [[lshCandidatePairs]] and the streaming LSH
+    * dedup, so the banding constants cannot drift between them. */
+  def bandKeys(sig: DataFrame, idCol: String,
+               numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    // One posexplode projection, NOT a union of per-band branches: a
-    // union would re-evaluate the whole upstream signature aggregation
-    // once per band (4x the shuffle + hash work in the plan).
-    val bandKeys = (0 until numBands).map { b =>
+    val keys = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col(s"mh$i").cast(StringType))
       md5(concat_ws("|", cols: _*))
     }
-    val banded = sig.select(col(idCol), posexplode(array(bandKeys: _*)))
+    sig.select(col(idCol), posexplode(array(keys: _*)))
       .toDF(idCol, "band", "band_key")
+  }
+
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+                        numHashes: Int, rowsPerBand: Int,
+                        maxBucketSize: Int = 100): DataFrame = {
+    val banded = bandKeys(sig, idCol, numHashes, rowsPerBand)
     // banded sits just above the signature aggregation's exchange, so the
     // anti-join's two consumers reuse that exchange — no double compute.
     val capped = dropOversizedBuckets(banded, Seq("band", "band_key"), maxBucketSize)

@@ -456,6 +456,99 @@ object Streaming {
     q.awaitTermination()
   }
 
+  // ---------------------------------------------------------------------
+  // ST14 — streaming LSH near-dup dedup: the incremental form of the
+  // MinHash-LSH pipeline (how a corpus is deduplicated as it is
+  // INGESTED, not after the fact). Cross-trigger state is the signature
+  // store — k longs per ever-seen document, appended per trigger behind
+  // an id anti-join (replay-safe). Per micro-batch: shingle + sign the
+  // arrivals, band the union of state and batch, drop band buckets over
+  // the cap AT THIS TRIGGER's occupancy (the batch guard, applied to
+  // the delivery prefix), pair each arrival against every EARLIER doc
+  // — prior triggers, or same trigger with a smaller id — sharing a
+  // surviving bucket, estimate jaccard from signature agreement, and
+  // drop arrivals at/above the threshold. First occurrence wins, and
+  // the comparison set is all earlier ARRIVALS (kept or dropped), so
+  // the policy is non-recursive and exactly recomputable set-wise — the
+  // oracle replays the same prefix logic in SQL.
+  //
+  // Scale shape: the signature store is k longs/doc (orders smaller
+  // than the corpus text); the per-trigger band join is capped per
+  // bucket; estimates are signature lookups, never shingle re-joins.
+  // Per-trigger cost is O(batch × bucket occupancy), not O(corpus²).
+  // ---------------------------------------------------------------------
+  def runStreamingLshDedup(src: DataFrame, idCol: String, textCol: String,
+                           seqCol: String, shingleN: Int, numHashes: Int,
+                           rowsPerBand: Int, maxBucketSize: Int,
+                           threshold: Double, sigPath: String,
+                           sinkPath: String, checkpointPath: String): Unit = {
+    import graft.operators.Similarity
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val sigB = Similarity
+          .minhashSignature(
+            Similarity.shingles(batch.select(col(idCol), col(textCol)),
+              idCol, textCol, shingleN), idCol, numHashes)
+          .join(batch.select(col(idCol), col(seqCol)), Seq(idCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sigB.count()
+        val sigDir = new org.apache.hadoop.fs.Path(sigPath)
+        val fs = sigDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (fs.exists(sigDir) &&
+              fs.listStatus(sigDir).exists(_.getPath.getName.startsWith("part-")))
+            Some(spark.read.parquet(sigPath))
+          else None
+        val all = prior.map(_.unionByName(sigB)).getOrElse(sigB)
+        // occupancy at THIS trigger: every signature delivered so far
+        val bAll = Similarity.bandKeys(all, idCol, numHashes, rowsPerBand)
+          .join(all.select(col(idCol), col(seqCol)), Seq(idCol))
+        val oversized = bAll.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
+          .select(col("band"), col("band_key"))
+        val capped = bAll.join(oversized, Seq("band", "band_key"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val later = Similarity.bandKeys(sigB, idCol, numHashes, rowsPerBand)
+          .join(sigB.select(col(idCol), col(seqCol)), Seq(idCol))
+          .join(oversized, Seq("band", "band_key"), "left_anti")
+          .select(col("band"), col("band_key"),
+            col(idCol).as("id_b"), col(seqCol).as("__sq_b"))
+        val pairs = capped
+          .select(col("band"), col("band_key"),
+            col(idCol).as("id_a"), col(seqCol).as("__sq_a"))
+          .join(later, Seq("band", "band_key"))
+          .filter(col("__sq_a") < col("__sq_b") ||
+            (col("__sq_a") === col("__sq_b") && col("id_a") < col("id_b")))
+          .select(col("id_a"), col("id_b")).distinct()
+        val drops = Similarity.minhashJaccardEstimate(pairs, all, idCol, numHashes)
+          .filter(col("jaccard_est") >= threshold)
+          .select(col("id_b").as(idCol)).distinct()
+        batch.select(col(idCol), col(seqCol))
+          .join(drops, Seq(idCol), "left_anti")
+          .write.mode("append").parquet(sinkPath)
+        // append ALL batch signatures (kept or dropped) — the comparison
+        // set is arrivals, and the anti-join makes replays no-ops
+        val newSigs = prior match {
+          case Some(p) => sigB.join(p.select(col(idCol)), Seq(idCol), "left_anti")
+          case None    => sigB
+        }
+        val newSigsP = newSigs
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        newSigsP.count() // materialize before appending to the dir it reads
+        newSigsP.write.mode("append").parquet(sigPath)
+        newSigsP.unpersist(blocking = false)
+        capped.unpersist(blocking = false)
+        sigB.unpersist(blocking = false)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Final report over the drained state — mirrors
     * [[graft.operators.Quality.sourceScorecard]]'s arithmetic term for
     * term (quantized quality mean, Laplace-smoothed PSI with

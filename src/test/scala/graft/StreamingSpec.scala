@@ -242,6 +242,40 @@ class StreamingSpec extends SparkSpec {
     assert(out("b") == ((1L, 0.8, 0L, 0.0)), out)
   }
 
+  test("ST14: streaming LSH dedup — first ARRIVAL wins across triggers, not smallest id") {
+    import graft.io.TempDirs
+    val in = TempDirs.registered("graft-st14spec-in").toString
+    val sig = TempDirs.registered("graft-st14spec-sig").toString
+    val out = TempDirs.registered("graft-st14spec-out").toString
+    val ckpt = TempDirs.registered("graft-st14spec-ckpt").toString
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // batch 0: doc 10 (the template) + doc 11 (same text, same batch —
+    // the within-batch smaller id wins); batch 1: doc 5 re-delivers the
+    // template with a SMALLER id — it must drop against the trigger-0
+    // arrival, proving the verdict rides cross-trigger state
+    val b0 = Seq((10L, dupText, 0L), (11L, dupText, 0L),
+      (20L, "totally different words live here in this other document", 0L))
+      .toDF("doc_id", "text", "seq")
+    val b1 = Seq((5L, dupText, 1L)).toDF("doc_id", "text", "seq")
+    val seen = scala.collection.mutable.Set[String]()
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + i * 60000L)
+          seen += f.getName
+        }
+      }
+    }
+    val src = Streaming.parquetSource(spark, in, b0.schema, maxFilesPerTrigger = 1)
+    Streaming.runStreamingLshDedup(src, "doc_id", "text", "seq",
+      shingleN = 3, numHashes = 16, rowsPerBand = 4, maxBucketSize = 100,
+      threshold = 0.8, sigPath = sig, sinkPath = out, checkpointPath = ckpt)
+    val kept = spark.read.parquet(out).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 20L), s"expected first arrivals only, got $kept")
+  }
+
   test("mergedSnapshot skips an uncommitted (crashed partial) version dir") {
     import graft.io.TempDirs
     val state = TempDirs.registered("graft-snap-partial").toString
