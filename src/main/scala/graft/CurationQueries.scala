@@ -685,29 +685,6 @@ object CurationQueries {
                      UNION ALL SELECT bp, id_b FROM pp)) GROUP BY 1)
           SELECT np.bp AS threshold_bp, np.n_pairs, nd.n_docs
           FROM np JOIN nd ON np.bp = nd.bp""",
-    "q_dup_size_hist" ->
-      s"""WITH RECURSIVE ${ExtensionQueries.lshJaccardCtes},
-          edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
-                    UNION SELECT id_b, id_a FROM lsh_pairs),
-          reach(src, dst) AS (SELECT a, b FROM edges
-                    UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-          comp AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src),
-          lbl AS (SELECT least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
-                  FROM documents d LEFT JOIN comp c ON c.src = d.doc_id),
-          cs AS (SELECT component, count(*) AS sz FROM lbl GROUP BY 1)
-          SELECT sz, count(*) AS n_clusters FROM cs GROUP BY 1""",
-    "q_dedup_threshold_curve" ->
-      s"""WITH ${ExtensionQueries.lshJaccardCtesFrom("documents", threshold = 0.5)},
-          th AS (SELECT unnest([5000, 7000, 9000]::BIGINT[]) AS bp),
-          pp AS (SELECT th.bp, p.id_a, p.id_b, p.jaccard
-                 FROM th JOIN lsh_pairs p ON p.jaccard >= th.bp / 10000.0),
-          np AS (SELECT bp, count(*) AS n_pairs FROM pp GROUP BY 1),
-          nd AS (SELECT bp, count(*) AS n_docs FROM (
-                   SELECT DISTINCT bp, id FROM (
-                     SELECT bp, id_a AS id FROM pp
-                     UNION ALL SELECT bp, id_b FROM pp)) GROUP BY 1)
-          SELECT np.bp AS threshold_bp, np.n_pairs, nd.n_docs
-          FROM np JOIN nd ON np.bp = nd.bp""",
     "q_dup_components" ->
       s"""WITH RECURSIVE ${ExtensionQueries.lshJaccardCtes},
           edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs

@@ -96,7 +96,12 @@ object ExtensionQueries {
     * 0.1, so mass should sit in the low percent-buckets). One shingle pass
     * and one signature pass feed BOTH scorers; candidates are persisted
     * once for the two joins; zero-overlap candidates score exact 0 via
-    * the left join. */
+    * the left join.
+    *
+    * Release contract: the intermediates (shingles, signatures,
+    * candidates) are unpersisted here; the returned k-row histogram
+    * stays persisted and is released by the caller (the harness clears
+    * caches after each query). */
   private val qMinhashCalibration: Q = (spark, dir) => {
     val docs = Tables.fanOut(Tables.documents(spark, dir))
     val sh = Similarity.shingles(docs, "doc_id", "text", 3)

@@ -133,6 +133,9 @@ object Graph {
                            damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    // an empty topic set would make the 1/|topic| teleport weight divide
+    // by zero and silently emit NaN ranks — fail fast like iters/damping
+    require(!topic.isEmpty, "topic relation must be non-empty")
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         col(wCol).cast(DoubleType).as("__w"))
       .filter(col("__w") > 0.0)

@@ -213,78 +213,133 @@ object Streaming {
   // batch write cost is therefore proportional to the CHANGED slice of
   // the key space, not the table size — the property that makes a
   // keyed 100 TB snapshot maintainable by a stream of small deltas.
-  // The bucket->latest-version lookup is a driver-side directory
-  // listing here (tiny: versions × buckets entries); a production
-  // table format keeps the same mapping in a manifest.
+  //
+  // The bucket->version mapping lives in a MANIFEST: each batch writes
+  // its bucket data to v<id>, then commits by writing a one-file
+  // manifest parquet (bucket, version) to m<id>. A version is visible
+  // iff its manifest committed (parquet _SUCCESS) — a crash between the
+  // data write and the manifest write leaves the version invisible, so
+  // readers never see a partial batch. Readers take the NEWEST
+  // committed manifest; no directory-walk over versions is ever needed.
+  //
+  // Compaction (`compactEvery` > 0): every K-th batch folds the whole
+  // prior snapshot plus the batch into its own version (all buckets),
+  // so the manifest collapses to a single version. GC runs at the START
+  // of each batch against the newest manifest committed BEFORE this
+  // batch — by then that manifest's batch has its checkpoint committed
+  // (batch N only starts after N-1 committed), so dropping versions it
+  // does not reference can never break a replay. Version count is
+  // therefore bounded by ~compactEvery, not by stream lifetime.
   // ---------------------------------------------------------------------
   def runIncrementalMerge(src: DataFrame, keys: Seq[String], orderCol: String,
                           buckets: Int, stateRoot: String,
-                          checkpointPath: String): Unit = {
+                          checkpointPath: String,
+                          compactEvery: Int = 0): Unit = {
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
+        gcMergeState(spark, stateRoot, id)
         val bucketed = batch.withColumn("__bucket",
           pmod(hash(keys.map(col): _*), lit(buckets)))
         val changed = bucketed.select(col("__bucket")).distinct()
           .collect().map(_.getInt(0)).toSet // <= `buckets` values, never rows
-        // latest prior version of each touched bucket (id excludes a
-        // partial write left by a retried attempt of this same batch;
-        // mode=overwrite makes the retry itself idempotent)
-        val prior = latestBucketDirs(spark, stateRoot, id)
-          .filter { case (b, _) => changed(b) }
-          .map { case (b, path) =>
-            spark.read.parquet(path).withColumn("__bucket", lit(b)) }
+        // newest manifest committed strictly before this batch: excludes
+        // anything a retried attempt of this same batch left behind
+        // (mode=overwrite makes the retry itself idempotent)
+        val manifest = readLatestManifest(spark, stateRoot, id)
+        val compact = compactEvery > 0 && id > 0 && id % compactEvery == 0
+        val priorBuckets =
+          if (compact) manifest // fold EVERY bucket into this version
+          else manifest.filter { case (b, _) => changed(b) }
+        val prior = priorBuckets.toSeq
+          .map { case (b, v) =>
+            spark.read.parquet(s"$stateRoot/v$v/__bucket=$b")
+              .withColumn("__bucket", lit(b)) }
           .reduceOption(_ unionByName _)
         val all = prior.map(_.unionByName(bucketed)).getOrElse(bucketed)
         Relational.dedupKeepLast(all, keys, col(orderCol))
           .write.partitionBy("__bucket").mode("overwrite")
           .parquet(s"$stateRoot/v$id")
+        val entries =
+          if (compact) (manifest.keySet ++ changed).map(_ -> id).toMap
+          else manifest ++ changed.map(_ -> id)
+        writeManifest(spark, stateRoot, id, entries)
         ()
       }
       .start()
     q.awaitTermination()
   }
 
-  /** Current snapshot of an incremental-merge state dir: per bucket,
-    * read its newest version directory. */
+  /** Current snapshot of an incremental-merge state dir: per bucket of
+    * the newest committed manifest, read the version it points at. */
   def mergedSnapshot(spark: SparkSession, stateRoot: String): DataFrame =
-    latestBucketDirs(spark, stateRoot, Long.MaxValue)
-      .map { case (_, path) => spark.read.parquet(path) }
+    readLatestManifest(spark, stateRoot, Long.MaxValue).toSeq
+      .map { case (b, v) => spark.read.parquet(s"$stateRoot/v$v/__bucket=$b") }
       .reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataFrame)
 
-  /** bucket -> newest version directory below `beforeId` holding it. */
-  private def latestBucketDirs(spark: SparkSession, stateRoot: String,
-                               beforeId: Long): Seq[(Int, String)] = {
+  /** Commit batch `id`: write the full bucket->version mapping as a
+    * one-file parquet manifest. The parquet _SUCCESS marker IS the
+    * commit point for the whole batch. */
+  private def writeManifest(spark: SparkSession, stateRoot: String, id: Long,
+                            entries: Map[Int, Long]): Unit = {
+    import spark.implicits._
+    entries.toSeq.sorted.toDF("bucket", "version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/m$id")
+  }
+
+  /** bucket -> version from the newest manifest committed below
+    * `beforeId`; empty when no batch has committed yet. */
+  private def readLatestManifest(spark: SparkSession, stateRoot: String,
+                                 beforeId: Long): Map[Int, Long] =
+    latestManifestId(spark, stateRoot, beforeId) match {
+      case Some(mid) =>
+        spark.read.parquet(s"$stateRoot/m$mid")
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      case None => Map.empty
+    }
+
+  private def latestManifestId(spark: SparkSession, stateRoot: String,
+                               beforeId: Long): Option[Long] = {
     val rootPath = new org.apache.hadoop.fs.Path(stateRoot)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) return Seq.empty
+    if (!fs.exists(rootPath)) return None
     fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
-      .flatMap { vp =>
-        vp.getName match {
-          case n if n.startsWith("v") =>
-            // only committed versions: a crashed mid-write leaves no
-            // _SUCCESS marker, and reading its partial bucket dirs would
-            // silently truncate the snapshot
-            n.drop(1).toLongOption
-              .filter(v => v < beforeId &&
-                fs.exists(new org.apache.hadoop.fs.Path(vp, "_SUCCESS")))
-              .toSeq.flatMap { v =>
-              fs.listStatus(vp).filter(_.isDirectory).map(_.getPath).flatMap { bp =>
-                bp.getName.split("=", 2) match {
-                  case Array("__bucket", b) => b.toIntOption.map(bi => (bi, v, bp.toString))
-                  case _ => None
-                }
-              }
-            }
-          case _ => Seq.empty
+      .flatMap { mp =>
+        mp.getName match {
+          case n if n.startsWith("m") =>
+            n.drop(1).toLongOption.filter(v => v < beforeId &&
+              fs.exists(new org.apache.hadoop.fs.Path(mp, "_SUCCESS")))
+          case _ => None
         }
-      }
-      .groupBy(_._1).map { case (b, vs) => (b, vs.maxBy(_._2)._3) }.toSeq
+      }.sorted.lastOption
   }
+
+  /** Drop state superseded before batch `id`: everything older than the
+    * newest manifest committed before this batch, except the versions
+    * that manifest still references. Safe under replay — only the
+    * CURRENT batch can ever be replayed, and it reads exactly that
+    * manifest. */
+  private def gcMergeState(spark: SparkSession, stateRoot: String,
+                           id: Long): Unit =
+    latestManifestId(spark, stateRoot, id).foreach { mid =>
+      val referenced = readLatestManifest(spark, stateRoot, id).values.toSet
+      val rootPath = new org.apache.hadoop.fs.Path(stateRoot)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath).foreach { p =>
+        val dead = p.getName match {
+          case n if n.startsWith("v") =>
+            n.drop(1).toLongOption.exists(v => v < mid && !referenced(v))
+          case n if n.startsWith("m") =>
+            n.drop(1).toLongOption.exists(_ < mid)
+          case _ => false
+        }
+        if (dead) fs.delete(p, true)
+      }
+    }
 
   // ---------------------------------------------------------------------
   // ST12 — streaming semantic dedup: the incremental form of
