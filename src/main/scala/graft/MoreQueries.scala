@@ -144,10 +144,15 @@ object MoreQueries {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     // Watermarks require TIMESTAMP (not NTZ); the session is pinned UTC,
     // so epoch arithmetic gives the same wall-clock and the final cast
-    // back to NTZ is lossless.
-    val src = Streaming.parquetSource(spark, in.toString, raw.schema)
-      .withColumn("ts",
+    // back to NTZ is lossless. Like Tables.events, adapt to whichever
+    // encoding the testdata generation shipped (nanos-as-long vs native
+    // timestamp[us]).
+    val src0 = Streaming.parquetSource(spark, in.toString, raw.schema)
+    val src = raw.schema("ts").dataType match {
+      case LongType => src0.withColumn("ts",
         expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP '1970-01-01 00:00:00')"))
+      case _ => src0.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val agg = src.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))

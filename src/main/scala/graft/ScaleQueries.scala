@@ -144,6 +144,37 @@ object ScaleQueries {
       .select(col("k"), col("price"), col("version"))
   }
 
+  /** Compacted streaming MERGE: five delta deliveries drained with
+    * `compactEvery = 2`, so batches 2 and 4 fold the whole prior
+    * snapshot into a single version and GC drops everything the folded
+    * manifest no longer references. Exercises the version-count bound
+    * (≤ compactEvery + 1 live version dirs at rest) while the snapshot
+    * must STILL equal the plain batch keep-last merge — compaction is
+    * a layout change, never a semantic one. */
+  private val qSt15Compacted: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    def delta(mod: Int, mult: Int, ver: Long) =
+      o.filter(col("o_orderkey") % mod === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") * mult).as("price"), lit(ver).as("version"))
+    val d1 = o.select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("price"), lit(1L).as("version"))
+    val in = graft.io.TempDirs.registered("graft-q-st15-in").toString
+    val state = graft.io.TempDirs.registered("graft-q-st15-state").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st15-ckpt").toString
+    d1.coalesce(1).write.mode("append").parquet(in)
+    delta(10, 2, 2L).coalesce(1).write.mode("append").parquet(in)
+    delta(7, 3, 3L).coalesce(1).write.mode("append").parquet(in)
+    delta(5, 4, 4L).coalesce(1).write.mode("append").parquet(in)
+    delta(3, 5, 5L).coalesce(1).write.mode("append").parquet(in)
+    val src = graft.streaming.Streaming.parquetSource(spark, in, d1.schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runIncrementalMerge(src, Seq("k"), "version",
+      buckets = 8, state, ckpt, compactEvery = 2)
+    graft.streaming.Streaming.mergedSnapshot(spark, state)
+      .select(col("k"), col("price"), col("version"))
+  }
+
   /** Markup stripping over synthesized HTML/markdown wrapping (the
     * corpus itself is plain text, so each doc is wrapped in tags, a
     * markdown link, emphasis, and a heading marker — extraction must
@@ -399,6 +430,7 @@ object ScaleQueries {
     "q_scd2"           -> qScd2,
     "q_quantiles"      -> qQuantiles,
     "q_st10_incremental" -> qSt10Incremental,
+    "q_st15_compacted" -> qSt15Compacted,
     "q_t_strip"        -> qTStrip,
     "q_tfidf"          -> qTfidf,
     "q_winsorize"      -> qWinsorize,
@@ -555,6 +587,20 @@ object ScaleQueries {
            SELECT o_orderkey + 10000000, o_totalprice, 2 FROM orders WHERE o_orderkey % 1000 = 1
            UNION ALL
            SELECT o_orderkey, o_totalprice * 3, 3 FROM orders WHERE o_orderkey % 7 = 0)
+         SELECT k, price, CAST(version AS BIGINT) AS version FROM (
+           SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+           FROM u) WHERE rn = 1""",
+    "q_st15_compacted" ->
+      """WITH u AS (
+           SELECT o_orderkey AS k, o_totalprice AS price, 1 AS version FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 2, 2 FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 3, 3 FROM orders WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 4, 4 FROM orders WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 5, 5 FROM orders WHERE o_orderkey % 3 = 0)
          SELECT k, price, CAST(version AS BIGINT) AS version FROM (
            SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
            FROM u) WHERE rn = 1""",

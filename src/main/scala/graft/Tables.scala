@@ -38,19 +38,32 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as nanos-since-epoch (legacy flag) and
-    * convert to a microsecond TIMESTAMP_NTZ. The conversion is pure
-    * arithmetic on the NTZ epoch — no instant/timezone round-trip — so
-    * the wall-clock matches what DuckDB reads from the same parquet
-    * regardless of session timezone. The conf set is idempotent and
-    * read at plan time; sessions built via Verify/Bench/tests also set
-    * it up front. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and plain timestamp[us] in others, so the loader adapts
+    * to what the file actually carries instead of assuming one encoding:
+    *
+    *  - NANOS: Spark's vectorized reader rejects it outright, so the
+    *    `nanosAsLong` legacy flag (set up front, idempotent, read at plan
+    *    time) surfaces it as a `LongType` nanos-since-epoch, which we
+    *    convert to a microsecond TIMESTAMP_NTZ by pure arithmetic on the
+    *    NTZ epoch — no instant/timezone round-trip, so the wall-clock
+    *    matches what DuckDB reads from the same parquet regardless of
+    *    session timezone.
+    *  - timestamp[us] (isAdjustedToUTC either way): arrives as a native
+    *    timestamp type; a cast to TIMESTAMP_NTZ preserves the wall-clock
+    *    under the UTC session timezone every entrypoint pins.
+    *
+    * Downstream consumers always see `ts: TIMESTAMP_NTZ` either way. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts",
-        expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

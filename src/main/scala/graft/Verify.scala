@@ -28,7 +28,19 @@ object Verify {
         // kmeans centroid frames) so caches don't accumulate over 90 dumps.
         spark.catalog.clearCache()
       } catch { case e: Throwable =>
+        // A broken query must surface as an `err` row in the driver's
+        // correctness artifact, never as silent absence: leave a sentinel
+        // dir (unreadable as parquet) carrying the message. Clear any
+        // partial parquet output first so the sentinel is what the driver
+        // trips over.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_ERROR.txt"),
+          s"$name failed: ${e.toString}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -215,6 +215,37 @@ class StreamingSpec extends SparkSpec {
     assert(vDirs("v1") <= 2, s"delta must rewrite only touched buckets: $vDirs")
   }
 
+  test("incremental merge: compactEvery bounds live version dirs; snapshot unchanged") {
+    import graft.io.TempDirs
+    val in = TempDirs.registered("graft-stcompact-in").toString
+    val state = TempDirs.registered("graft-stcompact-state").toString
+    val ckpt = TempDirs.registered("graft-stcompact-ckpt").toString
+    val compactEvery = 2
+    // 3 × compactEvery deliveries: a full load then five single-key deltas
+    val base = (1 to 64).map(i => (i.toLong, i * 10L, 1L)).toDF("k", "amt", "version")
+    base.coalesce(1).write.mode("append").parquet(in)
+    (2 to 6).foreach { v =>
+      Seq((v.toLong, v * 1000L, v.toLong)).toDF("k", "amt", "version")
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val src = Streaming.parquetSource(spark, in, base.schema, maxFilesPerTrigger = 1)
+    Streaming.runIncrementalMerge(src, Seq("k"), "version", buckets = 8, state,
+      ckpt, compactEvery = compactEvery)
+    // correctness first: compaction must not change the keep-last result
+    val snap = Streaming.mergedSnapshot(spark, state)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(snap.size == 64)
+    (2 to 6).foreach(v => assert(snap(v.toLong) == ((v * 1000L, v.toLong)), snap(v.toLong)))
+    assert(snap(10L) == ((100L, 1L))) // untouched key keeps the base row
+    // bound: GC ran at the start of the final batch against the last
+    // compacted manifest, so at most compactEvery+1 version dirs survive
+    // (the fold target plus the batches since) — NOT one dir per delivery
+    val vCount = new java.io.File(state).listFiles
+      .count(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(vCount <= compactEvery + 1,
+      s"expected <= ${compactEvery + 1} live version dirs after 6 deliveries, got $vCount")
+  }
+
   test("ST13: incremental scorecard merges batches; cross-batch dup counted once") {
     import graft.io.TempDirs
     val in = TempDirs.registered("graft-st13spec-in").toString
@@ -279,15 +310,38 @@ class StreamingSpec extends SparkSpec {
   test("mergedSnapshot skips an uncommitted (crashed partial) version dir") {
     import graft.io.TempDirs
     val state = TempDirs.registered("graft-snap-partial").toString
+    // batch 0 fully committed: v0 bucket data + manifest m0 (with its
+    // parquet _SUCCESS — the commit point) mapping bucket 0 -> v0
     val committed = Seq((1L, 10L)).toDF("k", "amt").withColumn("__bucket", lit(0))
     committed.write.partitionBy("__bucket").mode("overwrite").parquet(s"$state/v0")
-    // fake a crash mid-write of the next version: bucket data present on
-    // disk but the _SUCCESS commit marker never landed
+    Seq((0, 0L)).toDF("bucket", "version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$state/m0")
+    // fake a crash during batch 1: v1 bucket data landed, and the manifest
+    // write itself died before its _SUCCESS marker — m1 must be invisible
     val partial = Seq((1L, 999L)).toDF("k", "amt").withColumn("__bucket", lit(0))
     partial.write.partitionBy("__bucket").mode("overwrite").parquet(s"$state/v1")
-    assert(new java.io.File(s"$state/v1/_SUCCESS").delete())
+    Seq((0, 1L)).toDF("bucket", "version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$state/m1")
+    assert(new java.io.File(s"$state/m1/_SUCCESS").delete())
     val snap = Streaming.mergedSnapshot(spark, state)
       .select("k", "amt").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(snap == Seq((1L, 10L)), s"snapshot must read v0, not the partial v1: $snap")
+  }
+
+  test("mergedSnapshot reads the newest COMMITTED manifest once it lands") {
+    import graft.io.TempDirs
+    val state = TempDirs.registered("graft-snap-committed").toString
+    val v0 = Seq((1L, 10L)).toDF("k", "amt").withColumn("__bucket", lit(0))
+    v0.write.partitionBy("__bucket").mode("overwrite").parquet(s"$state/v0")
+    Seq((0, 0L)).toDF("bucket", "version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$state/m0")
+    // batch 1 commits cleanly: its manifest supersedes m0
+    val v1 = Seq((1L, 999L)).toDF("k", "amt").withColumn("__bucket", lit(0))
+    v1.write.partitionBy("__bucket").mode("overwrite").parquet(s"$state/v1")
+    Seq((0, 1L)).toDF("bucket", "version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$state/m1")
+    val snap = Streaming.mergedSnapshot(spark, state)
+      .select("k", "amt").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(snap == Seq((1L, 999L)), s"snapshot must follow committed m1: $snap")
   }
 }
