@@ -87,6 +87,23 @@ object ScaleQueries {
     z.repartitionByRange(8, col("zval")).sortWithinPartitions(col("zval"))
   }
 
+  /** 3-D Z-order clustering key over (customer, order, order-date-day)
+    * — the N-dimensional layout write: 21 bits per dimension round-robin
+    * interleaved into one 63-bit key, range-partitioned and sorted so
+    * every file covers a small box of the 3-D key space and min/max
+    * stats prune on any of the three dimensions. */
+  private val qZorderNd: Q = (spark, dir) => {
+    val dim = lit(1L << 21)
+    val z = Tables.fanOut(Tables.orders(spark, dir))
+      .select(col("o_orderkey"),
+        operators.Layout.zValueN(Seq(
+          pmod(col("o_custkey"), dim),
+          pmod(col("o_orderkey"), dim),
+          pmod(datediff(col("o_orderdate"), lit("1970-01-01")).cast(LongType), dim))
+        ).as("zval"))
+    z.repartitionByRange(8, col("zval")).sortWithinPartitions(col("zval"))
+  }
+
   /** SCD type-2 dimension build from the order history: per customer,
     * each order becomes a version row valid until the next one. */
   private val qScd2: Q = (spark, dir) =>
@@ -427,6 +444,7 @@ object ScaleQueries {
     "q_bloom_decontam" -> qBloomDecontam,
     "q_t_vocab"        -> qTVocab,
     "q_zorder"         -> qZorder,
+    "q_zorder_nd"      -> qZorderNd,
     "q_scd2"           -> qScd2,
     "q_quantiles"      -> qQuantiles,
     "q_st10_incremental" -> qSt10Incremental,
@@ -436,6 +454,15 @@ object ScaleQueries {
     "q_winsorize"      -> qWinsorize,
     "q_split"          -> qSplit
   )
+
+  /** DuckDB mirror of [[operators.Layout.zValueN]]: bit j of dim i at
+    * position j*N+i, generated as the same shift/mask arithmetic. */
+  private def zNdSql(dims: Seq[String], bits: Int): String = {
+    val n = dims.size
+    dims.zipWithIndex.flatMap { case (d, i) =>
+      (0 until bits).map(j => s"((($d >> $j) & 1) << ${j * n + i})")
+    }.mkString(" | ")
+  }
 
   /** DuckDB mirror of [[operators.Layout.spread16]] — same 4
     * shift/mask rounds as SQL arithmetic. */
@@ -561,6 +588,14 @@ object ScaleQueries {
       s"""SELECT o_orderkey,
           CAST(${spreadSql("(o_custkey % 65536)")}
             | (${spreadSql("(o_orderkey % 65536)")} << 1) AS BIGINT) AS zval
+          FROM orders""",
+    "q_zorder_nd" ->
+      s"""SELECT o_orderkey,
+          CAST(${zNdSql(Seq(
+            "(o_custkey % 2097152)",
+            "(o_orderkey % 2097152)",
+            "(date_diff('day', DATE '1970-01-01', o_orderdate) % 2097152)"), 21)}
+            AS BIGINT) AS zval
           FROM orders""",
     "q_scd2" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

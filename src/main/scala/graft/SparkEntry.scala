@@ -445,7 +445,8 @@ object SparkEntry {
     "q_f27_fill_na"        -> qF27FillNa
   ) ++ ExtensionQueries.queries ++ MoreQueries.queries ++ PipelineQueries.queries ++
     IoQueries.queries ++ EnrichQueries.queries ++ CurationQueries.queries ++
-    ScaleQueries.queries ++ LinkageQueries.queries ++ StatsQueries.queries ++ CurationE2E.queries
+    ScaleQueries.queries ++ LinkageQueries.queries ++ StatsQueries.queries ++ CurationE2E.queries ++
+    WarehouseQueries.queries
 
   /** DuckDB-runnable oracle SQL, one per query, same column aliases. */
   def oracleSql: Map[String, String] = Map(
@@ -656,5 +657,6 @@ object SparkEntry {
          FROM customer"""
   ) ++ ExtensionQueries.oracleSql ++ MoreQueries.oracleSql ++ PipelineQueries.oracleSql ++
     IoQueries.oracleSql ++ EnrichQueries.oracleSql ++ CurationQueries.oracleSql ++
-    ScaleQueries.oracleSql ++ LinkageQueries.oracleSql ++ StatsQueries.oracleSql ++ CurationE2E.oracleSql
+    ScaleQueries.oracleSql ++ LinkageQueries.oracleSql ++ StatsQueries.oracleSql ++ CurationE2E.oracleSql ++
+    WarehouseQueries.oracleSql
 }

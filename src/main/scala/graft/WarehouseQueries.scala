@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped warehouse composites: the multi-join rollup and
+  * group-HAVING paths a reporting warehouse lives on, expressed the way
+  * they should run at 100 TB.
+  *
+  * The headline join/agg queries elsewhere in the suite are q1/q3-shaped
+  * (one join, one aggregation); these two exercise what those don't —
+  * join ORDER across a star of dimensions, partial (map-side) aggregation
+  * under a multi-join, and a semi-reductive HAVING feeding a top-k.
+  */
+object WarehouseQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Q9-shaped profit rollup: lineitem against four other relations
+    * (part, supplier, nation, orders), profit summed per supplier-nation
+    * and order year.
+    *
+    * Scale shape: the three dimension relations (filtered part,
+    * supplier, nation) are orders of magnitude smaller than the fact
+    * table — broadcast all three, so lineitem flows through the star
+    * without a single exchange. The only big×big contact is
+    * lineitem⋈orders, which shuffles on the join key once and feeds the
+    * partial aggregation; with both sides key-partitioned the same way
+    * at warehouse layout time this becomes a co-located join. Group-by
+    * cardinality is |nations|×|years| (tiny), so the partial aggregate
+    * collapses nearly all rows map-side before the final exchange. */
+  private val qQ9Profit: Q = (spark, dir) => {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_name").contains("bolt"))
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(
+        col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - lit(100.0) * col("l_quantity")), 4).as("profit"))
+  }
+
+  /** Q18-shaped large-volume orders: orders whose total line quantity
+    * exceeds a threshold (HAVING over the fact table), enriched with the
+    * customer and ranked by order value.
+    *
+    * Scale shape: the HAVING aggregation reduces the fact table to a
+    * tiny qualifying set FIRST; that set broadcasts into orders, and the
+    * (now qualifying-set-sized) result broadcasts again into customer —
+    * the two enrichment joins never shuffle either big table. The final
+    * global top-k is a TakeOrderedAndProject (per-partition heads then
+    * one driver merge), not a full sort. */
+  private val qQ18BigOrders: Q = (spark, dir) => {
+    val l = Tables.lineitem(spark, dir)
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 300)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val reduced = o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    c.join(broadcast(reduced), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_q9_profit"     -> qQ9Profit,
+    "q_q18_big_orders" -> qQ18BigOrders
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount) - 100.0 * l_quantity), 4) AS profit
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%bolt%'
+         GROUP BY 1, 2""",
+    "q_q18_big_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, sum(l_quantity) AS qty
+           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty
+         FROM customer
+           JOIN orders ON o_custkey = c_custkey
+           JOIN big ON o_orderkey = big.l_orderkey
+         ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+         LIMIT 100"""
+  )
+}

@@ -133,8 +133,13 @@ object Graph {
                            damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
-    // an empty topic set would make the 1/|topic| teleport weight divide
-    // by zero and silently emit NaN ranks — fail fast like iters/damping
+    // an empty topic set would zero the teleport vector (non-ANSI double
+    // division by zero yields NULL, and with |topic| = 0 every node's
+    // teleport share is 0), silently emitting all-zero/NULL ranks — fail
+    // fast like iters/damping. NOTE: this is the one EAGER Spark job in
+    // an otherwise lazy operator library (isEmpty runs a 1-row take at
+    // construction time); acceptable because topic sets are small and
+    // the check guards every downstream iteration.
     require(!topic.isEmpty, "topic relation must be non-empty")
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         col(wCol).cast(DoubleType).as("__w"))

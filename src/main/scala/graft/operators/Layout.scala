@@ -37,4 +37,31 @@ object Layout {
     * [0, 2^16) (pmod / scale upstream). */
   def zValue(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** N-dimensional Z (Morton) value: bit j of dimension i lands at
+    * position `j * N + i`, so the interleave round-robins across all N
+    * dimensions and file min/max stats prune on any of them. Curation
+    * layout keys are routinely 3+ (source, language, length bucket) —
+    * the 2-D fast path above doesn't compose to that.
+    *
+    * `bitsPerDim` defaults to the most that fits a signed long
+    * (63 / N, e.g. 21 bits for 3 dims). Inputs must already be reduced
+    * to [0, 2^bitsPerDim) (pmod / scale upstream); the expression masks
+    * defensively. Pure shift/mask arithmetic — one codegen'd projection,
+    * no UDF: bit-at-a-time is O(bits*N) ops, but they are all long ALU
+    * ops fused into a single whole-stage-codegen expression, which at
+    * scan width is free relative to the I/O it saves. */
+  def zValueN(dims: Seq[Column], bitsPerDim: Int = 0): Column = {
+    require(dims.nonEmpty, "zValueN needs at least one dimension")
+    val n = dims.size
+    val bits = if (bitsPerDim > 0) bitsPerDim else 63 / n
+    require(n * bits <= 63, s"$n dims x $bits bits overflows a signed long")
+    if (n == 2 && bits == 16) zValue(dims(0), dims(1))
+    else dims.zipWithIndex.map { case (d, i) =>
+      val masked = d.bitwiseAND(lit((1L << bits) - 1))
+      (0 until bits).map { j =>
+        shiftleft(shiftright(masked, j).bitwiseAND(lit(1L)), j * n + i)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
 }

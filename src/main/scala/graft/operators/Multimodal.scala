@@ -9,13 +9,13 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / frame-sample plumbing.
   *
   * The byte-level ops (size, hash, base64, frame offsets) are pure
-  * Catalyst expressions. The actual image/audio decode is STUBBED — the
-  * codec libraries are not in this container — behind
-  * [[decodePartition]], which has the real production signature
-  * (per-partition batch iterator, the Scala analog of mapInPandas) and a
-  * deterministic fake implementation, so the Spark-side schema,
-  * partitioning, and batch shape are real and tested while the codec
-  * call is a single marked swap-point.
+  * Catalyst expressions. Image decode is REAL for the formats the JDK
+  * ships readers for (PNG/JPEG/GIF/BMP, header-only dimension parse via
+  * javax.imageio inside [[decodePartition]] — per-partition batch
+  * iterator, the Scala analog of mapInPandas); non-image payloads fall
+  * back to a deterministic byte-derived fake so text-payload corpora
+  * remain testable and oracle-comparable. Audio/video codecs are not in
+  * this container; that branch is the single marked swap-point.
   *
   * 100 TB notes: media rows are large and skewed — `repartitionForDecode`
   * spreads payloads by id hash before the expensive per-row work, and
@@ -82,22 +82,60 @@ object Multimodal {
   def repartitionForDecode(df: DataFrame, partitions: Int): DataFrame =
     df.repartition(partitions, col("media_id"))
 
-  /** STUB — production swap-point for the real codec. Signature and
-    * batch shape are the real ones (partition iterator in, iterator
-    * out — the JVM analog of mapInPandas); the body derives
-    * deterministic fake dimensions from the payload bytes so the
-    * pipeline is testable end-to-end without image libraries.
-    */
+  /** True iff the payload starts with a magic number of an image format
+    * the JDK's bundled ImageIO readers handle (PNG / JPEG / GIF / BMP).
+    * A cheap prefix check — at corpus scale most payloads are text or
+    * other media, and constructing an ImageReader per non-image row
+    * would dominate the decode stage. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) ||                // JPEG SOI
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** Header-only image dimensions via the JDK's ImageIO reader registry:
+    * `ImageReader.getWidth/getHeight(0)` parse the format header without
+    * decoding pixel data — the right cost model when the downstream
+    * question is "what are the dimensions", not "give me the raster". */
+  private def imageDims(content: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val rd = readers.next()
+        try { rd.setInput(iis); Some((rd.getWidth(0), rd.getHeight(0))) }
+        finally rd.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
+  /** Production decode swap-point (partition iterator in, iterator out —
+    * the JVM analog of mapInPandas). Real image payloads (PNG/JPEG/GIF/
+    * BMP by magic number) get true dimensions from a JDK-only header
+    * parse; anything else — this container's corpora are UTF-8 text
+    * payloads — falls back to deterministic byte-derived dimensions so
+    * the pipeline stays testable end-to-end and oracle-comparable
+    * without codec libraries. Audio/video codecs remain out of scope
+    * for this container and would slot in beside [[imageDims]]. */
   def decodePartition(rows: Iterator[Row]): Iterator[DecodedMeta] =
     rows.map { r =>
       val id = r.getAs[Long]("media_id")
       val content = r.getAs[Array[Byte]]("content")
       if (content == null || content.isEmpty) DecodedMeta(id, 0, 0, ok = false)
       else {
-        // deterministic fake: dimensions from the first payload bytes
-        val w = 64 + (content(0) & 0x7f)
-        val h = 64 + (content(content.length / 2) & 0x7f)
-        DecodedMeta(id, w, h, ok = true)
+        val decoded = if (looksLikeImage(content)) imageDims(content) else None
+        decoded match {
+          case Some((w, h)) => DecodedMeta(id, w, h, ok = true)
+          case None =>
+            // deterministic fallback: dimensions from the payload bytes
+            val w = 64 + (content(0) & 0x7f)
+            val h = 64 + (content(content.length / 2) & 0x7f)
+            DecodedMeta(id, w, h, ok = true)
+        }
       }
     }
 

@@ -274,7 +274,17 @@ object Streaming {
   }
 
   /** Current snapshot of an incremental-merge state dir: per bucket of
-    * the newest committed manifest, read the version it points at. */
+    * the newest committed manifest, read the version it points at.
+    *
+    * CONCURRENCY CONTRACT: the returned frame is lazy — it binds file
+    * paths from the manifest read NOW but scans them at action time. If
+    * the stream advances meanwhile, a later batch's GC may delete a
+    * superseded version this snapshot references (FileNotFoundException
+    * at scan). Materialize (write/collect/localCheckpoint) before the
+    * stream's next batch, or read only quiescent state dirs — the
+    * drivers in this repo all drain the stream to completion first. For
+    * a truly concurrent external reader, pin snapshots by keeping N
+    * manifests out of GC reach. */
   def mergedSnapshot(spark: SparkSession, stateRoot: String): DataFrame =
     readLatestManifest(spark, stateRoot, Long.MaxValue).toSeq
       .map { case (b, v) => spark.read.parquet(s"$stateRoot/v$v/__bucket=$b") }

@@ -25,6 +25,42 @@ class LayoutSpec extends SparkSpec {
     assert(out == 1L) // high bit masked away, only the low 1 survives
   }
 
+  test("zValueN matches a reference bit-interleave for 3 dims; 2-D agrees with zValue") {
+    // reference: bit j of dim i at position j*n+i, computed row-at-a-time
+    def ref(vals: Seq[Long], bits: Int): Long = {
+      val n = vals.size
+      vals.zipWithIndex.map { case (v, i) =>
+        (0 until bits).map(j => ((v >> j) & 1L) << (j * n + i)).reduce(_ | _)
+      }.reduce(_ | _)
+    }
+    val rows = Seq(
+      Seq(3L, 0L, 0L), Seq(0L, 3L, 0L), Seq(0L, 0L, 3L),
+      Seq(0x1FFFFFL, 0L, 0x1FFFFFL), Seq(123456L, 654321L, 999999L))
+    val df = rows.map(r => (r(0), r(1), r(2))).toDF("a", "b", "c")
+    val out = df.select(
+      Layout.zValueN(Seq(col("a"), col("b"), col("c"))).as("z")).collect().map(_.getLong(0))
+    assert(out.toSeq == rows.map(ref(_, 21)))
+    // monotone box property: all-max 21-bit inputs fill exactly 63 bits
+    assert(ref(Seq(0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL), 21) == Long.MaxValue)
+    // 2-D: both the parallel-prefix fast path (zValue) and the generic
+    // interleave at a non-dispatched width must match the same reference
+    val pairs = Seq((3L, 0L), (0xFFFFL, 0xFFFFL), (12345L, 54321L))
+    val pdf = pairs.toDF("x", "y")
+    val fast = pdf.select(Layout.zValue(col("x"), col("y"))).collect().map(_.getLong(0))
+    assert(fast.toSeq == pairs.map(p => ref(Seq(p._1, p._2), 16)))
+    val gen14 = pdf.select(
+      Layout.zValueN(Seq(pmod(col("x"), lit(16384L)), pmod(col("y"), lit(16384L))),
+        bitsPerDim = 14)).collect().map(_.getLong(0))
+    assert(gen14.toSeq == pairs.map(p => ref(Seq(p._1 % 16384, p._2 % 16384), 14)))
+  }
+
+  test("the N-D z-order layout write plans a range repartition on the interleaved key") {
+    val z = SparkEntry.queries("q_zorder_nd")(spark, "/root/testdata/sf0.001")
+    val plan = z.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(2000))
+    assert(plan.contains("zval"))
+  }
+
   test("the z-order layout write plans a range repartition (file-level rectangles)") {
     val z = (1 to 100).map(i => (i.toLong, (i * 7 % 50).toLong)).toDF("k", "c")
       .select(col("k"),

@@ -43,6 +43,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.repartitionForDecode(media, 2).rdd.getNumPartitions == 2)
   }
 
+  test("decode: real PNG/BMP payloads yield true dimensions via javax.imageio") {
+    // author real image bytes with the JDK's own encoders — no fixtures
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff00ff) // non-trivial pixel so encoders emit data
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, imageBytes("png", 123, 45)),
+      (2L, imageBytes("bmp", 7, 19)),
+      (3L, "not an image at all, just text".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val m = Multimodal.asMedia(rows, col("id"), col("payload"),
+      lit("image/mixed"), lit("unit"), lit(0L))
+    val out = Multimodal.decode(spark, m, 2).orderBy("mediaId").collect()
+    assert(out(0).getInt(1) == 123 && out(0).getInt(2) == 45)  // PNG true dims
+    assert(out(1).getInt(1) == 7 && out(1).getInt(2) == 19)    // BMP true dims
+    assert(out.forall(_.getBoolean(3)))
+    // the text payload took the deterministic fallback, not a codec error
+    assert(out(2).getInt(1) >= 64 && out(2).getInt(2) >= 64)
+  }
+
   test("hashFeatures: dims channels in [0,1), deterministic, null-safe") {
     val f = media.select(col("media_id"),
       Multimodal.hashFeatures(col("content"), 4).as("feat"))

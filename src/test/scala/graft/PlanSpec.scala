@@ -156,6 +156,24 @@ class PlanSpec extends SparkSpec {
     Similarity.release(out)
   }
 
+  test("Q9 star: all three dimensions broadcast; aggregation is partial-then-final") {
+    val plan = planOf(
+      SparkEntry.queries("q_q9_profit")(spark, "/root/testdata/sf0.001"))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"part/supplier/nation must broadcast into the fact scan:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"profit sum must combine map-side before the final exchange:\n$plan")
+  }
+
+  test("Q18: HAVING set broadcasts into both enrichment joins; top-k never full-sorts") {
+    val plan = planOf(
+      SparkEntry.queries("q_q18_big_orders")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"neither orders nor customer may shuffle for the enrichment joins:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the LIMIT must plan as a top-k, not a global sort:\n$plan")
+  }
+
   test("z-order projection prunes the scan to its two input columns") {
     val dir = graft.io.TempDirs.registered("graft-zorder-scan").toString
     (1L to 20L).map(i => (i, i * 7 % 50, s"pad$i", i * 1.5)).toDF("k", "c", "s", "v")
