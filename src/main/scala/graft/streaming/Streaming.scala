@@ -524,23 +524,31 @@ object Streaming {
   // ---------------------------------------------------------------------
   // ST14 — streaming LSH near-dup dedup: the incremental form of the
   // MinHash-LSH pipeline (how a corpus is deduplicated as it is
-  // INGESTED, not after the fact). Cross-trigger state is the signature
-  // store — k longs per ever-seen document, appended per trigger behind
-  // an id anti-join (replay-safe). Per micro-batch: shingle + sign the
-  // arrivals, band the union of state and batch, drop band buckets over
-  // the cap AT THIS TRIGGER's occupancy (the batch guard, applied to
-  // the delivery prefix), pair each arrival against every EARLIER doc
-  // — prior triggers, or same trigger with a smaller id — sharing a
-  // surviving bucket, estimate jaccard from signature agreement, and
-  // drop arrivals at/above the threshold. First occurrence wins, and
-  // the comparison set is all earlier ARRIVALS (kept or dropped), so
-  // the policy is non-recursive and exactly recomputable set-wise — the
-  // oracle replays the same prefix logic in SQL.
+  // INGESTED, not after the fact). Cross-trigger state is TWO stores,
+  // both appended per trigger behind an id anti-join (replay-safe):
+  //   - signature store: k longs per ever-seen document (for the
+  //     jaccard estimate);
+  //   - band-posting store: (band, band_key, id, seq) — each doc's
+  //     bucket memberships, computed ONCE at its arrival trigger.
+  // Per micro-batch: shingle + sign the arrivals, band ONLY the batch,
+  // probe the posting store for the batch's touched buckets (broadcast
+  // semi-join on the trigger-bounded touched-key set), drop buckets
+  // over the cap AT THIS TRIGGER's occupancy (prior postings + batch
+  // postings — the batch guard, applied to the delivery prefix), pair
+  // each arrival against every EARLIER doc — prior triggers, or same
+  // trigger with a smaller id — sharing a surviving bucket, estimate
+  // jaccard from signature agreement, and drop arrivals at/above the
+  // threshold. First occurrence wins, and the comparison set is all
+  // earlier ARRIVALS (kept or dropped), so the policy is non-recursive
+  // and exactly recomputable set-wise — the oracle replays the same
+  // prefix logic in SQL.
   //
-  // Scale shape: the signature store is k longs/doc (orders smaller
-  // than the corpus text); the per-trigger band join is capped per
-  // bucket; estimates are signature lookups, never shingle re-joins.
-  // Per-trigger cost is O(batch × bucket occupancy), not O(corpus²).
+  // Scale shape: per-trigger CPU is O(batch + touched postings) — old
+  // docs are never re-shingled, re-signed, or RE-BANDED (re-banding the
+  // whole store made each trigger O(corpus)); the posting probe is
+  // gated on the batch's bucket keys; estimates are signature lookups,
+  // never shingle re-joins. Per-trigger cost is O(batch × bucket
+  // occupancy), not O(corpus²) and not O(corpus).
   // ---------------------------------------------------------------------
   def runStreamingLshDedup(src: DataFrame, idCol: String, textCol: String,
                            seqCol: String, shingleN: Int, numHashes: Int,
@@ -548,12 +556,21 @@ object Streaming {
                            threshold: Double, sigPath: String,
                            sinkPath: String, checkpointPath: String): Unit = {
     import graft.operators.Similarity
+    val bandPath = sigPath.stripSuffix("/") + "_bands"
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        def store(path: String): Option[DataFrame] = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p) &&
+              fs.listStatus(p).exists(_.getPath.getName.startsWith("part-")))
+            Some(spark.read.parquet(path))
+          else None
+        }
         val sigB = Similarity
           .minhashSignature(
             Similarity.shingles(batch.select(col(idCol), col(textCol)),
@@ -561,52 +578,67 @@ object Streaming {
           .join(batch.select(col(idCol), col(seqCol)), Seq(idCol))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         sigB.count()
-        val sigDir = new org.apache.hadoop.fs.Path(sigPath)
-        val fs = sigDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prior =
-          if (fs.exists(sigDir) &&
-              fs.listStatus(sigDir).exists(_.getPath.getName.startsWith("part-")))
-            Some(spark.read.parquet(sigPath))
-          else None
-        val all = prior.map(_.unionByName(sigB)).getOrElse(sigB)
-        // occupancy at THIS trigger: every signature delivered so far
-        val bAll = Similarity.bandKeys(all, idCol, numHashes, rowsPerBand)
-          .join(all.select(col(idCol), col(seqCol)), Seq(idCol))
-        val oversized = bAll.groupBy(col("band"), col("band_key"))
+        // band ONLY the arrivals; prior docs' postings come from the store
+        val bandB = Similarity.bandKeys(sigB, idCol, numHashes, rowsPerBand)
+          .join(sigB.select(col(idCol), col(seqCol)), Seq(idCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bandB.count()
+        val priorBands = store(bandPath)
+        // prior postings in buckets this batch touches — only those can
+        // form pairs; the touched-key set is trigger-bounded, so it
+        // broadcasts into the store probe
+        val touched = bandB.select(col("band"), col("band_key")).distinct()
+        val allTouched = priorBands
+          .map(_.join(broadcast(touched), Seq("band", "band_key"))
+            .unionByName(bandB))
+          .getOrElse(bandB)
+        // occupancy at THIS trigger: every posting delivered so far
+        val oversized = allTouched.groupBy(col("band"), col("band_key"))
           .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
           .select(col("band"), col("band_key"))
-        val capped = bAll.join(oversized, Seq("band", "band_key"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val later = Similarity.bandKeys(sigB, idCol, numHashes, rowsPerBand)
-          .join(sigB.select(col(idCol), col(seqCol)), Seq(idCol))
-          .join(oversized, Seq("band", "band_key"), "left_anti")
+        val earlier = allTouched.join(oversized, Seq("band", "band_key"), "left_anti")
+        val later = bandB.join(oversized, Seq("band", "band_key"), "left_anti")
           .select(col("band"), col("band_key"),
             col(idCol).as("id_b"), col(seqCol).as("__sq_b"))
-        val pairs = capped
+        val pairs = earlier
           .select(col("band"), col("band_key"),
             col(idCol).as("id_a"), col(seqCol).as("__sq_a"))
           .join(later, Seq("band", "band_key"))
           .filter(col("__sq_a") < col("__sq_b") ||
             (col("__sq_a") === col("__sq_b") && col("id_a") < col("id_b")))
           .select(col("id_a"), col("id_b")).distinct()
+        val prior = store(sigPath)
+        val all = prior.map(_.unionByName(sigB)).getOrElse(sigB)
         val drops = Similarity.minhashJaccardEstimate(pairs, all, idCol, numHashes)
           .filter(col("jaccard_est") >= threshold)
           .select(col("id_b").as(idCol)).distinct()
         batch.select(col(idCol), col(seqCol))
           .join(drops, Seq(idCol), "left_anti")
           .write.mode("append").parquet(sinkPath)
-        // append ALL batch signatures (kept or dropped) — the comparison
-        // set is arrivals, and the anti-join makes replays no-ops
+        // append ALL batch signatures + postings (kept or dropped) — the
+        // comparison set is arrivals, and the anti-joins make replays
+        // no-ops. Materialize each delta BEFORE appending to the
+        // directory its anti-join reads.
         val newSigs = prior match {
           case Some(p) => sigB.join(p.select(col(idCol)), Seq(idCol), "left_anti")
           case None    => sigB
         }
         val newSigsP = newSigs
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        newSigsP.count() // materialize before appending to the dir it reads
+        newSigsP.count()
         newSigsP.write.mode("append").parquet(sigPath)
+        val newBands = priorBands match {
+          case Some(p) =>
+            bandB.join(p.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          case None => bandB
+        }
+        val newBandsP = newBands
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        newBandsP.count()
+        newBandsP.write.mode("append").parquet(bandPath)
+        newBandsP.unpersist(blocking = false)
         newSigsP.unpersist(blocking = false)
-        capped.unpersist(blocking = false)
+        bandB.unpersist(blocking = false)
         sigB.unpersist(blocking = false)
         ()
       }
