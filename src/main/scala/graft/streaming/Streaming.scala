@@ -524,31 +524,29 @@ object Streaming {
   // ---------------------------------------------------------------------
   // ST14 — streaming LSH near-dup dedup: the incremental form of the
   // MinHash-LSH pipeline (how a corpus is deduplicated as it is
-  // INGESTED, not after the fact). Cross-trigger state is TWO stores,
-  // both appended per trigger behind an id anti-join (replay-safe):
-  //   - signature store: k longs per ever-seen document (for the
-  //     jaccard estimate);
-  //   - band-posting store: (band, band_key, id, seq) — each doc's
-  //     bucket memberships, computed ONCE at its arrival trigger.
-  // Per micro-batch: shingle + sign the arrivals, band ONLY the batch,
-  // probe the posting store for the batch's touched buckets (broadcast
-  // semi-join on the trigger-bounded touched-key set), drop buckets
-  // over the cap AT THIS TRIGGER's occupancy (prior postings + batch
-  // postings — the batch guard, applied to the delivery prefix), pair
-  // each arrival against every EARLIER doc — prior triggers, or same
-  // trigger with a smaller id — sharing a surviving bucket, estimate
-  // jaccard from signature agreement, and drop arrivals at/above the
-  // threshold. First occurrence wins, and the comparison set is all
-  // earlier ARRIVALS (kept or dropped), so the policy is non-recursive
-  // and exactly recomputable set-wise — the oracle replays the same
-  // prefix logic in SQL.
+  // INGESTED, not after the fact). Cross-trigger state is the signature
+  // store — k longs per ever-seen document, appended per trigger behind
+  // an id anti-join (replay-safe). Per micro-batch: shingle + sign the
+  // arrivals, band the union of state and batch, drop band buckets over
+  // the cap AT THIS TRIGGER's occupancy (the batch guard, applied to
+  // the delivery prefix), pair each arrival against every EARLIER doc
+  // — prior triggers, or same trigger with a smaller id — sharing a
+  // surviving bucket, estimate jaccard from signature agreement, and
+  // drop arrivals at/above the threshold. First occurrence wins, and
+  // the comparison set is all earlier ARRIVALS (kept or dropped), so
+  // the policy is non-recursive and exactly recomputable set-wise — the
+  // oracle replays the same prefix logic in SQL.
   //
-  // Scale shape: per-trigger CPU is O(batch + touched postings) — old
-  // docs are never re-shingled, re-signed, or RE-BANDED (re-banding the
-  // whole store made each trigger O(corpus)); the posting probe is
-  // gated on the batch's bucket keys; estimates are signature lookups,
-  // never shingle re-joins. Per-trigger cost is O(batch × bucket
-  // occupancy), not O(corpus²) and not O(corpus).
+  // Scale shape: the signature store is k longs/doc (orders smaller
+  // than the corpus text). Only buckets the BATCH lands in can pair an
+  // arrival with an earlier doc, so occupancy counting and the pair
+  // join are gated on the batch's touched-bucket key set — trigger-
+  // bounded, so it broadcasts. Banding the store is a map-side
+  // projection fused into the store scan the jaccard estimate already
+  // makes; the per-trigger SHUFFLE is O(touched postings), never
+  // O(corpus), and the pair join is capped per bucket. Estimates are
+  // signature lookups, never shingle re-joins: per-trigger cost is
+  // O(batch × bucket occupancy), not O(corpus²).
   // ---------------------------------------------------------------------
   def runStreamingLshDedup(src: DataFrame, idCol: String, textCol: String,
                            seqCol: String, shingleN: Int, numHashes: Int,
@@ -556,89 +554,68 @@ object Streaming {
                            threshold: Double, sigPath: String,
                            sinkPath: String, checkpointPath: String): Unit = {
     import graft.operators.Similarity
-    val bandPath = sigPath.stripSuffix("/") + "_bands"
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        def store(path: String): Option[DataFrame] = {
-          val p = new org.apache.hadoop.fs.Path(path)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(p) &&
-              fs.listStatus(p).exists(_.getPath.getName.startsWith("part-")))
-            Some(spark.read.parquet(path))
-          else None
-        }
         val sigB = Similarity
           .minhashSignature(
             Similarity.shingles(batch.select(col(idCol), col(textCol)),
               idCol, textCol, shingleN), idCol, numHashes)
           .join(batch.select(col(idCol), col(seqCol)), Seq(idCol))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        sigB.count()
-        // band ONLY the arrivals; prior docs' postings come from the store
+        val sigDir = new org.apache.hadoop.fs.Path(sigPath)
+        val fs = sigDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (fs.exists(sigDir) &&
+              fs.listStatus(sigDir).exists(_.getPath.getName.startsWith("part-")))
+            Some(spark.read.parquet(sigPath))
+          else None
+        val all = prior.map(_.unionByName(sigB)).getOrElse(sigB)
+        // the batch's postings, and the touched-bucket key set that gates
+        // every downstream shuffle on this trigger's arrivals
         val bandB = Similarity.bandKeys(sigB, idCol, numHashes, rowsPerBand)
           .join(sigB.select(col(idCol), col(seqCol)), Seq(idCol))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        bandB.count()
-        val priorBands = store(bandPath)
-        // prior postings in buckets this batch touches — only those can
-        // form pairs; the touched-key set is trigger-bounded, so it
-        // broadcasts into the store probe
         val touched = bandB.select(col("band"), col("band_key")).distinct()
-        val allTouched = priorBands
-          .map(_.join(broadcast(touched), Seq("band", "band_key"))
-            .unionByName(bandB))
-          .getOrElse(bandB)
-        // occupancy at THIS trigger: every posting delivered so far
-        val oversized = allTouched.groupBy(col("band"), col("band_key"))
+        // occupancy at THIS trigger: every posting delivered so far, in
+        // the batch's buckets only (untouched buckets can't form pairs)
+        val bAll = Similarity.bandKeys(all, idCol, numHashes, rowsPerBand)
+          .join(all.select(col(idCol), col(seqCol)), Seq(idCol))
+          .join(broadcast(touched), Seq("band", "band_key"))
+        val oversized = bAll.groupBy(col("band"), col("band_key"))
           .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
           .select(col("band"), col("band_key"))
-        val earlier = allTouched.join(oversized, Seq("band", "band_key"), "left_anti")
-        val later = bandB.join(oversized, Seq("band", "band_key"), "left_anti")
+        val capped = bAll.join(oversized, Seq("band", "band_key"), "left_anti")
+        val later = bandB
+          .join(oversized, Seq("band", "band_key"), "left_anti")
           .select(col("band"), col("band_key"),
             col(idCol).as("id_b"), col(seqCol).as("__sq_b"))
-        val pairs = earlier
+        val pairs = capped
           .select(col("band"), col("band_key"),
             col(idCol).as("id_a"), col(seqCol).as("__sq_a"))
           .join(later, Seq("band", "band_key"))
           .filter(col("__sq_a") < col("__sq_b") ||
             (col("__sq_a") === col("__sq_b") && col("id_a") < col("id_b")))
           .select(col("id_a"), col("id_b")).distinct()
-        val prior = store(sigPath)
-        val all = prior.map(_.unionByName(sigB)).getOrElse(sigB)
         val drops = Similarity.minhashJaccardEstimate(pairs, all, idCol, numHashes)
           .filter(col("jaccard_est") >= threshold)
           .select(col("id_b").as(idCol)).distinct()
         batch.select(col(idCol), col(seqCol))
           .join(drops, Seq(idCol), "left_anti")
           .write.mode("append").parquet(sinkPath)
-        // append ALL batch signatures + postings (kept or dropped) — the
-        // comparison set is arrivals, and the anti-joins make replays
-        // no-ops. Materialize each delta BEFORE appending to the
-        // directory its anti-join reads.
+        // append ALL batch signatures (kept or dropped) — the comparison
+        // set is arrivals, and the anti-join makes replays no-ops
         val newSigs = prior match {
           case Some(p) => sigB.join(p.select(col(idCol)), Seq(idCol), "left_anti")
           case None    => sigB
         }
         val newSigsP = newSigs
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        newSigsP.count()
+        newSigsP.count() // materialize before appending to the dir it reads
         newSigsP.write.mode("append").parquet(sigPath)
-        val newBands = priorBands match {
-          case Some(p) =>
-            bandB.join(p.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-          case None => bandB
-        }
-        val newBandsP = newBands
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        newBandsP.count()
-        newBandsP.write.mode("append").parquet(bandPath)
-        newBandsP.unpersist(blocking = false)
         newSigsP.unpersist(blocking = false)
-        bandB.unpersist(blocking = false)
         sigB.unpersist(blocking = false)
         ()
       }
