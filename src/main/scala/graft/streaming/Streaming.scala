@@ -538,15 +538,9 @@ object Streaming {
   // oracle replays the same prefix logic in SQL.
   //
   // Scale shape: the signature store is k longs/doc (orders smaller
-  // than the corpus text). Only buckets the BATCH lands in can pair an
-  // arrival with an earlier doc, so occupancy counting and the pair
-  // join are gated on the batch's touched-bucket key set — trigger-
-  // bounded, so it broadcasts. Banding the store is a map-side
-  // projection fused into the store scan the jaccard estimate already
-  // makes; the per-trigger SHUFFLE is O(touched postings), never
-  // O(corpus), and the pair join is capped per bucket. Estimates are
-  // signature lookups, never shingle re-joins: per-trigger cost is
-  // O(batch × bucket occupancy), not O(corpus²).
+  // than the corpus text); the per-trigger band join is capped per
+  // bucket; estimates are signature lookups, never shingle re-joins.
+  // Per-trigger cost is O(batch × bucket occupancy), not O(corpus²).
   // ---------------------------------------------------------------------
   def runStreamingLshDedup(src: DataFrame, idCol: String, textCol: String,
                            seqCol: String, shingleN: Int, numHashes: Int,
@@ -566,6 +560,7 @@ object Streaming {
               idCol, textCol, shingleN), idCol, numHashes)
           .join(batch.select(col(idCol), col(seqCol)), Seq(idCol))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sigB.count()
         val sigDir = new org.apache.hadoop.fs.Path(sigPath)
         val fs = sigDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val prior =
@@ -574,21 +569,16 @@ object Streaming {
             Some(spark.read.parquet(sigPath))
           else None
         val all = prior.map(_.unionByName(sigB)).getOrElse(sigB)
-        // the batch's postings, and the touched-bucket key set that gates
-        // every downstream shuffle on this trigger's arrivals
-        val bandB = Similarity.bandKeys(sigB, idCol, numHashes, rowsPerBand)
-          .join(sigB.select(col(idCol), col(seqCol)), Seq(idCol))
-        val touched = bandB.select(col("band"), col("band_key")).distinct()
-        // occupancy at THIS trigger: every posting delivered so far, in
-        // the batch's buckets only (untouched buckets can't form pairs)
+        // occupancy at THIS trigger: every signature delivered so far
         val bAll = Similarity.bandKeys(all, idCol, numHashes, rowsPerBand)
           .join(all.select(col(idCol), col(seqCol)), Seq(idCol))
-          .join(broadcast(touched), Seq("band", "band_key"))
         val oversized = bAll.groupBy(col("band"), col("band_key"))
           .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
           .select(col("band"), col("band_key"))
         val capped = bAll.join(oversized, Seq("band", "band_key"), "left_anti")
-        val later = bandB
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val later = Similarity.bandKeys(sigB, idCol, numHashes, rowsPerBand)
+          .join(sigB.select(col(idCol), col(seqCol)), Seq(idCol))
           .join(oversized, Seq("band", "band_key"), "left_anti")
           .select(col("band"), col("band_key"),
             col(idCol).as("id_b"), col(seqCol).as("__sq_b"))
@@ -616,6 +606,7 @@ object Streaming {
         newSigsP.count() // materialize before appending to the dir it reads
         newSigsP.write.mode("append").parquet(sigPath)
         newSigsP.unpersist(blocking = false)
+        capped.unpersist(blocking = false)
         sigB.unpersist(blocking = false)
         ()
       }
