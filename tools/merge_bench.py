@@ -1,0 +1,40 @@
+#!/usr/bin/env python3
+"""Merge N bench pass JSONs into one best-of artifact.
+
+Usage: merge_bench.py OUT PASS1 [PASS2 ...]
+
+Takes the per-query minimum across passes (steady-state estimate; the
+noop-sink harness has no cross-query caching, so min is the least-noise
+statistic on a shared box), recomputes the total, and preserves the sf
+field of the first pass.
+"""
+import json
+import sys
+
+
+def main() -> None:
+    out, passes = sys.argv[1], sys.argv[2:]
+    loaded = [json.load(open(p)) for p in passes]
+    names = set()
+    for d in loaded:
+        names |= set(d["queries"])
+    merged = {}
+    for n in sorted(names):
+        vals = [d["queries"][n] for d in loaded if n in d["queries"]]
+        merged[n] = min(vals)
+    doc = {
+        "metric": "total",
+        "value": sum(merged.values()),
+        "unit": "sec",
+        "queries": merged,
+        "sf": loaded[0].get("sf", ""),
+        "passes": len(loaded),
+    }
+    with open(out, "w") as f:
+        json.dump(doc, f)
+    print(f"{out}: {len(merged)} queries, total {doc['value']:.1f}s "
+          f"(best of {len(loaded)})")
+
+
+if __name__ == "__main__":
+    main()
