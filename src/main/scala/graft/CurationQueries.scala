@@ -278,6 +278,17 @@ object CurationQueries {
         Seq("user_id"), "ts", gapSeconds = 1800L, tiebreak = "event_id")
       .select(col("event_id"), col("user_id"), col("ts"), col("session_id"))
 
+  /** SCD2 state timeline: each user's event_type stream collapsed into
+    * type-2 validity intervals — consecutive same-state events merge
+    * into one [valid_from, valid_to) run, the open run is current. The
+    * history-preserving counterpart of the keep-last merge (SCD1). */
+  private val qScd2Timeline: Q = (spark, dir) =>
+    Relational.scd2Timeline(Tables.fanOut(Tables.events(spark, dir)),
+        Seq("user_id"), stateCol = "event_type", timeCol = "ts",
+        tiebreak = "event_id")
+      .select(col("user_id"), col("state"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+
   /** Event-type pivot: one row per user, one count column per type.
     * Explicit pivot values keep the plan a single pass (no distinct-
     * values pre-query); absent cells coalesce to 0 to match COUNT
@@ -561,6 +572,7 @@ object CurationQueries {
     "q_st8_running_state" -> qStRunningState,
     "q_topk_udaf"      -> qTopkUdaf,
     "q_sessionize"     -> qSessionize,
+    "q_scd2_timeline"  -> qScd2Timeline,
     "q_session_window" -> qSessionWindow,
     "q_pivot_events"   -> qPivotEvents,
     "q_rolling_avg"    -> qRollingAvg,
@@ -950,6 +962,18 @@ object CurationQueries {
            CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM x""",
+    "q_scd2_timeline" ->
+      """WITH seq AS (SELECT user_id, event_type, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events),
+         chg AS (SELECT user_id, event_type, ts, event_id FROM seq
+           WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+         SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+         FROM chg""",
     "q_session_window" ->
       """WITH x AS (SELECT user_id, ts,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

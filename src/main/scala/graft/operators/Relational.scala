@@ -233,6 +233,44 @@ object Relational {
       sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  // ---------------------------------------------------------------------
+  // SCD2 timeline — type-2 slowly-changing-dimension history from a
+  // versioned event/row stream: per key, collapse consecutive rows with
+  // an unchanged state into one validity interval [valid_from, valid_to)
+  // and mark the open interval current. The history-preserving
+  // counterpart of dedupKeepLast (SCD1): where keep-last forgets
+  // superseded states, this emits every state RUN with its lifetime —
+  // the warehouse shape a dimension table needs for as-of enrichment
+  // (pair with asOfJoin to enrich facts at their event time).
+  //
+  // Plan: ONE hash-shuffle on the key; both windows (LAG change
+  // detection, LEAD interval close) sort over the same partitioning so
+  // the exchange is reused, and the second sorts only the (collapsed,
+  // smaller) change rows. No join, no second shuffle — a 100 TB
+  // version log becomes its dimension history in a single pass per key
+  // partition. Null-safe state compare; the tiebreak column makes
+  // same-timestamp versions deterministic.
+  // ---------------------------------------------------------------------
+  def scd2Timeline(df: DataFrame, keys: Seq[String], stateCol: String,
+                   timeCol: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col(tiebreak).asc)
+    val changes = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      // first row per key, or a genuine state change; the row_number
+      // guard (not __prev.isNull) keeps a leading NULL state distinct
+      // from "no previous row", and <=> collapses null-to-null runs
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(stateCol)))
+    val w2 = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col(tiebreak).asc)
+    changes
+      .withColumn("valid_to", lead(col(timeCol), 1).over(w2))
+      .select(keys.map(col) :+ col(stateCol).as("state") :+
+        col(timeCol).as("valid_from") :+ col("valid_to") :+
+        col("valid_to").isNull.as("is_current"): _*)
+  }
+
   /** Floor epoch seconds of a time column, timezone-free: TIMESTAMP_NTZ
     * diffs arithmetically against the NTZ epoch (no instant round-trip,
     * so the value matches what any engine reads from the same parquet

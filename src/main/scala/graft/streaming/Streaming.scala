@@ -286,7 +286,24 @@ object Streaming {
     * a truly concurrent external reader, pin snapshots by keeping N
     * manifests out of GC reach. */
   def mergedSnapshot(spark: SparkSession, stateRoot: String): DataFrame =
-    readLatestManifest(spark, stateRoot, Long.MaxValue).toSeq
+    snapshotBefore(spark, stateRoot, Long.MaxValue)
+
+  /** Time-travel read: the snapshot as of batch `asOfBatch` — resolved
+    * through the newest manifest committed at or below that batch id,
+    * exactly how a reader at that point in time would have bound it.
+    * The travel horizon is what GC has retained: versions superseded
+    * before the newest manifest are dropped at the next batch start, so
+    * only the most recent committed state is guaranteed reachable on a
+    * live stream; pause the stream (or widen GC) to keep history. Same
+    * laziness contract as [[mergedSnapshot]]. */
+  def mergedSnapshotAt(spark: SparkSession, stateRoot: String,
+                       asOfBatch: Long): DataFrame =
+    snapshotBefore(spark, stateRoot,
+      if (asOfBatch == Long.MaxValue) Long.MaxValue else asOfBatch + 1)
+
+  private def snapshotBefore(spark: SparkSession, stateRoot: String,
+                             beforeId: Long): DataFrame =
+    readLatestManifest(spark, stateRoot, beforeId).toSeq
       .map { case (b, v) => spark.read.parquet(s"$stateRoot/v$v/__bucket=$b") }
       .reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataFrame)

@@ -182,6 +182,41 @@ class CurationSpec extends SparkSpec {
   }
 
   // -----------------------------------------------------------------
+  // SCD2 timeline
+  // -----------------------------------------------------------------
+  test("scd2Timeline collapses state runs into validity intervals") {
+    val df = Seq(
+      ("u", 1L, 10L, "a"), ("u", 2L, 20L, "a"),  // run a: [10, 30)
+      ("u", 3L, 30L, "b"),                       // run b: [30, 40)
+      ("u", 4L, 40L, "a"),                       // a returns: [40, null) current
+      ("v", 9L, 5L, "x")                         // own single current run
+    ).toDF("key", "eid", "t", "st")
+    val out = Relational.scd2Timeline(df, Seq("key"), "st", "t", "eid")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .toSet
+    assert(out == Set(
+      ("u", "a", 10L, Some(30L), false),
+      ("u", "b", 30L, Some(40L), false),
+      ("u", "a", 40L, None, true),
+      ("v", "x", 5L, None, true)))
+  }
+
+  test("scd2Timeline keeps a leading null state and collapses null runs") {
+    val df = Seq(
+      ("u", 1L, 10L, None),          // leading null state is a real run
+      ("u", 2L, 20L, None),          // null-to-null: same run
+      ("u", 3L, 30L, Some("a"))      // null -> a: change
+    ).toDF("key", "eid", "t", "st")
+    val out = Relational.scd2Timeline(df, Seq("key"), "st", "t", "eid")
+      .collect()
+      .map(r => (Option(r.getString(1)), r.getLong(2), r.getBoolean(4)))
+      .toSet
+    assert(out == Set((None, 10L, false), (Some("a"), 30L, true)))
+  }
+
+  // -----------------------------------------------------------------
   // As-of join
   // -----------------------------------------------------------------
   test("asofJoin picks latest strictly-prior right row per key") {

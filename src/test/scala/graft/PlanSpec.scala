@@ -186,4 +186,17 @@ class PlanSpec extends SparkSpec {
       && !readSchema.contains("pad") && !readSchema.contains("s:") && !readSchema.contains("v:"),
       s"scan must read only (k, c): $readSchema")
   }
+
+  test("scd2Timeline is one shuffle: both windows share the key partitioning") {
+    val df = (1 to 200).map(i => (i % 10L, i.toLong, i * 5L, s"s${i % 3}"))
+      .toDF("key", "eid", "t", "st")
+    val plan = planOf(graft.operators.Relational
+      .scd2Timeline(df, Seq("key"), "st", "t", "eid"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected a single hash exchange on the key, got $exchanges:\n$plan")
+    val sorts = "(?m)^\\s*[+:]?-? ?\\*?\\(?\\d*\\)? ?Sort ".r.findAllIn(plan).size
+    assert(sorts == 1,
+      s"the second window must reuse the first window's sort, got $sorts:\n$plan")
+  }
 }

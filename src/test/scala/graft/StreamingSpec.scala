@@ -213,6 +213,17 @@ class StreamingSpec extends SparkSpec {
       .toMap
     assert(vDirs("v0") == 8, s"full load writes all buckets: $vDirs")
     assert(vDirs("v1") <= 2, s"delta must rewrite only touched buckets: $vDirs")
+    // time travel: as-of batch 0 resolves through manifest m0 — the
+    // pre-delta state (no update, no insert); as-of the last batch is
+    // the current snapshot
+    val at0 = Streaming.mergedSnapshotAt(spark, state, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at0.size == 64)
+    assert(at0(7L) == 70L)
+    assert(!at0.contains(1000L))
+    val at1 = Streaming.mergedSnapshotAt(spark, state, 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at1(7L) == 777L && at1(1000L) == 5L)
   }
 
   test("incremental merge: compactEvery bounds live version dirs; snapshot unchanged") {
