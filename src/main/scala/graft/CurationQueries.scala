@@ -289,6 +289,46 @@ object CurationQueries {
       .select(col("user_id"), col("state"), col("valid_from"),
         col("valid_to"), col("is_current"))
 
+  /** ST16 — streaming SCD2: three per-key time-ordered deliveries
+    * (ts-tercile split; equal timestamps co-deliver because the split
+    * cuts on the ts value itself) drain through the open-run
+    * maintainer. Runs continue, close, and open ACROSS triggers, yet
+    * the drained snapshot must equal the batch scd2Timeline over all
+    * deliveries — the oracle replays exactly that, so the query proves
+    * the incremental maintenance emits each interval exactly once. */
+  private val qSt16StreamScd2: Q = (spark, dir) => {
+    val ev = Tables.fanOut(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val in = graft.io.TempDirs.registered("graft-q-st16-in").toString
+    val state = graft.io.TempDirs.registered("graft-q-st16-state").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st16-ckpt").toString
+    val tsl = expr(
+      "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    val Array(a, b) = ev.select(tsl.as("tsl")).stat
+      .approxQuantile("tsl", Array(1.0 / 3, 2.0 / 3), 0.0)
+    val seen = scala.collection.mutable.Set[String]()
+    Seq(tsl <= a, tsl > a && tsl <= b, tsl > b).zipWithIndex.foreach {
+      case (pred, s) =>
+        ev.filter(pred).coalesce(1).write.mode("append").parquet(in)
+        // pin strictly increasing mtimes per delivery (FileStreamSource
+        // orders by modification time)
+        new java.io.File(in).listFiles().foreach { f =>
+          if (!seen.contains(f.getName)) {
+            if (f.getName.startsWith("part-"))
+              f.setLastModified(1700000000000L + s * 60000L)
+            seen += f.getName
+          }
+        }
+    }
+    val src = graft.streaming.Streaming.parquetSource(spark, in, ev.schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runStreamingScd2(src, Seq("user_id"),
+      "event_type", "ts", "event_id", state, ckpt)
+    graft.streaming.Streaming.scd2Snapshot(spark, state)
+      .select(col("user_id"), col("state"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
+
   /** Event-type pivot: one row per user, one count column per type.
     * Explicit pivot values keep the plan a single pass (no distinct-
     * values pre-query); absent cells coalesce to 0 to match COUNT
@@ -573,6 +613,7 @@ object CurationQueries {
     "q_topk_udaf"      -> qTopkUdaf,
     "q_sessionize"     -> qSessionize,
     "q_scd2_timeline"  -> qScd2Timeline,
+    "q_st16_stream_scd2" -> qSt16StreamScd2,
     "q_session_window" -> qSessionWindow,
     "q_pivot_events"   -> qPivotEvents,
     "q_rolling_avg"    -> qRollingAvg,
@@ -669,6 +710,21 @@ object CurationQueries {
              AND round(CAST(psiq AS DOUBLE) / 1000000000.0, 6) <= 0.25) AS passed
           FROM pr JOIN ps ON pr.source = ps.source
           LEFT JOIN nc ON pr.source = nc.source"""
+
+  /** Shared by the batch timeline and its streaming maintainer — both
+    * must produce the exact same SCD2 history over the events table. */
+  private val scd2TimelineSql: String =
+    """WITH seq AS (SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       FROM events),
+       chg AS (SELECT user_id, event_type, ts, event_id FROM seq
+         WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+       SELECT user_id, event_type AS state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+           AS is_current
+       FROM chg"""
 
   def oracleSql: Map[String, String] = Map(
     // Independent formulation: transitive closure over the symmetrized
@@ -962,18 +1018,9 @@ object CurationQueries {
            CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM x""",
-    "q_scd2_timeline" ->
-      """WITH seq AS (SELECT user_id, event_type, ts, event_id,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-         FROM events),
-         chg AS (SELECT user_id, event_type, ts, event_id FROM seq
-           WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
-         SELECT user_id, event_type AS state, ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
-             AS is_current
-         FROM chg""",
+    "q_scd2_timeline" -> scd2TimelineSql,
+    // the streaming maintainer must land on the identical timeline
+    "q_st16_stream_scd2" -> scd2TimelineSql,
     "q_session_window" ->
       """WITH x AS (SELECT user_id, ts,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -238,10 +238,12 @@ object Relational {
   // versioned event/row stream: per key, collapse consecutive rows with
   // an unchanged state into one validity interval [valid_from, valid_to)
   // and mark the open interval current. The history-preserving
-  // counterpart of dedupKeepLast (SCD1): where keep-last forgets
-  // superseded states, this emits every state RUN with its lifetime —
-  // the warehouse shape a dimension table needs for as-of enrichment
-  // (pair with asOfJoin to enrich facts at their event time).
+  // counterpart of dedupKeepLast (SCD1), and the CHANGE-DETECTION
+  // complement of [[scd2]]: scd2 emits a version row per change event
+  // (every row is assumed a real change), while this operator suppresses
+  // no-op deliveries — the shape a dimension needs when the tracked
+  // attribute changes far less often than rows arrive. Pair with
+  // asOfJoin to enrich facts at their event time.
   //
   // Plan: ONE hash-shuffle on the key; both windows (LAG change
   // detection, LEAD interval close) sort over the same partitioning so
@@ -252,7 +254,8 @@ object Relational {
   // same-timestamp versions deterministic.
   // ---------------------------------------------------------------------
   def scd2Timeline(df: DataFrame, keys: Seq[String], stateCol: String,
-                   timeCol: String, tiebreak: String): DataFrame = {
+                   timeCol: String, tiebreak: String,
+                   carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col(tiebreak).asc)
     val changes = df
@@ -264,9 +267,11 @@ object Relational {
       .filter(col("__rn") === 1 || !(col("__prev") <=> col(stateCol)))
     val w2 = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col(tiebreak).asc)
+    // `carry` columns ride along from each run's OPENING row (the
+    // streaming maintainer carries the tiebreak this way)
     changes
       .withColumn("valid_to", lead(col(timeCol), 1).over(w2))
-      .select(keys.map(col) :+ col(stateCol).as("state") :+
+      .select(keys.map(col) ++ carry.map(col) :+ col(stateCol).as("state") :+
         col(timeCol).as("valid_from") :+ col("valid_to") :+
         col("valid_to").isNull.as("is_current"): _*)
   }
@@ -312,7 +317,9 @@ object Relational {
     * version row with a [valid_from, valid_to) interval — valid_to =
     * the next change's timestamp, open (null) for the current row.
     * One window per key (hash-shuffle + per-partition sort); ties on
-    * the change column order deterministically by `tiebreak`. */
+    * the change column order deterministically by `tiebreak`. See
+    * [[scd2Timeline]] for the change-detection variant that collapses
+    * consecutive unchanged states instead of versioning every row. */
   def scd2(df: DataFrame, keys: Seq[String], changeCol: String,
            tiebreak: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)

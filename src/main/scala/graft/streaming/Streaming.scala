@@ -704,6 +704,121 @@ object Streaming {
   // grid minus what the event log already records — a left anti join,
   // not a driver loop.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // ST16 — streaming SCD2: incrementally maintain the type-2 state
+  // timeline of [[graft.operators.Relational.scd2Timeline]] as versioned
+  // rows ARRIVE. Cross-trigger state is the OPEN run per key — (state,
+  // valid_from, opening tiebreak), one row per key, bounded by key
+  // cardinality like ST12's exemplar store, never by delivery history.
+  // Per micro-batch: prepend the touched keys' open runs to the batch as
+  // pseudo-rows (their valid_from predates every arrival under the
+  // delivery contract), run the SAME window logic as the batch operator,
+  // emit intervals that CLOSED at this trigger to closed/v<id>
+  // (overwrite — a replayed batch rewrites its own dir, idempotent), and
+  // write untouched ∪ new open runs to opens/v<id> (the read side binds
+  // the newest dir committed BEFORE this batch, so a replay reads
+  // pre-crash state).
+  //
+  // Delivery contract: per-key time-ordered across triggers (the
+  // kafka-partition event-time contract; within a trigger any order).
+  // The maintainer never retracts an emitted interval, so a late row
+  // older than its key's open run needs a watermark+retract design
+  // instead. Under the contract the drained snapshot is EXACTLY the
+  // batch operator over all deliveries — the oracle replays it that way.
+  //
+  // Scale shape: per-trigger shuffle is batch + touched open runs (one
+  // row per touched key); closed history is append-only per trigger and
+  // never rewritten; the open store rewrite is one row per key.
+  // ---------------------------------------------------------------------
+  def runStreamingScd2(src: DataFrame, keys: Seq[String], stateCol: String,
+                       timeCol: String, tiebreak: String,
+                       stateRoot: String, checkpointPath: String): Unit = {
+    import graft.operators.Relational
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val cols = keys ++ Seq(stateCol, timeCol, tiebreak)
+        val b = batch.select(cols.map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val prior = latestVersionDir(spark, s"$stateRoot/opens", id)
+          .map(spark.read.parquet(_))
+        val bKeys = b.select(keys.map(col): _*).distinct()
+        val openRows = prior.map(_.join(bKeys, keys, "left_semi").select(
+          keys.map(col) :+ col("state").as(stateCol) :+
+            col("valid_from").as(timeCol) :+ col("__tie").as(tiebreak): _*))
+        val all = openRows.map(_.unionByName(b)).getOrElse(b)
+        val tl = Relational.scd2Timeline(all, keys, stateCol, timeCol,
+          tiebreak, carry = Seq(tiebreak))
+        tl.filter(col("valid_to").isNotNull)
+          .select(keys.map(col) :+ col("state") :+ col("valid_from") :+
+            col("valid_to") :+ col("is_current"): _*)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateRoot/closed/v$id")
+        val newOpens = tl.filter(col("valid_to").isNull)
+          .select(keys.map(col) :+ col("state") :+ col("valid_from") :+
+            col(tiebreak).as("__tie"): _*)
+        prior.map(_.join(bKeys, keys, "left_anti"))
+          .map(_.unionByName(newOpens)).getOrElse(newOpens)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateRoot/opens/v$id")
+        b.unpersist(blocking = false)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drained ST16 state as one timeline: every closed interval ever
+    * emitted plus the current open runs — equals the batch
+    * [[graft.operators.Relational.scd2Timeline]] over all deliveries
+    * (time-ordered contract). Quiescent-state reader, like
+    * [[scorecardSnapshot]]. */
+  def scd2Snapshot(spark: SparkSession, stateRoot: String): DataFrame = {
+    val opensDir = latestVersionDir(spark, s"$stateRoot/opens", Long.MaxValue)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed scd2 state under $stateRoot"))
+    val opens0 = spark.read.parquet(opensDir)
+    val opens = opens0.drop("__tie")
+      .withColumn("valid_to",
+        lit(null).cast(opens0.schema("valid_from").dataType))
+      .withColumn("is_current", lit(true))
+    val closedRoot = new org.apache.hadoop.fs.Path(s"$stateRoot/closed")
+    val fs = closedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val closed =
+      if (!fs.exists(closedRoot)) None
+      else fs.listStatus(closedRoot).filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.startsWith("v") &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(p => spark.read.parquet(p.toString))
+        .reduceOption(_ unionByName _)
+    closed.map(_.unionByName(opens, allowMissingColumns = false))
+      .getOrElse(opens)
+  }
+
+  /** Newest `v<id>` child of `root` with a parquet _SUCCESS marker and
+    * id strictly below `beforeId` — the shared commit-dir convention of
+    * the incremental state family. */
+  private def latestVersionDir(spark: SparkSession, root: String,
+                               beforeId: Long): Option[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return None
+    fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+      .flatMap { vp =>
+        vp.getName match {
+          case n if n.startsWith("v") =>
+            n.drop(1).toLongOption.filter(v => v < beforeId &&
+              fs.exists(new org.apache.hadoop.fs.Path(vp, "_SUCCESS")))
+              .map(v => (v, vp.toString))
+          case _ => None
+        }
+      }
+      .sortBy(_._1).lastOption.map(_._2)
+  }
+
   def resumeWorkList(allWork: DataFrame, eventLog: DataFrame, keys: Seq[String]): DataFrame =
     allWork.join(eventLog.select(keys.map(col): _*).distinct(), keys, "left_anti")
 

@@ -318,6 +318,51 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(10L, 20L), s"expected first arrivals only, got $kept")
   }
 
+  test("ST16: streaming SCD2 — runs continue, close, and open across triggers") {
+    import graft.io.TempDirs
+    val in = TempDirs.registered("graft-st16spec-in").toString
+    val state = TempDirs.registered("graft-st16spec-state").toString
+    val ckpt = TempDirs.registered("graft-st16spec-ckpt").toString
+    // d0 opens u->a (run starts at 10) and v->x; d1 closes u's a-run and
+    // opens b; d2 CONTINUES u's b-run (valid_from must stay 30, the
+    // cross-trigger continuation) and closes v's x-run
+    val d0 = Seq(("u", 1L, 10L, "a"), ("u", 2L, 20L, "a"), ("v", 3L, 15L, "x"))
+      .toDF("key", "eid", "t", "st")
+    val d1 = Seq(("u", 4L, 30L, "b")).toDF("key", "eid", "t", "st")
+    val d2 = Seq(("u", 5L, 40L, "b"), ("v", 6L, 50L, "y"))
+      .toDF("key", "eid", "t", "st")
+    val seen = scala.collection.mutable.Set[String]()
+    Seq(d0, d1, d2).zipWithIndex.foreach { case (d, i) =>
+      d.coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + i * 60000L)
+          seen += f.getName
+        }
+      }
+    }
+    val src = Streaming.parquetSource(spark, in, d0.schema, maxFilesPerTrigger = 1)
+    Streaming.runStreamingScd2(src, Seq("key"), "st", "t", "eid", state, ckpt)
+    val got = Streaming.scd2Snapshot(spark, state)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .toSet
+    val oracle = graft.operators.Relational
+      .scd2Timeline(d0.unionByName(d1).unionByName(d2), Seq("key"), "st", "t", "eid")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .toSet
+    assert(got == oracle, s"streaming=$got batch=$oracle")
+    assert(got == Set(
+      ("u", "a", 10L, Some(30L), false),
+      ("u", "b", 30L, None, true),
+      ("v", "x", 15L, Some(50L), false),
+      ("v", "y", 50L, None, true)))
+  }
+
   test("mergedSnapshot skips an uncommitted (crashed partial) version dir") {
     import graft.io.TempDirs
     val state = TempDirs.registered("graft-snap-partial").toString
