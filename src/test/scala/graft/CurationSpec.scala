@@ -203,6 +203,27 @@ class CurationSpec extends SparkSpec {
       ("v", "x", 5L, None, true)))
   }
 
+  test("scd2Timeline intervals partition the key's time axis (as-of enrichment)") {
+    val df = Seq(
+      ("u", 1L, 10L, "a"), ("u", 2L, 30L, "b"), ("u", 3L, 30L, "b"))
+      .toDF("key", "eid", "t", "st")
+    val tl = Relational.scd2Timeline(df, Seq("key"), "st", "t", "eid")
+    // facts at the boundary take the NEW state ([valid_from, valid_to)),
+    // before the first event they take none, and every in-range fact
+    // matches exactly one interval — the property as-of enrichment needs
+    val facts = Seq(("u", 5L), ("u", 10L), ("u", 29L), ("u", 30L), ("u", 100L))
+      .toDF("key", "ft")
+    val enriched = facts.join(tl,
+        facts("key") === tl("key") && facts("ft") >= tl("valid_from") &&
+          (tl("valid_to").isNull || facts("ft") < tl("valid_to")),
+        "left")
+      .select(facts("ft"), tl("state"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)))
+    assert(enriched.length == 5, "each fact matches at most one interval")
+    assert(enriched.toMap == Map(5L -> None, 10L -> Some("a"),
+      29L -> Some("a"), 30L -> Some("b"), 100L -> Some("b")))
+  }
+
   test("scd2Timeline keeps a leading null state and collapses null runs") {
     val df = Seq(
       ("u", 1L, 10L, None),          // leading null state is a real run
