@@ -541,30 +541,44 @@ object Streaming {
   // ---------------------------------------------------------------------
   // ST14 — streaming LSH near-dup dedup: the incremental form of the
   // MinHash-LSH pipeline (how a corpus is deduplicated as it is
-  // INGESTED, not after the fact). Cross-trigger state is the signature
-  // store — k longs per ever-seen document, appended per trigger behind
-  // an id anti-join (replay-safe). Per micro-batch: shingle + sign the
-  // arrivals, band the union of state and batch, drop band buckets over
-  // the cap AT THIS TRIGGER's occupancy (the batch guard, applied to
-  // the delivery prefix), pair each arrival against every EARLIER doc
-  // — prior triggers, or same trigger with a smaller id — sharing a
-  // surviving bucket, estimate jaccard from signature agreement, and
-  // drop arrivals at/above the threshold. First occurrence wins, and
-  // the comparison set is all earlier ARRIVALS (kept or dropped), so
-  // the policy is non-recursive and exactly recomputable set-wise — the
-  // oracle replays the same prefix logic in SQL.
+  // INGESTED, not after the fact). Cross-trigger state is a POSTINGS
+  // store: one row per (doc, band) carrying the band bucket key AND the
+  // doc's full k-slot signature, written `partitionBy` a hash of the
+  // band key into `storeBuckets` directories. Per micro-batch: shingle
+  // + sign the arrivals, compute their postings, and read back ONLY the
+  // store partitions those postings hash into — the probe is a
+  // partition-pruned file-level scan of the touched slice, never a scan
+  // of the whole delivery history. Occupancy (the bucket cap, applied
+  // to the delivery prefix AT THIS TRIGGER) and the earlier-vs-arrival
+  // pairing both run inside the touched slice; a band bucket's full
+  // history colocates in its store partition, so the pruned read sees
+  // everything the cap and the pairing need. Denormalizing the
+  // signature into the posting makes the jaccard estimate (fraction of
+  // agreeing minhash slots) a projection on the pair join itself — no
+  // second join against a corpus-wide signature table. Drop an arrival
+  // when any EARLIER doc — prior triggers, or same trigger with a
+  // smaller id — shares a surviving bucket with estimate >= threshold.
+  // First occurrence wins, and the comparison set is all earlier
+  // ARRIVALS (kept or dropped), so the policy is non-recursive and
+  // exactly recomputable set-wise — the oracle replays the same prefix
+  // logic in SQL.
   //
-  // Scale shape: the signature store is k longs/doc (orders smaller
-  // than the corpus text); the per-trigger band join is capped per
-  // bucket; estimates are signature lookups, never shingle re-joins.
-  // Per-trigger cost is O(batch × bucket occupancy), not O(corpus²).
+  // Scale shape: the store is numBands rows × k longs per ever-seen doc
+  // (still orders smaller than the corpus text); per-trigger reads are
+  // partition-pruned to the batch's touched buckets, so trigger cost is
+  // O(batch + touched-slice), not O(corpus); the pair join is capped
+  // per bucket. The store append anti-joins the pruned slice by id, so
+  // a crash-replayed batch re-appends nothing and recomputes the same
+  // occupancy (its first append is already in the slice it reads).
   // ---------------------------------------------------------------------
   def runStreamingLshDedup(src: DataFrame, idCol: String, textCol: String,
                            seqCol: String, shingleN: Int, numHashes: Int,
                            rowsPerBand: Int, maxBucketSize: Int,
                            threshold: Double, sigPath: String,
-                           sinkPath: String, checkpointPath: String): Unit = {
+                           sinkPath: String, checkpointPath: String,
+                           storeBuckets: Int = 64): Unit = {
     import graft.operators.Similarity
+    val mhCols = (0 until numHashes).map(i => s"mh$i")
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
@@ -576,55 +590,72 @@ object Streaming {
             Similarity.shingles(batch.select(col(idCol), col(textCol)),
               idCol, textCol, shingleN), idCol, numHashes)
           .join(batch.select(col(idCol), col(seqCol)), Seq(idCol))
+        val postB = Similarity
+          .bandKeys(sigB.select(col(idCol) +: mhCols.map(col): _*),
+            idCol, numHashes, rowsPerBand)
+          .join(sigB, Seq(idCol))
+          .withColumn("__pbucket",
+            pmod(hash(col("band_key")), lit(storeBuckets)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        sigB.count()
+        postB.count()
+        val touched = postB.select(col("__pbucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq // <= storeBuckets values
         val sigDir = new org.apache.hadoop.fs.Path(sigPath)
         val fs = sigDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prior =
-          if (fs.exists(sigDir) &&
-              fs.listStatus(sigDir).exists(_.getPath.getName.startsWith("part-")))
-            Some(spark.read.parquet(sigPath))
+        // the probe read: file-level partition pruning to touched buckets
+        val priorSlice =
+          if (fs.exists(sigDir) && fs.listStatus(sigDir)
+                .exists(_.getPath.getName.startsWith("__pbucket=")))
+            Some(spark.read.parquet(sigPath)
+              .filter(col("__pbucket").isin(touched: _*)))
           else None
-        val all = prior.map(_.unionByName(sigB)).getOrElse(sigB)
-        // occupancy at THIS trigger: every signature delivered so far
-        val bAll = Similarity.bandKeys(all, idCol, numHashes, rowsPerBand)
-          .join(all.select(col(idCol), col(seqCol)), Seq(idCol))
-        val oversized = bAll.groupBy(col("band"), col("band_key"))
+        // minus the batch's own ids, so a crash-replay (store appended,
+        // checkpoint not committed) sees the first run's prefix exactly
+        val bIds = postB.select(col(idCol)).distinct()
+        val prior = priorSlice.map(_.join(bIds, Seq(idCol), "left_anti"))
+        val allPost = prior.map(_.unionByName(postB)).getOrElse(postB)
+        // occupancy at THIS trigger: every posting delivered so far in
+        // the touched buckets (untouched buckets can't pair with the
+        // batch, so their occupancy is irrelevant this trigger)
+        val oversized = allPost.groupBy(col("band"), col("band_key"))
           .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucketSize)
           .select(col("band"), col("band_key"))
-        val capped = bAll.join(oversized, Seq("band", "band_key"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val later = Similarity.bandKeys(sigB, idCol, numHashes, rowsPerBand)
-          .join(sigB.select(col(idCol), col(seqCol)), Seq(idCol))
-          .join(oversized, Seq("band", "band_key"), "left_anti")
-          .select(col("band"), col("band_key"),
-            col(idCol).as("id_b"), col(seqCol).as("__sq_b"))
-        val pairs = capped
-          .select(col("band"), col("band_key"),
-            col(idCol).as("id_a"), col(seqCol).as("__sq_a"))
-          .join(later, Seq("band", "band_key"))
+        val earlier = allPost.join(oversized, Seq("band", "band_key"), "left_anti")
+          .select(col("band") +: col("band_key") +:
+            col(idCol).as("id_a") +: col(seqCol).as("__sq_a") +:
+            mhCols.map(c => col(c).as(s"a_$c")): _*)
+        val later = postB.join(oversized, Seq("band", "band_key"), "left_anti")
+          .select(col("band") +: col("band_key") +:
+            col(idCol).as("id_b") +: col(seqCol).as("__sq_b") +:
+            mhCols.map(c => col(c).as(s"b_$c")): _*)
+        val matches = (0 until numHashes).map(i =>
+          when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0)).reduce(_ + _)
+        val drops = earlier.join(later, Seq("band", "band_key"))
           .filter(col("__sq_a") < col("__sq_b") ||
             (col("__sq_a") === col("__sq_b") && col("id_a") < col("id_b")))
-          .select(col("id_a"), col("id_b")).distinct()
-        val drops = Similarity.minhashJaccardEstimate(pairs, all, idCol, numHashes)
-          .filter(col("jaccard_est") >= threshold)
+          .filter(round(matches.cast(org.apache.spark.sql.types.DoubleType) /
+            numHashes, 4) >= threshold)
           .select(col("id_b").as(idCol)).distinct()
         batch.select(col(idCol), col(seqCol))
           .join(drops, Seq(idCol), "left_anti")
           .write.mode("append").parquet(sinkPath)
-        // append ALL batch signatures (kept or dropped) — the comparison
-        // set is arrivals, and the anti-join makes replays no-ops
-        val newSigs = prior match {
-          case Some(p) => sigB.join(p.select(col(idCol)), Seq(idCol), "left_anti")
-          case None    => sigB
+        // append ALL batch postings (kept or dropped docs) — the
+        // comparison set is arrivals, and the id anti-join against the
+        // pruned slice makes replays no-ops
+        val newPost = priorSlice match {
+          case Some(p) =>
+            postB.join(p.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          case None => postB
         }
-        val newSigsP = newSigs
+        // one exchange on the store partition key: each write task holds
+        // whole buckets, so a trigger appends <= storeBuckets files, not
+        // tasks × buckets
+        val newPostP = newPost.repartition(col("__pbucket"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        newSigsP.count() // materialize before appending to the dir it reads
-        newSigsP.write.mode("append").parquet(sigPath)
-        newSigsP.unpersist(blocking = false)
-        capped.unpersist(blocking = false)
-        sigB.unpersist(blocking = false)
+        newPostP.count() // materialize before appending to the dir it reads
+        newPostP.write.mode("append").partitionBy("__pbucket").parquet(sigPath)
+        newPostP.unpersist(blocking = false)
+        postB.unpersist(blocking = false)
         ()
       }
       .start()
@@ -715,43 +746,92 @@ object Streaming {
   // delivery contract), run the SAME window logic as the batch operator,
   // emit intervals that CLOSED at this trigger to closed/v<id>
   // (overwrite — a replayed batch rewrites its own dir, idempotent), and
-  // write untouched ∪ new open runs to opens/v<id> (the read side binds
-  // the newest dir committed BEFORE this batch, so a replay reads
-  // pre-crash state).
+  // rewrite only the TOUCHED key-hash buckets of the open-run store.
   //
-  // Delivery contract: per-key time-ordered across triggers (the
-  // kafka-partition event-time contract; within a trigger any order).
-  // The maintainer never retracts an emitted interval, so a late row
-  // older than its key's open run needs a watermark+retract design
-  // instead. Under the contract the drained snapshot is EXACTLY the
-  // batch operator over all deliveries — the oracle replays it that way.
+  // The open store reuses the incremental merge's layout verbatim
+  // (opens/v<id> partitioned by __bucket + a m<id> manifest, GC at batch
+  // start): a micro-batch rewrites the buckets its keys hash into —
+  // prior bucket contents for untouched keys carried over, new open runs
+  // merged in — and commits by manifest; untouched buckets keep their
+  // old version dirs, byte for byte. Per-trigger write cost is therefore
+  // O(touched slice of the key space), never O(total keys), and never a
+  // single-file rewrite of the whole store.
+  //
+  // Delivery contract: per-key STRICTLY increasing in `timeCol` across
+  // triggers (the kafka-partition event-time contract; within one
+  // trigger any order — the tiebreak settles equal timestamps there).
+  // An equal-timestamp arrival in a LATER trigger is a contract
+  // violation too: the maintainer only retains each run's opening row,
+  // so a cross-trigger tie could order differently than the batch
+  // operator seeing all deliveries at once. The maintainer never
+  // retracts an emitted interval; a contract-violating row — older than
+  // its key's open run — is detected (`timeCol` < open valid_from) and
+  // routed to quarantine/v<id> instead of silently corrupting the
+  // timeline, mirroring the S6 ingestion quarantine. Under the contract
+  // the drained snapshot is EXACTLY the batch operator over all
+  // deliveries — the oracle replays it that way.
   //
   // Scale shape: per-trigger shuffle is batch + touched open runs (one
   // row per touched key); closed history is append-only per trigger and
-  // never rewritten; the open store rewrite is one row per key.
+  // never rewritten (tiny per-trigger deltas, hence coalesce(1)); the
+  // open store rewrite is touched buckets only, manifest-committed.
   // ---------------------------------------------------------------------
   def runStreamingScd2(src: DataFrame, keys: Seq[String], stateCol: String,
                        timeCol: String, tiebreak: String,
-                       stateRoot: String, checkpointPath: String): Unit = {
+                       stateRoot: String, checkpointPath: String,
+                       buckets: Int = 32): Unit = {
     import graft.operators.Relational
+    val opensRoot = s"$stateRoot/opens"
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
+        gcMergeState(spark, opensRoot, id)
         val cols = keys ++ Seq(stateCol, timeCol, tiebreak)
         val b = batch.select(cols.map(col): _*)
+          .withColumn("__bucket", pmod(hash(keys.map(col): _*), lit(buckets)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val prior = latestVersionDir(spark, s"$stateRoot/opens", id)
-          .map(spark.read.parquet(_))
+        val changed = b.select(col("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet // <= `buckets` values, never rows
+        val manifest = readLatestManifest(spark, opensRoot, id)
+        // prior open runs in the buckets this batch touches — the only
+        // slice of the store this trigger ever reads or rewrites
+        val prior = manifest.filter { case (bk, _) => changed(bk) }.toSeq
+          .map { case (bk, v) =>
+            spark.read.parquet(s"$opensRoot/v$v/__bucket=$bk")
+              .withColumn("__bucket", lit(bk)) }
+          .reduceOption(_ unionByName _)
         val bKeys = b.select(keys.map(col): _*).distinct()
-        val openRows = prior.map(_.join(bKeys, keys, "left_semi").select(
+        val openForBatch = prior.map(_.join(bKeys, keys, "left_semi"))
+        // late-data gate: a row older than its key's open run violates
+        // the delivery contract — quarantine it (diagnostics keep the
+        // open run's valid_from it collided with); overwrite per version
+        // dir makes a replayed batch idempotent, like closed/.
+        val good = openForBatch match {
+          case Some(of) =>
+            val j = b.join(
+              of.select(keys.map(col) :+
+                col("valid_from").as("__open_from"): _*),
+              keys, "left")
+            j.filter(col("__open_from").isNotNull &&
+                col(timeCol) < col("__open_from"))
+              .drop("__bucket")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$stateRoot/quarantine/v$id")
+            j.filter(col("__open_from").isNull ||
+                col(timeCol) >= col("__open_from"))
+              .drop("__open_from")
+          case None => b
+        }
+        val openRows = openForBatch.map(_.select(
           keys.map(col) :+ col("state").as(stateCol) :+
-            col("valid_from").as(timeCol) :+ col("__tie").as(tiebreak): _*))
-        val all = openRows.map(_.unionByName(b)).getOrElse(b)
+            col("valid_from").as(timeCol) :+ col("__tie").as(tiebreak) :+
+            col("__bucket"): _*))
+        val all = openRows.map(_.unionByName(good)).getOrElse(good)
         val tl = Relational.scd2Timeline(all, keys, stateCol, timeCol,
-          tiebreak, carry = Seq(tiebreak))
+          tiebreak, carry = Seq(tiebreak, "__bucket"))
         tl.filter(col("valid_to").isNotNull)
           .select(keys.map(col) :+ col("state") :+ col("valid_from") :+
             col("valid_to") :+ col("is_current"): _*)
@@ -759,11 +839,14 @@ object Streaming {
           .parquet(s"$stateRoot/closed/v$id")
         val newOpens = tl.filter(col("valid_to").isNull)
           .select(keys.map(col) :+ col("state") :+ col("valid_from") :+
-            col(tiebreak).as("__tie"): _*)
+            col(tiebreak).as("__tie") :+ col("__bucket"): _*)
+        // carry over the touched buckets' other keys, then commit the
+        // touched buckets as this batch's version via the manifest
         prior.map(_.join(bKeys, keys, "left_anti"))
           .map(_.unionByName(newOpens)).getOrElse(newOpens)
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$stateRoot/opens/v$id")
+          .write.partitionBy("__bucket").mode("overwrite")
+          .parquet(s"$opensRoot/v$id")
+        writeManifest(spark, opensRoot, id, manifest ++ changed.map(_ -> id))
         b.unpersist(blocking = false)
         ()
       }
@@ -773,14 +856,18 @@ object Streaming {
 
   /** Drained ST16 state as one timeline: every closed interval ever
     * emitted plus the current open runs — equals the batch
-    * [[graft.operators.Relational.scd2Timeline]] over all deliveries
-    * (time-ordered contract). Quiescent-state reader, like
-    * [[scorecardSnapshot]]. */
+    * [[graft.operators.Relational.scd2Timeline]] over all CONTRACT-
+    * CONFORMING deliveries (quarantined rows are excluded by both
+    * sides; read them via [[scd2Quarantine]]). Quiescent-state reader,
+    * like [[scorecardSnapshot]]. */
   def scd2Snapshot(spark: SparkSession, stateRoot: String): DataFrame = {
-    val opensDir = latestVersionDir(spark, s"$stateRoot/opens", Long.MaxValue)
-      .getOrElse(throw new IllegalStateException(
-        s"no committed scd2 state under $stateRoot"))
-    val opens0 = spark.read.parquet(opensDir)
+    val opensRoot = s"$stateRoot/opens"
+    val manifest = readLatestManifest(spark, opensRoot, Long.MaxValue)
+    if (manifest.isEmpty) throw new IllegalStateException(
+      s"no committed scd2 state under $stateRoot")
+    val opens0 = manifest.toSeq
+      .map { case (bk, v) => spark.read.parquet(s"$opensRoot/v$v/__bucket=$bk") }
+      .reduce(_ unionByName _)
     val opens = opens0.drop("__tie")
       .withColumn("valid_to",
         lit(null).cast(opens0.schema("valid_from").dataType))
@@ -796,6 +883,24 @@ object Streaming {
         .reduceOption(_ unionByName _)
     closed.map(_.unionByName(opens, allowMissingColumns = false))
       .getOrElse(opens)
+  }
+
+  /** Every row [[runStreamingScd2]] quarantined as a delivery-contract
+    * violation (arrival older than its key's open run), with the
+    * `__open_from` it collided with. Empty frame with no schema if the
+    * stream never quarantined (the dirs are written per offending
+    * trigger only). */
+  def scd2Quarantine(spark: SparkSession, stateRoot: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$stateRoot/quarantine")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.startsWith("v") &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(_.toString)
+    dirs.map(spark.read.parquet(_)).reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataFrame)
   }
 
   /** Newest `v<id>` child of `root` with a parquet _SUCCESS marker and

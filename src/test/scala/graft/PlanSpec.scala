@@ -95,6 +95,39 @@ class PlanSpec extends SparkSpec {
       s"read ${touched.length} partition dirs for ${probes.length} probes")
   }
 
+  test("streaming LSH postings store partition-prunes: probe reads only touched buckets") {
+    import graft.io.TempDirs
+    import graft.streaming.Streaming
+    val in = TempDirs.registered("graft-st14plan-in").toString
+    val sig = TempDirs.registered("graft-st14plan-sig").toString
+    val out = TempDirs.registered("graft-st14plan-out").toString
+    val ckpt = TempDirs.registered("graft-st14plan-ckpt").toString
+    val docs = (1L to 40L).map(i =>
+      (i, s"word$i alpha beta gamma delta epsilon tok${i % 7} zeta eta", 0L))
+      .toDF("doc_id", "text", "seq")
+    docs.coalesce(1).write.mode("append").parquet(in)
+    val src = Streaming.parquetSource(spark, in, docs.schema, maxFilesPerTrigger = 1)
+    Streaming.runStreamingLshDedup(src, "doc_id", "text", "seq",
+      shingleN = 3, numHashes = 16, rowsPerBand = 4, maxBucketSize = 100,
+      threshold = 0.8, sigPath = sig, sinkPath = out, checkpointPath = ckpt,
+      storeBuckets = 8)
+    val bucketDirs = new java.io.File(sig).listFiles()
+      .map(_.getName).filter(_.startsWith("__pbucket=")).sorted.toSeq
+    assert(bucketDirs.length > 1,
+      s"store should spread across bucket partitions: $bucketDirs")
+    // the per-trigger probe shape: read the store pruned to touched buckets
+    val probe = Seq(bucketDirs.head.stripPrefix("__pbucket=").toInt)
+    val scan = spark.read.parquet(sig).filter(col("__pbucket").isin(probe: _*))
+    val plan = planOf(scan)
+    assert(plan.contains("PartitionFilters") && plan.contains("__pbucket"),
+      s"probe filter must prune store partitions:\n$plan")
+    // file-level pruning: the scan touches only the probed bucket dirs
+    val touched = scan.select(input_file_name()).distinct().collect()
+      .map(_.getString(0).replaceAll("/[^/]*$", "")).distinct
+    assert(touched.length <= probe.length,
+      s"read ${touched.length} partition dirs for ${probe.length} probed buckets")
+  }
+
   test("lineDedup removes boilerplate via a broadcast probe, not a corpus shuffle") {
     val docs = (1L to 30L).map(i => (i, s"HEADER\nbody $i line\nFOOTER")).toDF("id", "text")
     val plan = planOf(Curation.lineDedup(docs, "id", "text", 10))

@@ -363,6 +363,89 @@ class StreamingSpec extends SparkSpec {
       ("v", "y", 50L, None, true)))
   }
 
+  test("ST16: untouched open-store bucket is byte-identical across a trigger") {
+    import graft.io.TempDirs
+    val in = TempDirs.registered("graft-st16bkt-in").toString
+    val state = TempDirs.registered("graft-st16bkt-state").toString
+    val ckpt = TempDirs.registered("graft-st16bkt-ckpt").toString
+    val buckets = 8
+    // two keys hashing to DIFFERENT store buckets, picked dynamically so
+    // the test never depends on hash internals
+    val cand = (0 until 20).map(i => s"k$i")
+    val bOf = cand.toDF("key")
+      .withColumn("b", pmod(hash(col("key")), lit(buckets)))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val kA = cand.head
+    val kB = cand.find(k => bOf(k) != bOf(kA)).get
+    val d0 = Seq((kA, 1L, 10L, "a")).toDF("key", "eid", "t", "st")
+    d0.coalesce(1).write.mode("append").parquet(in)
+    val src0 = Streaming.parquetSource(spark, in, d0.schema, maxFilesPerTrigger = 1)
+    Streaming.runStreamingScd2(src0, Seq("key"), "st", "t", "eid", state, ckpt, buckets)
+    val bktDir = new java.io.File(s"$state/opens/v0/__bucket=${bOf(kA)}")
+    def files() = bktDir.listFiles().filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName)
+      .map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq).toSeq
+    val before = files()
+    assert(before.nonEmpty, s"expected open-run data under $bktDir")
+    // trigger 1 touches ONLY kB's bucket — kA's bucket must not be rewritten
+    Seq((kB, 2L, 20L, "x")).toDF("key", "eid", "t", "st")
+      .coalesce(1).write.mode("append").parquet(in)
+    val src1 = Streaming.parquetSource(spark, in, d0.schema, maxFilesPerTrigger = 1)
+    Streaming.runStreamingScd2(src1, Seq("key"), "st", "t", "eid", state, ckpt, buckets)
+    assert(files() == before,
+      "untouched bucket's files must be byte-identical across the trigger")
+    val v1Parts = new java.io.File(s"$state/opens/v1").listFiles()
+      .map(_.getName).filter(_.startsWith("__bucket=")).toSeq
+    assert(v1Parts == Seq(s"__bucket=${bOf(kB)}"),
+      s"v1 must hold only the touched bucket: $v1Parts")
+    // the manifest stitches old and new versions into one snapshot
+    val snap = Streaming.scd2Snapshot(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(snap == Set((kA, "a"), (kB, "x")), s"snapshot=$snap")
+  }
+
+  test("ST16: late arrival older than its key's open run is quarantined") {
+    import graft.io.TempDirs
+    val in = TempDirs.registered("graft-st16late-in").toString
+    val state = TempDirs.registered("graft-st16late-state").toString
+    val ckpt = TempDirs.registered("graft-st16late-ckpt").toString
+    val d0 = Seq(("u", 1L, 10L, "a")).toDF("key", "eid", "t", "st")
+    // d1 carries one contract-violating row (t=5 < the open run's
+    // valid_from=10) alongside a good state change
+    val d1 = Seq(("u", 2L, 5L, "zz"), ("u", 3L, 20L, "b"))
+      .toDF("key", "eid", "t", "st")
+    val seen = scala.collection.mutable.Set[String]()
+    Seq(d0, d1).zipWithIndex.foreach { case (d, i) =>
+      d.coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + i * 60000L)
+          seen += f.getName
+        }
+      }
+    }
+    val src = Streaming.parquetSource(spark, in, d0.schema, maxFilesPerTrigger = 1)
+    Streaming.runStreamingScd2(src, Seq("key"), "st", "t", "eid", state, ckpt)
+    // timeline as if the late row was never delivered
+    val got = Streaming.scd2Snapshot(spark, state)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .toSet
+    assert(got == Set(
+      ("u", "a", 10L, Some(20L), false),
+      ("u", "b", 20L, None, true)), s"timeline corrupted by late row: $got")
+    // ... and the offending row is in quarantine with its collision point
+    val quar = Streaming.scd2Quarantine(spark, state)
+      .select("key", "eid", "t", "st", "__open_from")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(quar == Seq(("u", 2L, 5L, "zz", 10L)), s"quarantine=$quar")
+  }
+
   test("mergedSnapshot skips an uncommitted (crashed partial) version dir") {
     import graft.io.TempDirs
     val state = TempDirs.registered("graft-snap-partial").toString
