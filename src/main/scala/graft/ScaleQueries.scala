@@ -192,6 +192,48 @@ object ScaleQueries {
       .select(col("k"), col("price"), col("version"))
   }
 
+  /** Time-travel read on the incremental-merge state: three delta
+    * deliveries drain through the merge sink, then the snapshot is read
+    * AS OF batch 1 — resolved through the newest manifest committed at
+    * or below that batch, exactly how a reader at that point in time
+    * would have bound it. The result must equal the keep-last merge
+    * over the first TWO deltas only; the third delivery must be
+    * invisible. Delivery order matters here (unlike the order-free
+    * keep-last merges), so file mtimes pin the trigger sequence. */
+  private val qSt17TimeTravel: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+    val d1 = o.select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("price"), lit(1L).as("version"))
+    val d2 = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"), (col("o_totalprice") * 2).as("price"),
+        lit(2L).as("version"))
+    val d3 = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"), (col("o_totalprice") * 3).as("price"),
+        lit(3L).as("version"))
+    val in = graft.io.TempDirs.registered("graft-q-st17-in").toString
+    val state = graft.io.TempDirs.registered("graft-q-st17-state").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st17-ckpt").toString
+    val seen = scala.collection.mutable.Set[String]()
+    Seq(d1, d2, d3).zipWithIndex.foreach { case (d, s) =>
+      d.coalesce(1).write.mode("append").parquet(in)
+      // pin strictly increasing mtimes per delivery (FileStreamSource
+      // orders by modification time)
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + s * 60000L)
+          seen += f.getName
+        }
+      }
+    }
+    val src = graft.streaming.Streaming.parquetSource(spark, in, d1.schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runIncrementalMerge(src, Seq("k"), "version",
+      buckets = 8, state, ckpt)
+    graft.streaming.Streaming.mergedSnapshotAt(spark, state, 1L)
+      .select(col("k"), col("price"), col("version"))
+  }
+
   /** Markup stripping over synthesized HTML/markdown wrapping (the
     * corpus itself is plain text, so each doc is wrapped in tags, a
     * markdown link, emphasis, and a heading marker — extraction must
@@ -449,6 +491,7 @@ object ScaleQueries {
     "q_quantiles"      -> qQuantiles,
     "q_st10_incremental" -> qSt10Incremental,
     "q_st15_compacted" -> qSt15Compacted,
+    "q_st17_time_travel" -> qSt17TimeTravel,
     "q_t_strip"        -> qTStrip,
     "q_tfidf"          -> qTfidf,
     "q_winsorize"      -> qWinsorize,
@@ -636,6 +679,14 @@ object ScaleQueries {
            SELECT o_orderkey, o_totalprice * 4, 4 FROM orders WHERE o_orderkey % 5 = 0
            UNION ALL
            SELECT o_orderkey, o_totalprice * 5, 5 FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT k, price, CAST(version AS BIGINT) AS version FROM (
+           SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+           FROM u) WHERE rn = 1""",
+    "q_st17_time_travel" ->
+      """WITH u AS (
+           SELECT o_orderkey AS k, o_totalprice AS price, 1 AS version FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 2, 2 FROM orders WHERE o_orderkey % 10 = 0)
          SELECT k, price, CAST(version AS BIGINT) AS version FROM (
            SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
            FROM u) WHERE rn = 1""",

@@ -32,15 +32,24 @@ object Verify {
         // correctness artifact, never as silent absence: leave a sentinel
         // dir (unreadable as parquet) carrying the message. Clear any
         // partial parquet output first so the sentinel is what the driver
-        // trips over.
+        // trips over. The cleanup itself runs guarded — a file still held
+        // by a Spark writer must only lose THIS query's sentinel, never
+        // abort the remaining dumps.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        val dir = Paths.get(s"$outDir/$name")
-        if (Files.exists(dir))
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.delete(p))
-        Files.createDirectories(dir)
-        Files.writeString(dir.resolve("_ERROR.txt"),
-          s"$name failed: ${e.toString}\n")
+        try {
+          val dir = Paths.get(s"$outDir/$name")
+          if (Files.exists(dir)) {
+            val walk = Files.walk(dir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.delete(p))
+            finally walk.close()
+          }
+          Files.createDirectories(dir)
+          Files.writeString(dir.resolve("_ERROR.txt"),
+            s"$name failed: ${e.toString}\n")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: $e2")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -54,7 +54,15 @@ object WarehouseQueries {
     * (now qualifying-set-sized) result broadcasts again into customer —
     * the two enrichment joins never shuffle either big table. The final
     * global top-k is a TakeOrderedAndProject (per-partition heads then
-    * one driver merge), not a full sort. */
+    * one driver merge), not a full sort.
+    *
+    * SELECTIVITY CONTRACT: the `reduced` broadcast assumes the HAVING
+    * threshold keeps the qualifying set tiny (qty > 300 is the Q18
+    * shape: a vanishing fraction of orders). Loosening the threshold
+    * grows the broadcast toward the driver/executor memory limit —
+    * below ~300 at large SF, drop the explicit broadcast hint on
+    * `reduced` and let AQE pick the join strategy from the measured
+    * aggregate size instead. */
   private val qQ18BigOrders: Q = (spark, dir) => {
     val l = Tables.lineitem(spark, dir)
     val big = l.groupBy(col("l_orderkey"))

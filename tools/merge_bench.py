@@ -15,13 +15,25 @@ import sys
 def main() -> None:
     out, passes = sys.argv[1], sys.argv[2:]
     loaded = [json.load(open(p)) for p in passes]
+    # mixed-sf passes would merge incomparable timings into one total
+    sfs = {str(d.get("sf", "")) for d in loaded}
+    assert len(sfs) == 1, f"sf mismatch across passes: {sorted(sfs)}"
     names = set()
     for d in loaded:
         names |= set(d["queries"])
     merged = {}
+    pass_counts = {}
     for n in sorted(names):
         vals = [d["queries"][n] for d in loaded if n in d["queries"]]
         merged[n] = min(vals)
+        pass_counts[n] = len(vals)
+    partial = sorted(n for n, c in pass_counts.items() if c < len(loaded))
+    if partial:
+        # legitimate under the per-query refresh protocol (carrying old
+        # minima forward for unchanged queries), but make it visible so
+        # totals from differing query sets are never silently compared
+        print(f"note: {len(partial)} queries present in only some passes "
+              f"(e.g. {partial[:5]}); per-query pass counts recorded")
     doc = {
         "metric": "total",
         "value": sum(merged.values()),
@@ -29,6 +41,7 @@ def main() -> None:
         "queries": merged,
         "sf": loaded[0].get("sf", ""),
         "passes": len(loaded),
+        "pass_counts": pass_counts,
     }
     with open(out, "w") as f:
         json.dump(doc, f)
