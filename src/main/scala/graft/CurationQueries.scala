@@ -329,6 +329,45 @@ object CurationQueries {
         col("valid_to"), col("is_current"))
   }
 
+  /** Late-data quarantine witness for the streaming SCD2 maintainer:
+    * tranche by event_id — DELIBERATELY not time-ordered, so later
+    * tranches carry rows older than their key's open run (the
+    * re-scrape overlap shape). Those rows must land in the quarantine
+    * store with the open run's valid_from they collided with, and
+    * nothing else. The oracle replays the two gated triggers
+    * sequentially in SQL: open-run state after each prefix via the
+    * same change-point window, late set = next tranche's rows older
+    * than their key's open run, state update over pseudo-rows ∪ the
+    * surviving rows — the exact maintainer recurrence, unrolled. */
+  private val qSt18LateQuarantine: Q = (spark, dir) => {
+    val ev = Tables.fanOut(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val in = graft.io.TempDirs.registered("graft-q-st18-in").toString
+    val state = graft.io.TempDirs.registered("graft-q-st18-state").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st18-ckpt").toString
+    val seen = scala.collection.mutable.Set[String]()
+    (0 until 3).foreach { s =>
+      ev.filter(pmod(col("event_id"), lit(3L)) === s.toLong)
+        .coalesce(1).write.mode("append").parquet(in)
+      // pin strictly increasing mtimes per delivery (FileStreamSource
+      // orders by modification time)
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + s * 60000L)
+          seen += f.getName
+        }
+      }
+    }
+    val src = graft.streaming.Streaming.parquetSource(spark, in, ev.schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runStreamingScd2(src, Seq("user_id"),
+      "event_type", "ts", "event_id", state, ckpt)
+    graft.streaming.Streaming.scd2Quarantine(spark, state)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("__open_from").as("open_from"))
+  }
+
   /** Event-type pivot: one row per user, one count column per type.
     * Explicit pivot values keep the plan a single pass (no distinct-
     * values pre-query); absent cells coalesce to 0 to match COUNT
@@ -614,6 +653,7 @@ object CurationQueries {
     "q_sessionize"     -> qSessionize,
     "q_scd2_timeline"  -> qScd2Timeline,
     "q_st16_stream_scd2" -> qSt16StreamScd2,
+    "q_st18_late_quarantine" -> qSt18LateQuarantine,
     "q_session_window" -> qSessionWindow,
     "q_pivot_events"   -> qPivotEvents,
     "q_rolling_avg"    -> qRollingAvg,
@@ -1021,6 +1061,48 @@ object CurationQueries {
     "q_scd2_timeline" -> scd2TimelineSql,
     // the streaming maintainer must land on the identical timeline
     "q_st16_stream_scd2" -> scd2TimelineSql,
+    // sequential replay of the maintainer's late-row gate: open-run
+    // state after each delivered prefix (change-point window, last run
+    // wins), late = next tranche's rows older than their key's open
+    // run, state update over pseudo-rows ∪ survivors — unrolled twice
+    "q_st18_late_quarantine" ->
+      """WITH ev AS (SELECT user_id AS k, event_type AS st, ts, event_id AS eid,
+             event_id % 3 AS tr FROM events),
+         t0 AS (SELECT k, st, ts, eid FROM ev WHERE tr = 0),
+         t1 AS (SELECT k, st, ts, eid FROM ev WHERE tr = 1),
+         t2 AS (SELECT k, st, ts, eid FROM ev WHERE tr = 2),
+         s1 AS (
+           SELECT k, st, ts, eid FROM (
+             SELECT k, st, ts, eid,
+               row_number() OVER (PARTITION BY k ORDER BY ts DESC, eid DESC) AS rno
+             FROM (
+               SELECT k, st, ts, eid,
+                 (row_number() OVER w = 1 OR st IS DISTINCT FROM lag(st) OVER w) AS chg
+               FROM t0
+               WINDOW w AS (PARTITION BY k ORDER BY ts ASC, eid ASC))
+             WHERE chg)
+           WHERE rno = 1),
+         late1 AS (SELECT t1.k, t1.st, t1.ts, t1.eid, s1.ts AS open_from
+                   FROM t1 JOIN s1 ON t1.k = s1.k WHERE t1.ts < s1.ts),
+         g1 AS (SELECT k, st, ts, eid FROM t1
+                WHERE eid NOT IN (SELECT eid FROM late1)),
+         u1 AS (SELECT k, st, ts, eid FROM s1
+                UNION ALL SELECT k, st, ts, eid FROM g1),
+         s2 AS (
+           SELECT k, st, ts, eid FROM (
+             SELECT k, st, ts, eid,
+               row_number() OVER (PARTITION BY k ORDER BY ts DESC, eid DESC) AS rno
+             FROM (
+               SELECT k, st, ts, eid,
+                 (row_number() OVER w = 1 OR st IS DISTINCT FROM lag(st) OVER w) AS chg
+               FROM u1
+               WINDOW w AS (PARTITION BY k ORDER BY ts ASC, eid ASC))
+             WHERE chg)
+           WHERE rno = 1),
+         late2 AS (SELECT t2.k, t2.st, t2.ts, t2.eid, s2.ts AS open_from
+                   FROM t2 JOIN s2 ON t2.k = s2.k WHERE t2.ts < s2.ts)
+         SELECT k AS user_id, st AS event_type, ts, eid AS event_id, open_from
+         FROM (SELECT * FROM late1 UNION ALL SELECT * FROM late2)""",
     "q_session_window" ->
       """WITH x AS (SELECT user_id, ts,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
