@@ -36,9 +36,18 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
       } catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-    SparkEntry.queries.foreach { case (name, fn) => runOnce(name, fn) } // warmup
+    // Optional comma-separated subset for targeted re-baselining: rerunning
+    // best-of-N passes for just the queries a round touched keeps the idle
+    // baseline fresh without paying a full 193-query sweep per pass.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) => runOnce(name, fn) } // warmup
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       runOnce(name, fn)
       name -> (System.nanoTime() - t0) / 1e9

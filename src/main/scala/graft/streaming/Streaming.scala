@@ -254,11 +254,7 @@ object Streaming {
         val priorBuckets =
           if (compact) manifest // fold EVERY bucket into this version
           else manifest.filter { case (b, _) => changed(b) }
-        val prior = priorBuckets.toSeq
-          .map { case (b, v) =>
-            spark.read.parquet(s"$stateRoot/v$v/__bucket=$b")
-              .withColumn("__bucket", lit(b)) }
-          .reduceOption(_ unionByName _)
+        val prior = readBuckets(spark, stateRoot, priorBuckets)
         val all = prior.map(_.unionByName(bucketed)).getOrElse(bucketed)
         Relational.dedupKeepLast(all, keys, col(orderCol))
           .write.partitionBy("__bucket").mode("overwrite")
@@ -303,10 +299,25 @@ object Streaming {
 
   private def snapshotBefore(spark: SparkSession, stateRoot: String,
                              beforeId: Long): DataFrame =
-    readLatestManifest(spark, stateRoot, beforeId).toSeq
-      .map { case (b, v) => spark.read.parquet(s"$stateRoot/v$v/__bucket=$b") }
-      .reduceOption(_ unionByName _)
+    readBuckets(spark, stateRoot, readLatestManifest(spark, stateRoot, beforeId))
+      .map(_.drop("__bucket"))
       .getOrElse(spark.emptyDataFrame)
+
+  /** Read a manifest slice `bucket -> version` as ONE scan per live
+    * version: version dirs are `partitionBy("__bucket")`, so the isin
+    * filter partition-prunes at the file level. O(distinct versions)
+    * read plans instead of O(buckets) — per-bucket `spark.read` calls
+    * each pay a listing + footer round-trip and union into a plan whose
+    * analysis cost grows with the bucket count, which dominated
+    * per-trigger latency long before the data did. The returned frame
+    * carries `__bucket` (partition column, IntegerType). */
+  private def readBuckets(spark: SparkSession, stateRoot: String,
+                          slice: Map[Int, Long]): Option[DataFrame] =
+    slice.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, entries) =>
+      spark.read.option("basePath", s"$stateRoot/v$v")
+        .parquet(s"$stateRoot/v$v")
+        .filter(col("__bucket").isin(entries.keys.toSeq: _*))
+    }.reduceOption(_ unionByName _)
 
   /** Commit batch `id`: write the full bucket->version mapping as a
     * one-file parquet manifest. The parquet _SUCCESS marker IS the
@@ -797,41 +808,48 @@ object Streaming {
           .collect().map(_.getInt(0)).toSet // <= `buckets` values, never rows
         val manifest = readLatestManifest(spark, opensRoot, id)
         // prior open runs in the buckets this batch touches — the only
-        // slice of the store this trigger ever reads or rewrites
-        val prior = manifest.filter { case (bk, _) => changed(bk) }.toSeq
-          .map { case (bk, v) =>
-            spark.read.parquet(s"$opensRoot/v$v/__bucket=$bk")
-              .withColumn("__bucket", lit(bk)) }
-          .reduceOption(_ unionByName _)
+        // slice of the store this trigger ever reads or rewrites, one
+        // partition-pruned scan per live version
+        val prior = readBuckets(spark, opensRoot,
+          manifest.filter { case (bk, _) => changed(bk) })
         val bKeys = b.select(keys.map(col): _*).distinct()
         val openForBatch = prior.map(_.join(bKeys, keys, "left_semi"))
         // late-data gate: a row older than its key's open run violates
         // the delivery contract — quarantine it (diagnostics keep the
         // open run's valid_from it collided with); overwrite per version
-        // dir makes a replayed batch idempotent, like closed/.
-        val good = openForBatch match {
-          case Some(of) =>
-            val j = b.join(
-              of.select(keys.map(col) :+
-                col("valid_from").as("__open_from"): _*),
-              keys, "left")
-            j.filter(col("__open_from").isNotNull &&
-                col(timeCol) < col("__open_from"))
-              .drop("__bucket")
-              .coalesce(1).write.mode("overwrite")
-              .parquet(s"$stateRoot/quarantine/v$id")
-            j.filter(col("__open_from").isNull ||
-                col(timeCol) >= col("__open_from"))
-              .drop("__open_from")
-          case None => b
+        // dir makes a replayed batch idempotent, like closed/. The join
+        // is persisted because both the quarantine and survivor filters
+        // (and through them the timeline) action it.
+        val joined = openForBatch.map { of =>
+          b.join(
+            of.select(keys.map(col) :+
+              col("valid_from").as("__open_from"): _*),
+            keys, "left")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         }
+        joined.foreach { j =>
+          j.filter(col("__open_from").isNotNull &&
+              col(timeCol) < col("__open_from"))
+            .drop("__bucket")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$stateRoot/quarantine/v$id")
+        }
+        val good = joined.map(
+          _.filter(col("__open_from").isNull ||
+              col(timeCol) >= col("__open_from"))
+            .drop("__open_from"))
+          .getOrElse(b)
         val openRows = openForBatch.map(_.select(
           keys.map(col) :+ col("state").as(stateCol) :+
             col("valid_from").as(timeCol) :+ col("__tie").as(tiebreak) :+
             col("__bucket"): _*))
         val all = openRows.map(_.unionByName(good)).getOrElse(good)
+        // persisted: the closed emission and the new-opens rewrite both
+        // action the timeline — without the persist each one replays the
+        // prior scan + late-gate join + window pass
         val tl = Relational.scd2Timeline(all, keys, stateCol, timeCol,
           tiebreak, carry = Seq(tiebreak, "__bucket"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         tl.filter(col("valid_to").isNotNull)
           .select(keys.map(col) :+ col("state") :+ col("valid_from") :+
             col("valid_to") :+ col("is_current"): _*)
@@ -847,6 +865,8 @@ object Streaming {
           .write.partitionBy("__bucket").mode("overwrite")
           .parquet(s"$opensRoot/v$id")
         writeManifest(spark, opensRoot, id, manifest ++ changed.map(_ -> id))
+        tl.unpersist(blocking = false)
+        joined.foreach(_.unpersist(blocking = false))
         b.unpersist(blocking = false)
         ()
       }
@@ -865,10 +885,8 @@ object Streaming {
     val manifest = readLatestManifest(spark, opensRoot, Long.MaxValue)
     if (manifest.isEmpty) throw new IllegalStateException(
       s"no committed scd2 state under $stateRoot")
-    val opens0 = manifest.toSeq
-      .map { case (bk, v) => spark.read.parquet(s"$opensRoot/v$v/__bucket=$bk") }
-      .reduce(_ unionByName _)
-    val opens = opens0.drop("__tie")
+    val opens0 = readBuckets(spark, opensRoot, manifest).get
+    val opens = opens0.drop("__tie", "__bucket")
       .withColumn("valid_to",
         lit(null).cast(opens0.schema("valid_from").dataType))
       .withColumn("is_current", lit(true))
