@@ -128,6 +128,41 @@ class PlanSpec extends SparkSpec {
       s"read ${touched.length} partition dirs for ${probe.length} probed buckets")
   }
 
+  test("merge-state snapshot plans one scan per live version, not per bucket") {
+    import graft.io.TempDirs
+    import graft.streaming.Streaming
+    val in = TempDirs.registered("graft-mergescan-in").toString
+    val state = TempDirs.registered("graft-mergescan-state").toString
+    val ckpt = TempDirs.registered("graft-mergescan-ckpt").toString
+    val buckets = 8
+    val cand = (0 until 40).map(i => s"k$i")
+    val bOf = cand.toDF("key")
+      .withColumn("b", pmod(hash(col("key")), lit(buckets)))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // trigger 0: three keys in three DISTINCT buckets; trigger 1: one key
+    // in a fourth bucket — the manifest then spans 4 buckets over 2 live
+    // versions, so a per-bucket reader would plan 4 scans
+    val g0 = cand.foldLeft(Vector.empty[String])((acc, k) =>
+      if (acc.size < 3 && !acc.exists(a => bOf(a) == bOf(k))) acc :+ k else acc)
+    val k3 = cand.find(k => !g0.exists(a => bOf(a) == bOf(k))).get
+    val d0 = g0.map(k => (k, 1L, s"v-$k")).toDF("key", "seq", "value")
+    d0.coalesce(1).write.mode("append").parquet(in)
+    Streaming.runIncrementalMerge(
+      Streaming.parquetSource(spark, in, d0.schema, maxFilesPerTrigger = 1),
+      Seq("key"), "seq", buckets, state, ckpt)
+    Seq((k3, 2L, s"v-$k3")).toDF("key", "seq", "value")
+      .coalesce(1).write.mode("append").parquet(in)
+    Streaming.runIncrementalMerge(
+      Streaming.parquetSource(spark, in, d0.schema, maxFilesPerTrigger = 1),
+      Seq("key"), "seq", buckets, state, ckpt)
+    val snap = Streaming.mergedSnapshot(spark, state)
+    val plan = planOf(snap)
+    val scans = "FileScan".r.findAllIn(plan).size
+    assert(scans == 2,
+      s"snapshot over 4 buckets x 2 versions must plan one scan per version, got $scans:\n$plan")
+    assert(snap.select("key").as[String].collect().toSet == (g0 :+ k3).toSet)
+  }
+
   test("lineDedup removes boilerplate via a broadcast probe, not a corpus shuffle") {
     val docs = (1L to 30L).map(i => (i, s"HEADER\nbody $i line\nFOOTER")).toDF("id", "text")
     val plan = planOf(Curation.lineDedup(docs, "id", "text", 10))
