@@ -242,6 +242,27 @@ object IoQueries {
         col("ok"))
   }
 
+  /** Distributed audio decode through the partition-iterator plumbing:
+    * WAV payloads get REAL header-parsed channel/rate/duration
+    * (witnessed on synthesized RIFF bytes in MultimodalSpec); this
+    * corpus's text payloads take the deterministic byte fallback
+    * (first byte → channels, middle byte → rate, length → duration),
+    * which DuckDB mirrors over hex(encode(text)) — the full
+    * binary→audio-metadata path sits under the value-level oracle. */
+  private val qMmAudio: Q = (spark, dir) => {
+    val media = graft.operators.Multimodal.asMedia(
+      Tables.documents(spark, dir),
+      col("doc_id"), col("text"), lit("audio/wav"), col("source"),
+      col("n_chars").cast(LongType))
+    graft.operators.Multimodal.decodeAudio(spark, media,
+        spark.sparkContext.defaultParallelism)
+      .select(col("mediaId").as("media_id"),
+        col("channels").cast(LongType).as("channels"),
+        col("sampleRateHz").cast(LongType).as("sample_rate_hz"),
+        col("durationMs").as("duration_ms"),
+        col("ok"))
+  }
+
   /** S1/F1/P1 — the landing-zone ingest path: write the table to a text
     * landing format (CSV header files, the .xls analog), read it back
     * permissively with an explicit schema, uppercase the column names,
@@ -309,7 +330,8 @@ object IoQueries {
     "q_e3_image_classify"   -> qE3ImageClassify,
     "q_mm_media"            -> qMmMedia,
     "q_mm_features"         -> qMmFeatures,
-    "q_mm_decode"           -> qMmDecode)
+    "q_mm_decode"           -> qMmDecode,
+    "q_mm_audio"            -> qMmAudio)
 
   private val homeSectionsCase: String =
     graft.functions.Cleaning.homeSections.map { case (label, pat) =>
@@ -337,6 +359,17 @@ object IoQueries {
     "q_s2_jdbc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0""",
+    "q_mm_audio" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+           coalesce(octet_length(encode(text)), 0) AS n FROM documents)
+         SELECT doc_id AS media_id,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE 1 + CAST('0x' || substring(hx, 1, 2) AS INT) % 2 END AS BIGINT) AS channels,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE 8000 + 125 * (CAST('0x' || substring(hx, 2 * (n // 2) + 1, 2) AS INT) % 128) END AS BIGINT) AS sample_rate_hz,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE n END AS BIGINT) AS duration_ms,
+           n > 0 AS ok
+         FROM b""",
     "q_mm_decode" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
            coalesce(octet_length(encode(text)), 0) AS n FROM documents)

@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * Catalyst expressions. Image decode is REAL for the formats the JDK
   * ships readers for (PNG/JPEG/GIF/BMP, header-only dimension parse via
   * javax.imageio inside [[decodePartition]] — per-partition batch
-  * iterator, the Scala analog of mapInPandas); non-image payloads fall
-  * back to a deterministic byte-derived fake so text-payload corpora
-  * remain testable and oracle-comparable. Audio/video codecs are not in
-  * this container; that branch is the single marked swap-point.
+  * iterator, the Scala analog of mapInPandas); audio decode is REAL for
+  * WAV (RIFF `fmt `/`data` header arithmetic in [[decodeAudioPartition]],
+  * no codec library needed). Non-image/non-WAV payloads fall back to a
+  * deterministic byte-derived fake so text-payload corpora remain
+  * testable and oracle-comparable. Compressed audio/video codecs are
+  * not in this container; that branch is the single marked swap-point.
   *
   * 100 TB notes: media rows are large and skewed — `repartitionForDecode`
   * spreads payloads by id hash before the expensive per-row work, and
@@ -146,6 +148,89 @@ object Multimodal {
     repartitionForDecode(media, partitions)
       .select(col("media_id"), col("content"))
       .mapPartitions(decodePartition)(Encoders.product[DecodedMeta])
+      .toDF()
+  }
+
+  // ------------------------------------------------------------------
+  // Audio decode — real for WAV (RIFF header arithmetic, zero codec
+  // dependencies), deterministic byte-derived fallback otherwise
+  // ------------------------------------------------------------------
+  final case class AudioMeta(mediaId: Long, channels: Int, sampleRateHz: Int,
+                             durationMs: Long, ok: Boolean)
+
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** Header-only WAV metadata: walk the RIFF chunk list for `fmt `
+    * (channels, sample rate, bits/sample) and `data` (payload length),
+    * duration = data bytes / byte rate. Pure arithmetic over the
+    * container header — the audio analog of [[imageDims]]'s
+    * no-pixel-decode cost model, and it needs no codec library at all:
+    * PCM WAV is self-describing. */
+  private def wavMeta(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    var i = 12
+    var channels = -1; var rate = -1L; var bits = -1; var dataLen = -1L
+    while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = u32le(b, i + 4)
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        channels = u16le(b, i + 10)
+        rate = u32le(b, i + 12)
+        bits = u16le(b, i + 22)
+      } else if (id == "data") dataLen = sz
+      i += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+    }
+    if (channels > 0 && rate > 0 && bits >= 8 && dataLen >= 0) {
+      val byteRate = rate * channels * (bits / 8)
+      if (byteRate > 0) Some((channels, rate.toInt, dataLen * 1000L / byteRate))
+      else None
+    } else None
+  }
+
+  /** Audio decode swap-point, shaped like [[decodePartition]]: WAV
+    * payloads (RIFF magic) get true channel/rate/duration from the
+    * header; anything else falls back to deterministic byte-derived
+    * values (first byte → channels, middle byte → rate, byte length →
+    * duration) so text-payload corpora stay oracle-comparable.
+    * Compressed codecs (MP3/AAC/video) would slot in beside
+    * [[wavMeta]]. */
+  def decodeAudioPartition(rows: Iterator[Row]): Iterator[AudioMeta] =
+    rows.map { r =>
+      val id = r.getAs[Long]("media_id")
+      val content = r.getAs[Array[Byte]]("content")
+      if (content == null || content.isEmpty)
+        AudioMeta(id, 0, 0, 0L, ok = false)
+      else {
+        val meta = if (looksLikeWav(content)) wavMeta(content) else None
+        meta match {
+          case Some((ch, sr, ms)) => AudioMeta(id, ch, sr, ms, ok = true)
+          case None =>
+            AudioMeta(id,
+              1 + (content(0) & 1),
+              8000 + 125 * (content(content.length / 2) & 0x7f),
+              content.length.toLong,
+              ok = true)
+        }
+      }
+    }
+
+  /** Distributed audio decode — same spread-then-batch shape as
+    * [[decode]]. */
+  def decodeAudio(spark: SparkSession, media: DataFrame,
+                  partitions: Int): DataFrame = {
+    import spark.implicits._
+    repartitionForDecode(media, partitions)
+      .select(col("media_id"), col("content"))
+      .mapPartitions(decodeAudioPartition)(Encoders.product[AudioMeta])
       .toDF()
   }
 

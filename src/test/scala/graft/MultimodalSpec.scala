@@ -82,6 +82,38 @@ class MultimodalSpec extends SparkSpec {
     assert(f.map(_.getSeq[Double](1)).distinct.length == 3)
   }
 
+  test("decodeAudio: real WAV payloads yield true channel/rate/duration") {
+    // author real RIFF/WAVE bytes with the JDK's own encoder — no fixtures
+    def wavBytes(rate: Float, channels: Int, seconds: Double): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+        true, false)
+      val nFrames = (rate * seconds).toLong
+      val data = new Array[Byte]((nFrames * fmt.getFrameSize).toInt)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, wavBytes(8000f, 1, 0.5)),   // mono 8 kHz, 500 ms
+      (2L, wavBytes(44100f, 2, 0.25)), // stereo 44.1 kHz, 250 ms
+      (3L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val m = Multimodal.asMedia(rows, col("id"), col("payload"),
+      lit("audio/mixed"), lit("unit"), lit(0L))
+    val out = Multimodal.decodeAudio(spark, m, 2).orderBy("mediaId").collect()
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 8000 &&
+      out(0).getLong(3) == 500L)
+    assert(out(1).getInt(1) == 2 && out(1).getInt(2) == 44100 &&
+      out(1).getLong(3) == 250L)
+    assert(out.forall(_.getBoolean(4)))
+    // the text payload took the deterministic fallback, not a codec error
+    assert(out(2).getInt(1) >= 1 && out(2).getInt(2) >= 8000 &&
+      out(2).getLong(3) > 0L)
+  }
+
   test("metadata-only projection does not read the binary column (pruned scan)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(dir)
