@@ -263,6 +263,24 @@ object IoQueries {
         col("ok"))
   }
 
+  /** Distributed video-container decode, same shape as [[qMmAudio]]:
+    * MP4 payloads get REAL box-tree metadata (witnessed on authored
+    * ISO-BMFF bytes in MultimodalSpec); the text corpus takes the
+    * deterministic byte fallback the DuckDB oracle mirrors. */
+  private val qMmVideo: Q = (spark, dir) => {
+    val media = graft.operators.Multimodal.asMedia(
+      Tables.documents(spark, dir),
+      col("doc_id"), col("text"), lit("video/mp4"), col("source"),
+      col("n_chars").cast(LongType))
+    graft.operators.Multimodal.decodeVideo(spark, media,
+        spark.sparkContext.defaultParallelism)
+      .select(col("mediaId").as("media_id"),
+        col("width").cast(LongType).as("width"),
+        col("height").cast(LongType).as("height"),
+        col("durationMs").as("duration_ms"),
+        col("ok"))
+  }
+
   /** S1/F1/P1 — the landing-zone ingest path: write the table to a text
     * landing format (CSV header files, the .xls analog), read it back
     * permissively with an explicit schema, uppercase the column names,
@@ -331,7 +349,8 @@ object IoQueries {
     "q_mm_media"            -> qMmMedia,
     "q_mm_features"         -> qMmFeatures,
     "q_mm_decode"           -> qMmDecode,
-    "q_mm_audio"            -> qMmAudio)
+    "q_mm_audio"            -> qMmAudio,
+    "q_mm_video"            -> qMmVideo)
 
   private val homeSectionsCase: String =
     graft.functions.Cleaning.homeSections.map { case (label, pat) =>
@@ -359,6 +378,17 @@ object IoQueries {
     "q_s2_jdbc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0""",
+    "q_mm_video" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+           coalesce(octet_length(encode(text)), 0) AS n FROM documents)
+         SELECT doc_id AS media_id,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE 160 + CAST('0x' || substring(hx, 1, 2) AS INT) % 128 END AS BIGINT) AS width,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE 90 + CAST('0x' || substring(hx, 2 * (n // 2) + 1, 2) AS INT) % 128 END AS BIGINT) AS height,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE n END AS BIGINT) AS duration_ms,
+           n > 0 AS ok
+         FROM b""",
     "q_mm_audio" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
            coalesce(octet_length(encode(text)), 0) AS n FROM documents)

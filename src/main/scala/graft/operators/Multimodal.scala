@@ -14,10 +14,13 @@ import org.apache.spark.sql.types._
   * javax.imageio inside [[decodePartition]] — per-partition batch
   * iterator, the Scala analog of mapInPandas); audio decode is REAL for
   * WAV (RIFF `fmt `/`data` header arithmetic in [[decodeAudioPartition]],
-  * no codec library needed). Non-image/non-WAV payloads fall back to a
+  * no codec library needed), and video metadata is REAL for MP4/ISO-BMFF
+  * containers (box-tree walk in [[decodeVideoPartition]]: `mvhd` duration,
+  * `tkhd` display size). Unrecognized payloads fall back to a
   * deterministic byte-derived fake so text-payload corpora remain
-  * testable and oracle-comparable. Compressed audio/video codecs are
-  * not in this container; that branch is the single marked swap-point.
+  * testable and oracle-comparable. Frame/sample decode of compressed
+  * codecs is the one remaining swap-point — it needs codec libraries
+  * this container doesn't ship.
   *
   * 100 TB notes: media rows are large and skewed — `repartitionForDecode`
   * spreads payloads by id hash before the expensive per-row work, and
@@ -231,6 +234,112 @@ object Multimodal {
     repartitionForDecode(media, partitions)
       .select(col("media_id"), col("content"))
       .mapPartitions(decodeAudioPartition)(Encoders.product[AudioMeta])
+      .toDF()
+  }
+
+  // ------------------------------------------------------------------
+  // Video decode — real for MP4/ISO-BMFF containers (box-tree header
+  // arithmetic: mvhd → duration, tkhd → display size), deterministic
+  // byte-derived fallback otherwise
+  // ------------------------------------------------------------------
+  final case class VideoMeta(mediaId: Long, width: Int, height: Int,
+                             durationMs: Long, ok: Boolean)
+
+  private def looksLikeMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def u64be(b: Array[Byte], i: Int): Long =
+    (u32be(b, i) << 32) | u32be(b, i + 4)
+
+  /** Walk one level of an ISO-BMFF box list in [from, to), invoking
+    * `visit(type, payloadFrom, payloadTo)` per box. Box = size(u32be) +
+    * type(4 ascii); size 1 → 64-bit largesize follows; size 0 → box
+    * extends to `to`. */
+  private def walkBoxes(b: Array[Byte], from: Int, to: Int)
+                       (visit: (String, Int, Int) => Unit): Unit = {
+    var i = from
+    while (i + 8 <= to) {
+      val sz0 = u32be(b, i)
+      val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val (payload: Long, end: Long) =
+        if (sz0 == 1 && i + 16 <= to) (i + 16L, i + u64be(b, i + 8))
+        else if (sz0 == 0) (i + 8L, to.toLong)
+        else (i + 8L, i + sz0)
+      if (end < payload || end > to) return // malformed size — stop
+      visit(typ, payload.toInt, end.toInt)
+      i = end.toInt
+    }
+  }
+
+  /** Header-only MP4 metadata: movie duration from `moov/mvhd`
+    * (duration/timescale, version 0 and 1 layouts) and display size
+    * from the first `moov/trak/tkhd` (16.16 fixed-point width/height).
+    * Container arithmetic only — the sample data (`mdat`) is never
+    * touched, which is the right cost model for metadata extraction;
+    * frame decode would need a codec and stays out of scope. */
+  private def mp4Meta(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    var w = -1; var h = -1; var durMs = -1L
+    walkBoxes(b, 0, b.length) { (typ, from, to) =>
+      if (typ == "moov") walkBoxes(b, from, to) { (t2, f2, to2) =>
+        if (t2 == "mvhd" && durMs < 0 && to2 - f2 >= 24) {
+          val v = b(f2) & 0xff
+          val (ts, dur) =
+            if (v == 1 && to2 - f2 >= 32)
+              (u32be(b, f2 + 20), u64be(b, f2 + 24))
+            else (u32be(b, f2 + 12), u32be(b, f2 + 16))
+          if (ts > 0) durMs = dur * 1000L / ts
+        } else if (t2 == "trak" && w < 0) walkBoxes(b, f2, to2) { (t3, f3, to3) =>
+          if (t3 == "tkhd" && w < 0) {
+            val v = b(f3) & 0xff
+            val off = if (v == 1) 88 else 76 // fixed field layout per version
+            if (to3 - f3 >= off + 8) {
+              w = (u32be(b, f3 + off) >> 16).toInt
+              h = (u32be(b, f3 + off + 4) >> 16).toInt
+            }
+          }
+        }
+      }
+    }
+    if (w > 0 && h > 0 && durMs >= 0) Some((w, h, durMs)) else None
+  }
+
+  /** Video decode swap-point, shaped like [[decodeAudioPartition]]:
+    * MP4 payloads (ftyp magic) get true display size and duration from
+    * the container header; anything else falls back to deterministic
+    * byte-derived values so text corpora stay oracle-comparable. */
+  def decodeVideoPartition(rows: Iterator[Row]): Iterator[VideoMeta] =
+    rows.map { r =>
+      val id = r.getAs[Long]("media_id")
+      val content = r.getAs[Array[Byte]]("content")
+      if (content == null || content.isEmpty)
+        VideoMeta(id, 0, 0, 0L, ok = false)
+      else {
+        val meta = if (looksLikeMp4(content)) mp4Meta(content) else None
+        meta match {
+          case Some((w, h, ms)) => VideoMeta(id, w, h, ms, ok = true)
+          case None =>
+            VideoMeta(id,
+              160 + (content(0) & 0x7f),
+              90 + (content(content.length / 2) & 0x7f),
+              content.length.toLong,
+              ok = true)
+        }
+      }
+    }
+
+  /** Distributed video decode — same spread-then-batch shape as
+    * [[decode]]. */
+  def decodeVideo(spark: SparkSession, media: DataFrame,
+                  partitions: Int): DataFrame = {
+    import spark.implicits._
+    repartitionForDecode(media, partitions)
+      .select(col("media_id"), col("content"))
+      .mapPartitions(decodeVideoPartition)(Encoders.product[VideoMeta])
       .toDF()
   }
 

@@ -114,6 +114,60 @@ class MultimodalSpec extends SparkSpec {
       out(2).getLong(3) > 0L)
   }
 
+  test("decodeVideo: real MP4 container headers yield size and duration") {
+    // author real ISO-BMFF bytes by the box grammar — no fixtures
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(typ.getBytes("US-ASCII")); bb.put(payload)
+      bb.array()
+    }
+    def mp4Bytes(w: Int, h: Int, timescale: Int, duration: Long,
+                 version: Int): Array[Byte] = {
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0))
+      val mvhd =
+        if (version == 0) {
+          val bb = java.nio.ByteBuffer.allocate(100)
+          bb.position(12); bb.putInt(timescale); bb.putInt(duration.toInt)
+          bb.array()
+        } else {
+          val bb = java.nio.ByteBuffer.allocate(112)
+          bb.put(0, 1.toByte)
+          bb.position(20); bb.putInt(timescale); bb.putLong(duration)
+          bb.array()
+        }
+      val tkhd =
+        if (version == 0) {
+          val bb = java.nio.ByteBuffer.allocate(84)
+          bb.position(76); bb.putInt(w << 16); bb.putInt(h << 16)
+          bb.array()
+        } else {
+          val bb = java.nio.ByteBuffer.allocate(96)
+          bb.put(0, 1.toByte)
+          bb.position(88); bb.putInt(w << 16); bb.putInt(h << 16)
+          bb.array()
+        }
+      ftyp ++ box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    }
+    val rows = Seq(
+      (1L, mp4Bytes(640, 360, 600, 3000L, version = 0)),   // 5000 ms
+      (2L, mp4Bytes(1920, 1080, 90000, 90000L, version = 1)), // 1000 ms
+      (3L, "definitely not a video".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val m = Multimodal.asMedia(rows, col("id"), col("payload"),
+      lit("video/mixed"), lit("unit"), lit(0L))
+    val out = Multimodal.decodeVideo(spark, m, 2).orderBy("mediaId").collect()
+    assert(out(0).getInt(1) == 640 && out(0).getInt(2) == 360 &&
+      out(0).getLong(3) == 5000L)
+    assert(out(1).getInt(1) == 1920 && out(1).getInt(2) == 1080 &&
+      out(1).getLong(3) == 1000L)
+    assert(out.forall(_.getBoolean(4)))
+    // the text payload took the deterministic fallback, not a parse error
+    assert(out(2).getInt(1) >= 160 && out(2).getInt(2) >= 90 &&
+      out(2).getLong(3) > 0L)
+  }
+
   test("metadata-only projection does not read the binary column (pruned scan)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(dir)
