@@ -281,6 +281,30 @@ object IoQueries {
         col("ok"))
   }
 
+  /** Dynamic partition pruning witness: the fact lands partitioned by
+    * event_type; the dim carries a derived category the fact doesn't
+    * have, so the only route to pruning is DYNAMIC — Catalyst turns the
+    * broadcast dim's filtered keys into a runtime partition filter on
+    * the fact scan (`dynamicpruningexpression` — pinned in PlanSpec),
+    * and the fact reads 2 of 5 partition directories instead of the
+    * whole table. At 100 TB this is the difference between scanning a
+    * day and scanning a decade when the predicate lives on the dim. */
+  private val qDppPrune: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val landing = graft.io.TempDirs.registered("graft-dpp").toString
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(landing)
+    val fact = spark.read.parquet(landing)
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("category",
+        when(col("event_type").isin("click", "view"), lit("engagement"))
+          .otherwise(lit("other")))
+    fact.join(broadcast(dim.filter(col("category") === "engagement")),
+        Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value")).cast(LongType)).as("sum_value"))
+  }
+
   /** S1/F1/P1 — the landing-zone ingest path: write the table to a text
     * landing format (CSV header files, the .xls analog), read it back
     * permissively with an explicit schema, uppercase the column names,
@@ -350,7 +374,8 @@ object IoQueries {
     "q_mm_features"         -> qMmFeatures,
     "q_mm_decode"           -> qMmDecode,
     "q_mm_audio"            -> qMmAudio,
-    "q_mm_video"            -> qMmVideo)
+    "q_mm_video"            -> qMmVideo,
+    "q_dpp_prune"           -> qDppPrune)
 
   private val homeSectionsCase: String =
     graft.functions.Cleaning.homeSections.map { case (label, pat) =>
@@ -378,6 +403,11 @@ object IoQueries {
     "q_s2_jdbc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0""",
+    "q_dpp_prune" ->
+      """SELECT event_type, count(*) AS n,
+              sum(CAST(floor(value) AS BIGINT)) AS sum_value
+         FROM events WHERE event_type IN ('click', 'view')
+         GROUP BY event_type""",
     "q_mm_video" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
            coalesce(octet_length(encode(text)), 0) AS n FROM documents)

@@ -128,6 +128,28 @@ class PlanSpec extends SparkSpec {
       s"read ${touched.length} partition dirs for ${probe.length} probed buckets")
   }
 
+  test("dim-side filter dynamically prunes the partitioned fact scan (DPP)") {
+    import graft.io.TempDirs
+    val dir = TempDirs.registered("graft-dppplan").toString
+    val fact0 = (1 to 200).map(i => (i.toLong, s"t${i % 5}", i * 1.0))
+      .toDF("id", "ptype", "v")
+    fact0.write.mode("overwrite").partitionBy("ptype").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the filter lives on a dim attribute the fact doesn't carry — only
+    // DYNAMIC pruning can narrow the fact scan to the dim's survivors.
+    // The dim must be storage-backed: a local relation's filter
+    // constant-folds away before the PartitionPruning rule looks for it.
+    val dimDir = TempDirs.registered("graft-dppplan-dim").toString
+    (0 until 5).map(i => (s"t$i", if (i < 2) "keep" else "drop"))
+      .toDF("ptype", "cat").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val j = fact.join(broadcast(dim.filter(col("cat") === "keep")), Seq("ptype"))
+    assert(j.collect().length == 80) // t0: ids %5==0 (40), t1: %5==1 (40)
+    val plan = j.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic partition-pruning filter:\n$plan")
+  }
+
   test("merge-state snapshot plans one scan per live version, not per bucket") {
     import graft.io.TempDirs
     import graft.streaming.Streaming
