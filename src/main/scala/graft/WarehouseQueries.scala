@@ -79,12 +79,72 @@ object WarehouseQueries {
       .limit(100)
   }
 
+  /** Q5-shaped local-supplier volume: revenue per nation within one
+    * region and one order year, counted only when the CUSTOMER and the
+    * SUPPLIER sit in the same nation — the classic 6-relation join whose
+    * cross-dimension equality (c_nationkey = s_nationkey) join ordering
+    * must carry through the whole spine.
+    *
+    * Scale shape: region⋈nation collapses to a broadcast-sized key set
+    * gating both enrichment paths; supplier (with its nation name
+    * resolved) broadcasts into lineitem. Customer is FACT-sized at
+    * warehouse scale — 1.5M rows per TPC-H SF, the same order as orders
+    * — so unlike Q9's dimensions it must NOT broadcast: the spine is
+    * lineitem⋈(date-filtered orders) shuffled once on the order key,
+    * then one shuffle on (custkey, nationkey) against the region-gated
+    * customer slice, where the same-nation equality rides the join key
+    * instead of becoming a post-join filter. Group-by cardinality is
+    * |nations in region|, so partials collapse map-side. */
+  private val qQ5LocalVolume: Q = (spark, dir) => {
+    val nAsia = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nAsia), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nAsia.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1997-01-01")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_q9_profit"     -> qQ9Profit,
-    "q_q18_big_orders" -> qQ18BigOrders
+    "q_q18_big_orders" -> qQ18BigOrders,
+    "q_q5_local_volume" -> qQ5LocalVolume
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_q5_local_volume" ->
+      """SELECT n_name AS nation,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+                        AND c_nationkey = s_nationkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate < DATE '1997-01-01'
+         GROUP BY 1""",
     "q_q9_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
            round(sum(l_extendedprice * (1 - l_discount) - 100.0 * l_quantity), 4) AS profit

@@ -264,6 +264,35 @@ class PlanSpec extends SparkSpec {
       s"the LIMIT must plan as a top-k, not a global sort:\n$plan")
   }
 
+  test("Q5: dims broadcast, both fact joins shuffle, same-nation equality rides the join key") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(Option(conf.get(k))).toOption.flatten)
+    try {
+      // kill auto-broadcast so the pin sees the shape the EXPLICIT hints
+      // produce — at sf0.001 everything fits under the default threshold,
+      // which would hide a missing hint or a wrongly-broadcast fact
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(
+        SparkEntry.queries("q_q5_local_volume")(spark, "/root/testdata/sf0.001"))
+      assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+        s"region/nation gates and the supplier dim must broadcast:\n$plan")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size == 2,
+        s"exactly the two fact contacts (orders, customer) may shuffle:\n$plan")
+      assert("(SortMergeJoin|ShuffledHashJoin) \\[[^\\]]*s_nationkey".r
+          .findFirstIn(plan).nonEmpty,
+        s"the same-nation equality must be a join KEY, not a post-join filter:\n$plan")
+      assert(plan.contains("partial_sum"),
+        s"revenue must combine map-side before the final exchange:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("z-order projection prunes the scan to its two input columns") {
     val dir = graft.io.TempDirs.registered("graft-zorder-scan").toString
     (1L to 20L).map(i => (i, i * 7 % 50, s"pad$i", i * 1.5)).toDF("k", "c", "s", "v")
