@@ -150,6 +150,43 @@ class PlanSpec extends SparkSpec {
       s"fact scan must carry a dynamic partition-pruning filter:\n$plan")
   }
 
+  test("runtime bloom filter from the dim filter reaches the fact side of a shuffle join") {
+    import graft.io.TempDirs
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> util.Try(Option(conf.get(k))).toOption.flatten)
+    try {
+      // force a shuffle join (bloom injection doesn't apply to broadcasts
+      // — the broadcast IS the filter there) and drop the 10GB
+      // application-side floor so the toy fact qualifies; at warehouse
+      // scale the floor is what keeps injection to scans worth filtering
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      val fdir = TempDirs.registered("graft-rf-fact").toString
+      val ddir = TempDirs.registered("graft-rf-dim").toString
+      (1 to 20000).map(i => (i.toLong % 500, s"pad-$i")).toDF("k", "pad")
+        .write.mode("overwrite").parquet(fdir)
+      (0L until 500L).map(i => (i, if (i < 10) "keep" else "drop"))
+        .toDF("k", "cat").write.mode("overwrite").parquet(ddir)
+      val fact = spark.read.parquet(fdir)
+      val dim = spark.read.parquet(ddir).filter(col("cat") === "keep")
+      val j = fact.join(dim, "k")
+      assert(j.collect().length == 400) // 10 kept keys x 40 fact rows
+      val plan = j.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("bloom_filter_agg"),
+        s"the filtered dim side must build a runtime bloom filter:\n$plan")
+      assert(plan.contains("might_contain"),
+        s"the fact scan side must probe the bloom filter pre-shuffle:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("merge-state snapshot plans one scan per live version, not per bucket") {
     import graft.io.TempDirs
     import graft.streaming.Streaming
