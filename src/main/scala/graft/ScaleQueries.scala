@@ -469,7 +469,24 @@ object ScaleQueries {
       .select(col("user_id").as("user_key"), col("est"), col("n_exact"))
   }
 
+  private val bpeRounds = 6
+
+  /** BPE merge learning over the corpus word histogram: 6 rounds, each
+    * one pair-count aggregation over the (distinct word, count) table
+    * and a deterministic top-1. The oracle unrolls the same recurrence
+    * in SQL — same wrapped-symbol encoding, same left-greedy literal
+    * replace, same (count desc, pair asc) tiebreak — so every learned
+    * merge is value-checked, not just the final vocabulary. */
+  private val qTBpe: Q = (spark, dir) => {
+    val words = Tables.fanOut(Tables.documents(spark, dir))
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    operators.Bpe.learnMerges(spark, words, "word", "n", bpeRounds)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_t_bpe"          -> qTBpe,
     "q_cm_freq"        -> qCmFreq,
     "q_drift_psi"      -> qDriftPsi,
     "q_dq_report"      -> qDqReport,
@@ -517,11 +534,44 @@ object ScaleQueries {
     s"(($b3 | ($b3 << 1)) & 1431655765)"
   }
 
+  /** DuckDB mirror of [[operators.Bpe.learnMerges]]: the same wrapped
+    * `<sym>` encoding, pair extraction via 1-based list indexing, the
+    * same (cnt desc, x asc, y asc) top-1, and the same left-to-right
+    * literal replace, unrolled one CTE trio per round. */
+  private def bpeSql(rounds: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+         SELECT '<' || array_to_string(regexp_extract_all(word, '.'), '><') || '>' AS s, n
+         FROM (SELECT word, count(*) AS n
+               FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                     FROM documents)
+               GROUP BY word))"""
+    val perRound = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+           SELECT x, y, sum(n) AS cnt FROM (
+             SELECT l[i] AS x, l[i + 1] AS y, n FROM (
+               SELECT regexp_extract_all(s, '<([^>]*)>', 1) AS l, n FROM w${r - 1}),
+               unnest(range(1, len(l))) AS u(i))
+           GROUP BY x, y),
+         m$r AS MATERIALIZED (SELECT x, y, cnt FROM p$r ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+         w$r AS MATERIALIZED (
+           SELECT replace(s,
+             '<' || (SELECT x FROM m$r) || '><' || (SELECT y FROM m$r) || '>',
+             '<' || (SELECT x FROM m$r) || (SELECT y FROM m$r) || '>') AS s, n
+           FROM w${r - 1})"""
+    }
+    val sel = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, x AS left_sym, y AS right_sym, cnt AS freq FROM m$r")
+      .mkString("\n         UNION ALL\n         ")
+    s"WITH $w0,\n${perRound.mkString(",\n")}\n$sel"
+  }
+
   // =====================================================================
   // Oracle SQL (DuckDB 1.0)
   // =====================================================================
 
   def oracleSql: Map[String, String] = Map(
+    "q_t_bpe" -> bpeSql(bpeRounds),
     "q_embed_quantize" ->
       """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
