@@ -124,10 +124,140 @@ object WarehouseQueries {
         .as("revenue"))
   }
 
+  /** Q4-shaped order-priority check: orders in one quarter that had at
+    * least one line shipped more than 60 days after the order date —
+    * the canonical EXISTS-with-a-correlated-comparison, counted per
+    * priority class. (TPC-H Q4 tests commit-vs-receipt lateness; this
+    * testdata has no commit/receipt dates, so the correlated predicate
+    * is ship-vs-order lateness — same plan shape, same decorrelation.)
+    *
+    * Scale shape: the EXISTS becomes one LEFT SEMI join on the order
+    * key, with the correlated date comparison riding the join as a
+    * non-equi condition — never a per-row subquery, never a nested
+    * loop. The quarter filter pushes into the orders scan so the semi
+    * join's left side is already quarter-sized; lineitem projects to
+    * two columns for the probe. Semi join output ≤ |filtered orders|,
+    * and the priority rollup collapses map-side (5 groups). */
+  private val qQ4OrderPriority: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1996-04-01")
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Q17-shaped small-quantity revenue: revenue from lineitems whose
+    * quantity is below 20% of the average quantity for their part,
+    * restricted to one brand's small sizes — the canonical CORRELATED
+    * SCALAR SUBQUERY (per-part average referenced from the outer
+    * predicate), decorrelated by hand.
+    *
+    * Scale shape: the naive form recomputes avg(l_quantity) per outer
+    * row; the decorrelated form computes it ONCE per part — but only
+    * AFTER the brand/size gate, so the aggregate runs over the
+    * broadcast-reduced slice of lineitem, not the whole fact table.
+    * The per-part limits relation is ≤ |filtered parts| rows, so it
+    * broadcasts back into the same reduced slice: the fact table is
+    * scanned (pruned to 3 columns, gated map-side by the part
+    * broadcast) and never shuffled — the only exchange is the tiny
+    * per-part aggregation. At 100 TB the filtered-part set stays
+    * broadcast-sized because the gate (one brand × small sizes) is
+    * ~1/1000 of part; loosening it past broadcast size would switch
+    * the limits join to a shuffle on l_partkey, which both sides
+    * already produce. */
+  private val qQ17SmallQty: Q = (spark, dir) => {
+    val pp = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23" && col("p_size") <= 5)
+      .select(col("p_partkey"))
+    val sub = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+    val limits = sub.groupBy(col("l_partkey").as("lim_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("lim"))
+    sub.join(broadcast(limits), col("l_partkey") === col("lim_partkey"))
+      .filter(col("l_quantity") < col("lim"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+  }
+
+  /** Q21-shaped lone-blame suppliers: on finished multi-supplier
+    * orders, the suppliers who were the ONLY one to have a returned
+    * ('R') line — the canonical EXISTS + NOT EXISTS pair over the same
+    * fact table, correlated on the order key with a supplier
+    * inequality.
+    *
+    * Scale shape: both correlated subqueries decorrelate into ONE
+    * per-order aggregate — n_supp (distinct suppliers on the order)
+    * and n_ret (distinct suppliers with an 'R' line): EXISTS(other
+    * supplier) ⇔ n_supp ≥ 2, and NOT EXISTS(other supplier with 'R')
+    * ⇔ n_ret = 1 given the candidate row itself is 'R'. So the fact
+    * table contributes one aggregation and one join, BOTH partitioned
+    * on l_orderkey — the aggregate's output partitioning feeds the
+    * join without a second exchange of that side. The orders
+    * status-gate applies as a semi join on the same key; supplier
+    * (true dim) broadcasts last, after the fact rows have been cut to
+    * the qualifying set. The naive form is two extra self-joins of
+    * the fact table with inequality conditions — quadratic on hot
+    * orders; the aggregate form is linear and skew-immune. */
+  private val qQ21LoneBlame: Q = (spark, dir) => {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val per = l.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret"))
+      .filter(col("n_supp") >= 2 && col("n_ret") === 1)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    l.filter(col("l_returnflag") === "R")
+      .join(per, Seq("l_orderkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** Q22-shaped idle high-balance customers: customers in selected
+    * segments with above-average positive balance and NO recent order —
+    * the canonical NOT EXISTS anti join plus an uncorrelated scalar
+    * subquery (the global average) in the predicate.
+    *
+    * Scale shape: the scalar average is a one-row aggregate broadcast
+    * into the customer scan (a broadcast nested-loop of exactly one
+    * row — the only sound use of a cross join). The NOT EXISTS is a
+    * LEFT ANTI join on the customer key; customer is fact-sized at
+    * warehouse scale (Q5's lesson) so the anti join shuffles both
+    * sides once, with orders pre-filtered to the recency window and
+    * projected to the single key column — the shuffled right side is
+    * a fraction of the orders table. The balance predicate cuts the
+    * left side BEFORE its shuffle. */
+  private val qQ22IdleCustomers: Q = (spark, dir) => {
+    val pool = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val ab = pool.filter(col("c_acctbal") > 0).agg(avg(col("c_acctbal")).as("ab"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= "2000-01-01").select(col("o_custkey"))
+    pool.crossJoin(broadcast(ab))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 4).as("totacctbal"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_q9_profit"     -> qQ9Profit,
     "q_q18_big_orders" -> qQ18BigOrders,
-    "q_q5_local_volume" -> qQ5LocalVolume
+    "q_q5_local_volume" -> qQ5LocalVolume,
+    "q_q4_order_priority" -> qQ4OrderPriority,
+    "q_q17_small_qty" -> qQ17SmallQty,
+    "q_q21_lone_blame" -> qQ21LoneBlame,
+    "q_q22_idle_customers" -> qQ22IdleCustomers
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -164,6 +294,53 @@ object WarehouseQueries {
            JOIN orders ON o_custkey = c_custkey
            JOIN big ON o_orderkey = big.l_orderkey
          ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
-         LIMIT 100"""
+         LIMIT 100""",
+    "q_q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate < DATE '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
+    "q_q17_small_qty" ->
+      """WITH pp AS (
+           SELECT p_partkey FROM part
+           WHERE p_brand = 'Brand#23' AND p_size <= 5),
+         lim AS (
+           SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
+           FROM lineitem JOIN pp ON l_partkey = p_partkey
+           GROUP BY 1)
+         SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+         FROM lineitem l JOIN lim ON l.l_partkey = lim.l_partkey
+         WHERE l_quantity < lim.lim""",
+    "q_q21_lone_blame" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM lineitem l1
+           JOIN supplier ON s_suppkey = l1.l_suppkey
+           JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY 1""",
+    "q_q22_idle_customers" ->
+      """WITH pool AS (
+           SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+         ab AS (SELECT avg(c_acctbal) AS ab FROM pool WHERE c_acctbal > 0)
+         SELECT c_mktsegment AS segment, count(*) AS numcust,
+                round(sum(c_acctbal), 4) AS totacctbal
+         FROM pool, ab
+         WHERE c_acctbal > ab.ab
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = pool.c_custkey
+                             AND o.o_orderdate >= DATE '2000-01-01')
+         GROUP BY 1"""
   )
 }

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Product quantization (Jégou/Douze/Schmid, TPAMI 2011): split each
+  * vector into `m` subspaces, train a small codebook per subspace, and
+  * represent every vector by its `m` codeword ids — the memory-side
+  * complement to the IVF/LSH ANN paths in [[Similarity]].
+  *
+  * Why it matters at 100 TB: a 64-dim float vector is 256 bytes; its PQ
+  * code is `m` small ints (m bytes at k ≤ 256 codewords). The corpus
+  * index shrinks ~64×, and query scoring never touches the raw vectors
+  * — an ADC (asymmetric distance computation) scan reads only the codes
+  * relation plus an m×k distance table broadcast from the driver.
+  *
+  * Engine-parity-safe like the [[Similarity.kmeansCentroids]] trainer:
+  * distances are rounded to 6 decimals with a lowest-cid tie-break,
+  * codeword means are integer-quantized sums (order-independent), and
+  * ADC totals are integer-summed — so a SQL oracle reproduces every
+  * result bit-for-bit and shard-merged training matches single-node.
+  *
+  * Input contract: vector components must be unit-scale (|x| ≤ 10) so
+  * the packed argmin stays inside a long — embedding models emit unit
+  * or near-unit vectors; enforce upstream if not. Codebook cids are
+  * checked at runtime.
+  */
+object Pq {
+  /** Packing base for the argmin: pack = round(d2·1e6)·B + cid, min =
+    * (lowest distance, then lowest cid). cid < B and d2 < 2^33/1e6
+    * (≈8590, far above the |x| ≤ 10 contract's worst case) keep the
+    * pack exact and non-negative. */
+  private val B = 1L << 30
+
+  /** Squared L2 between the `sub`-th length-`len` slice of `vec` and a
+    * codeword, unrolled to `len` codegen'd terms (higher-order-function
+    * folds are interpreted — see the norm note in [[Similarity]]). */
+  private def l2sqSub(vec: Column, sub: Column, len: Int, cvec: Column): Column =
+    (0 until len).map { i =>
+      val d = element_at(vec, (sub * len + i + 1).cast(IntegerType)).cast(DoubleType) -
+        element_at(cvec, i + 1)
+      d * d
+    }.reduce(_ + _)
+
+  /** Runtime guard on the codebook side (k·m rows, never the corpus):
+    * cid packing range plus the unit-scale contract on codewords —
+    * codewords are data means, so out-of-contract data surfaces here. */
+  private def checked(books: DataFrame): DataFrame =
+    books.withColumn("__ok",
+      assert_true(col("cid") >= 0 && col("cid") < B &&
+        forall(col("cvec"), c => abs(c) <= 10.0),
+        lit("Pq: codebook cid must be in [0, 2^30) and codewords unit-scale")))
+      .filter(col("__ok").isNull).drop("__ok")
+
+  /** Assign every (row, subspace) to its nearest codeword. Returns
+    * `(idCol, vecCol, sub, cell)` with the vector carried through so
+    * downstream means/scoring need no re-join.
+    *
+    * Scale shape: ONE scan of the corpus against a broadcast m×k
+    * codebook; the argmin is the packed-long `min` aggregation of
+    * [[Similarity.ivfAssignTo]] (map-side combine collapses n·m·k to
+    * n·m before the exchange, nothing sorts). */
+  def assign(emb: DataFrame, idCol: String, vecCol: String,
+             books: DataFrame, subLen: Int): DataFrame =
+    emb.join(broadcast(checked(books)))
+      .withColumn("__d2",
+        round(l2sqSub(col(vecCol), col("sub"), subLen, col("cvec")), 6))
+      .withColumn("__packed",
+        round(col("__d2") * 1e6).cast(LongType) * B + col("cid"))
+      .groupBy(col(idCol), col(vecCol), col("sub"))
+      .agg(min(col("__packed")).as("__mp"))
+      .select(col(idCol), col(vecCol), col("sub"),
+        pmod(col("__mp"), lit(B)).as("cell"))
+
+  /** Per-subspace codebooks `(sub, cid, cvec)`: seeds are every
+    * `centroidStep`-th vector's slices (cid = seed id, matching the
+    * coarse-quantizer convention), refined by `iters` Lloyd rounds of
+    * assign + integer-quantized component means. Each round is one
+    * corpus scan (assignment and means share the carried vector);
+    * the k·m-row codebook is localCheckpoint'd per round — the same
+    * materialization-barrier reasoning as [[Similarity.kmeansCentroids]]. */
+  def codebooks(emb: DataFrame, idCol: String, vecCol: String,
+                m: Int, dims: Int, centroidStep: Int, iters: Int): DataFrame = {
+    val subLen = dims / m
+    require(subLen * m == dims, s"Pq: m=$m must divide dims=$dims")
+    var books = emb.filter(pmod(col(idCol), lit(centroidStep)) === 0)
+      .select(explode(array((0 until m).map(lit): _*)).as("sub"),
+        col(idCol).as("cid"), col(vecCol).as("__v"))
+      .select(col("sub"), col("cid"),
+        transform(slice(col("__v"), col("sub") * subLen + 1, lit(subLen)),
+          x => round(x.cast(DoubleType), 6)).as("cvec"))
+    for (_ <- 0 until iters) {
+      books = assign(emb, idCol, vecCol, books, subLen)
+        .select(col("sub"), col("cell"),
+          posexplode(slice(col(vecCol), col("sub") * subLen + 1, lit(subLen)))
+            .as(Seq("pos", "x")))
+        .withColumn("q", round(col("x").cast(DoubleType) * 1e6).cast(LongType))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("c"))
+        .withColumn("comp", round(col("s").cast(DoubleType) / col("c") / 1e6, 6))
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+          e => e.getField("comp")).as("cvec"))
+        .select(col("sub"), col("cell").as("cid"), col("cvec"))
+        .localCheckpoint()
+    }
+    books
+  }
+
+  /** The compressed index: `(idCol, codes)` with codes ordered by
+    * subspace — m longs per vector, the relation a 100 TB deployment
+    * stores and scans instead of raw embeddings. */
+  def codes(emb: DataFrame, idCol: String, vecCol: String,
+            books: DataFrame, subLen: Int): DataFrame =
+    assign(emb, idCol, vecCol, books, subLen)
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
+        e => e.getField("cell")).as("codes"))
+
+  /** ADC distance table for one query: `(sub, cid, d2q)` — m·k rows of
+    * rounded squared L2 from the query's slices to every codeword,
+    * computed on the codebook relation (never the corpus). */
+  def distanceTable(books: DataFrame, query: Seq[Double], subLen: Int): Column = {
+    // per-row: query slice selected by the sub column, unrolled terms
+    (0 until subLen).map { i =>
+      val qi = element_at(
+        array(query.grouped(subLen).toSeq.map(s => lit(s(i))): _*),
+        (col("sub") + 1).cast(IntegerType)).cast(DoubleType)
+      val d = qi - element_at(col("cvec"), i + 1)
+      d * d
+    }.reduce(_ + _)
+  }
+
+  /** ADC top-k: score every vector by the sum of its m table-looked-up
+    * subspace distances — the raw vectors are never read at query time.
+    *
+    * Scale shape: train (bounded scans) → one corpus scan to assign →
+    * broadcast-join the m×k distance table → ONE hash aggregation on
+    * the id (map-side combine folds the m rows per vector before the
+    * exchange; totals are integer sums, so shard merge order is
+    * irrelevant) → TakeOrderedAndProject for the top-k. With codes
+    * persisted (the production layout), queries skip straight to the
+    * broadcast-join at m-bytes-per-vector scan cost. */
+  def adcTopK(emb: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
+              m: Int, dims: Int, centroidStep: Int, iters: Int, k: Int): DataFrame = {
+    val subLen = dims / m
+    val books = codebooks(emb, idCol, vecCol, m, dims, centroidStep, iters)
+    val dt = books.select(col("sub").as("__dtsub"), col("cid").as("__dtcid"),
+      round(distanceTable(books, query, subLen), 6).as("d2q"))
+    assign(emb, idCol, vecCol, books, subLen)
+      .join(broadcast(dt),
+        col("sub") === col("__dtsub") && col("cell") === col("__dtcid"))
+      .groupBy(col(idCol))
+      .agg((sum(round(col("d2q") * 1e6).cast(LongType)) / 1e6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+}

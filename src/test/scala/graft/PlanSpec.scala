@@ -330,6 +330,67 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("Q4: EXISTS plans as one LEFT SEMI hash join, never a nested loop") {
+    val plan = planOf(
+      SparkEntry.queries("q_q4_order_priority")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("LeftSemi"),
+      s"the EXISTS must decorrelate to a semi join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"the correlated date comparison must ride the semi join's " +
+        s"condition, not force a nested loop:\n$plan")
+    assert(plan.contains("l_shipdate"),
+      s"the correlated comparison must appear in the physical join:\n$plan")
+  }
+
+  test("Q17: decorrelated per-part limits broadcast back; the fact table never shuffles") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(Option(conf.get(k))).toOption.flatten)
+    try {
+      // kill auto-broadcast: the pin must hold from the EXPLICIT hints
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(
+        SparkEntry.queries("q_q17_small_qty")(spark, "/root/testdata/sf0.001"))
+      assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+        s"both the part gate and the per-part limits must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"lineitem must never shuffle for the correlated-average rewrite:\n$plan")
+      assert(plan.contains("partial_avg"),
+        s"the per-part average must combine map-side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("Q21: EXISTS/NOT-EXISTS pair decorrelates to one per-order aggregate, no self-join") {
+    val plan = planOf(
+      SparkEntry.queries("q_q21_lone_blame")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("LeftSemi"),
+      s"the order-status gate must apply as a semi join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"neither correlated subquery may plan as a nested loop:\n$plan")
+    // The decorrelation's point: the fact table appears exactly twice
+    // (candidate rows + the per-order aggregate input), never a third
+    // time for an inequality self-join.
+    assert("lineitem\\.parquet".r.findAllIn(plan).size <= 2,
+      s"the naive form's inequality self-joins must not reappear:\n$plan")
+  }
+
+  test("Q22: NOT EXISTS is a LEFT ANTI join; the scalar average is a one-row broadcast") {
+    val plan = planOf(
+      SparkEntry.queries("q_q22_idle_customers")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("LeftAnti"),
+      s"the NOT EXISTS must plan as an anti join:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"only the one-row scalar average may cross-join:\n$plan")
+    assert(plan.contains("partial_avg") || plan.contains("partial_count"),
+      s"the scalar average must combine map-side:\n$plan")
+  }
+
   test("z-order projection prunes the scan to its two input columns") {
     val dir = graft.io.TempDirs.registered("graft-zorder-scan").toString
     (1L to 20L).map(i => (i, i * 7 % 50, s"pad$i", i * 1.5)).toDF("k", "c", "s", "v")
