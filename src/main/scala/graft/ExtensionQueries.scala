@@ -34,6 +34,7 @@ object ExtensionQueries {
   private val simhashChunks = 4      // 16-bit chunks of the 64-bit fingerprint
   private val simhashMaxHamming = 3  // pigeonhole: < simhashChunks
   private[graft] val semThreshold = 0.95    // semantic-dedup cosine-to-exemplar cut
+  private val pqM = 4                // PQ subspaces (64 dims -> 4 x 16)
   private val mmMinTokens = 10       // cross-modal curation token floor
 
   // =====================================================================
@@ -305,6 +306,15 @@ object ExtensionQueries {
       .select(col("doc_id"), col("source"), col("n_tok"), col("cell"))
   }
 
+  /** Product-quantization ADC top-10: 4 subspaces × 16 dims, per-
+    * subspace codebooks trained by two deterministic Lloyd rounds from
+    * every-50th seeds, query scored against the codes alone via the
+    * broadcast distance table ([[graft.operators.Pq]]). */
+  private val qSimPqAdc: Q = (spark, dir) =>
+    graft.operators.Pq.adcTopK(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "vec_id", "embedding", queryVec, m = pqM, dims = queryVec.length,
+      centroidStep = 50, iters = 2, k = 10)
+
   /** Recall CURVE of the seed-quantizer IVF probe: recall@{1,5,10,50}
     * from ONE ranked-list join + one aggregation — the tune-nprobe
     * sweep without a query per k. */
@@ -454,7 +464,8 @@ object ExtensionQueries {
     "q_curate_multimodal" -> qCurateMultimodal,
     "q_st12_stream_semdedup" -> qSt12StreamSemdedup,
     "q_st14_stream_lshdedup" -> qSt14StreamLshDedup,
-    "q_recall_curve"    -> qRecallCurve
+    "q_recall_curve"    -> qRecallCurve,
+    "q_sim_pq_adc"      -> qSimPqAdc
   )
 
   // =====================================================================
@@ -608,6 +619,71 @@ object ExtensionQueries {
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${cosine2Sql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rn
        |    FROM embeddings e CROSS JOIN cent2 c) t WHERE rn = 1)""".stripMargin
+
+  // --- Product-quantization oracle (mirror of graft.operators.Pq) ----
+  private val pqSubLen = 64 / pqM
+
+  /** Rounded squared L2 between a float-list slice `a` and a double-list
+    * codeword `b`, unrolled left-associatively like Pq's assignment. */
+  private def pqL2Sql(a: String, b: String): String =
+    "round(" + (1 to pqSubLen).map(i =>
+      s"(CAST($a[$i] AS DOUBLE) - $b[$i]) * (CAST($a[$i] AS DOUBLE) - $b[$i])")
+      .mkString(" + ") + ", 6)"
+
+  /** One per-subspace Lloyd round in SQL: rounded-L2 lowest-cid
+    * assignment (as the equivalent window), then the quantized integer
+    * component means — bit-for-bit [[graft.operators.Pq.codebooks]]. */
+  private def pqLloydIterSql(s: Int, t: Int): String =
+    s"""pa$s$t AS (SELECT vec_id, sv, cid AS cell FROM (
+          SELECT e.vec_id, e.sv, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${pqL2Sql("e.sv", "c.cvec")} ASC, c.cid ASC) AS rn
+          FROM sub$s e CROSS JOIN pc$s${t - 1} c) t WHERE rn = 1),
+        pq$s$t AS (SELECT cell, i AS pos,
+                 CAST(round(CAST(sv[i] AS DOUBLE) * 1e6) AS BIGINT) AS q
+          FROM pa$s$t, unnest(range(1, ${pqSubLen + 1})) AS u(i)),
+        pm$s$t AS (SELECT cell, pos,
+                 round(CAST(sum(q) AS DOUBLE) / count(*) / 1e6, 6) AS comp
+          FROM pq$s$t GROUP BY cell, pos),
+        pc$s$t AS (SELECT cell AS cid, list(comp ORDER BY pos) AS cvec
+          FROM pm$s$t GROUP BY cell)"""
+
+  /** Literal ADC entry: rounded squared L2 from the query's s-th slice
+    * (exact decimal literals) to a trained codeword. */
+  private def pqQueryLitSql(s: Int): String = {
+    val off = s * pqSubLen
+    "round(" + (1 to pqSubLen).map { i =>
+      val q = queryVec(off + i - 1)
+      s"($q - cvec[$i]) * ($q - cvec[$i])"
+    }.mkString(" + ") + ", 6)"
+  }
+
+  /** Full PQ chain ending in `codes(vec_id, sub, cell)` and
+    * `dt(sub, cid, d2q)` — seeds, two Lloyd rounds, final assignment
+    * and the query distance table, per subspace. */
+  private lazy val pqCtes: String = {
+    val per = (0 until pqM).map { s =>
+      val off = s * pqSubLen
+      s"""sub$s AS (SELECT vec_id, embedding[${off + 1}:${off + pqSubLen}] AS sv
+            FROM embeddings),
+          pc${s}0 AS (SELECT vec_id AS cid,
+            [${(1 to pqSubLen).map(i => s"round(CAST(sv[$i] AS DOUBLE), 6)").mkString(", ")}] AS cvec
+            FROM sub$s WHERE vec_id % 50 = 0),
+          ${pqLloydIterSql(s, 1)},
+          ${pqLloydIterSql(s, 2)},
+          fa$s AS (SELECT vec_id, $s AS sub, cid AS cell FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${pqL2Sql("e.sv", "c.cvec")} ASC, c.cid ASC) AS rn
+            FROM sub$s e CROSS JOIN pc${s}2 c) t WHERE rn = 1),
+          dt$s AS (SELECT $s AS sub, cid, ${pqQueryLitSql(s)} AS d2q FROM pc${s}2)"""
+    }.mkString(",\n          ")
+    val codes = (0 until pqM).map(s => s"SELECT * FROM fa$s").mkString(" UNION ALL ")
+    val dts = (0 until pqM).map(s => s"SELECT * FROM dt$s").mkString(" UNION ALL ")
+    s"""$per,
+          codes AS ($codes),
+          dt AS ($dts)"""
+  }
 
   /** Hamming-radius-1 probe list of the bucket column (bucket itself
     * plus each single-plane flip), as a SQL list literal. */
@@ -888,6 +964,11 @@ object ExtensionQueries {
           SELECT af.vec_id, af.cell, ${cosineSql("af.embedding")} AS cosine_sim
           FROM af JOIN probe p ON af.cell = p.cell
           ORDER BY cosine_sim DESC, af.vec_id ASC LIMIT 10""",
+    "q_sim_pq_adc" ->
+      s"""WITH $pqCtes
+          SELECT c.vec_id, sum(CAST(round(d2q * 1e6) AS BIGINT)) / 1e6 AS adc_dist
+          FROM codes c JOIN dt ON c.sub = dt.sub AND c.cell = dt.cid
+          GROUP BY 1 ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 10""",
     "q_ann_recall_kmeans" ->
       s"""WITH $ivfKmeansCtes,
           ann AS (SELECT af.vec_id FROM af JOIN probe p ON af.cell = p.cell

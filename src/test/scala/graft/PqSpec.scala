@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.operators.{Pq, Similarity}
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 8
+  private val m = 2
+  private val subLen = dims / m
+
+  /** Deterministic unit-scale corpus: 24 vectors in [-1, 1). */
+  private def corpus = (0L until 24L).map { i =>
+    (i, Array.tabulate(dims)(d => (((i * 7 + d * 3) % 17) - 8).toFloat / 8f))
+  }.toDF("vec_id", "embedding")
+
+  private val query: Seq[Double] = (0 until dims).map(d => ((d % 5) - 2) / 4.0)
+
+  test("codebooks are partitioning-independent (quantized integer means)") {
+    val a = Pq.codebooks(corpus, "vec_id", "embedding", m, dims,
+      centroidStep = 6, iters = 2).orderBy("sub", "cid")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    val b = Pq.codebooks(corpus.repartition(7), "vec_id", "embedding", m, dims,
+      centroidStep = 6, iters = 2).orderBy("sub", "cid")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(a.nonEmpty && a.sameElements(b),
+      "trained codebooks must be bit-identical under any input partitioning")
+  }
+
+  test("codes: one entry per subspace, codeword ids from the codebook") {
+    val books = Pq.codebooks(corpus, "vec_id", "embedding", m, dims, 6, 1)
+    val cds = Pq.codes(corpus, "vec_id", "embedding", books, subLen).collect()
+    assert(cds.length == 24)
+    val valid = books.select("cid").as[Long].collect().toSet
+    cds.foreach { r =>
+      val cs = r.getSeq[Long](1)
+      assert(cs.length == m, s"expected $m codes, got $cs")
+      assert(cs.forall(valid), s"code outside the codebook: $cs")
+    }
+  }
+
+  test("ADC equals exact squared L2 when every vector is its own codeword") {
+    // centroidStep=1, iters=0: the codebook IS the corpus, assignment is
+    // exact (d2=0 to your own slice), so the ADC total telescopes to the
+    // true rounded sub-distance sum — pins the table-lookup mechanics.
+    val adc = Pq.adcTopK(corpus, "vec_id", "embedding", query, m, dims,
+      centroidStep = 1, iters = 0, k = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val exact = corpus.select(col("vec_id"), (0 until dims).map { i =>
+      val d = element_at(col("embedding"), i + 1).cast(DoubleType) - lit(query(i))
+      d * d
+    }.reduce(_ + _).as("d2")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(adc.keySet == exact.keySet)
+    adc.foreach { case (id, d) =>
+      // per-subspace rounding to 6 decimals perturbs the total by < 1e-5
+      assert(math.abs(d - exact(id)) < 1e-5,
+        s"vec $id: adc=$d exact=${exact(id)}")
+    }
+  }
+
+  test("ADC ranking tracks the exact ranking on a trained codebook") {
+    val adcTop = Pq.adcTopK(corpus, "vec_id", "embedding", query, m, dims,
+      centroidStep = 4, iters = 2, k = 5).collect().map(_.getLong(0)).toSet
+    val exactTop = Similarity.bruteForceTopK(
+      corpus, "vec_id", "embedding", Similarity.vecLit(query), 5)
+      .collect().map(_.getLong(0)).toSet
+    // coarse 8-bit-ish codebooks on 24 vectors: expect real but imperfect
+    // overlap — an empty intersection would mean scoring is broken
+    assert(adcTop.intersect(exactTop).nonEmpty,
+      s"ADC top-5 $adcTop shares nothing with exact top-5 $exactTop")
+  }
+
+  test("assignment plans as a broadcast + packed-min hash aggregation, never a window sort") {
+    val books = Pq.codebooks(corpus, "vec_id", "embedding", m, dims, 6, 1)
+    val plan = Pq.assign(corpus, "vec_id", "embedding", books, subLen)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the codebook must broadcast:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"the argmin must combine map-side (packed long min):\n$plan")
+    assert(!plan.contains("Window"),
+      s"assignment must never window-sort the corpus:\n$plan")
+  }
+
+  test("adcTopK plans the final top-k as TakeOrderedAndProject") {
+    val plan = Pq.adcTopK(corpus, "vec_id", "embedding", query, m, dims, 6, 1, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+  }
+
+  test("out-of-contract codebook (cid or scale) fails fast") {
+    val badCid = Seq((0, -1L, Array.fill(subLen)(0.0)))
+      .toDF("sub", "cid", "cvec")
+    intercept[Exception] {
+      Pq.assign(corpus, "vec_id", "embedding", badCid, subLen).collect()
+    }
+    val badScale = Seq((0, 0L, Array.fill(subLen)(99.0)))
+      .toDF("sub", "cid", "cvec")
+    intercept[Exception] {
+      Pq.assign(corpus, "vec_id", "embedding", badScale, subLen).collect()
+    }
+  }
+}
