@@ -250,6 +250,36 @@ object WarehouseQueries {
         round(sum(col("c_acctbal")), 4).as("totacctbal"))
   }
 
+  /** Q19-shaped disjunctive-predicate revenue: an OR of brand/size/
+    * quantity conjunctions spanning BOTH join sides — the classic test
+    * of disjunction handling: a naive plan evaluates the whole OR only
+    * after the join, scanning both tables in full.
+    *
+    * Scale shape: Catalyst's CNF conversion extracts each side's local
+    * residual of the disjunction and pushes it into that side's SCAN —
+    * part prunes on (brand, size) bounds, lineitem on the quantity
+    * bounds — so the join touches only rows that could satisfy SOME
+    * disjunct; the full OR then confirms cross-table combinations
+    * after the (broadcast) join. The PlanSpec pin asserts both scans
+    * carry pushed disjunctions, which is what keeps the fact-scan
+    * I/O proportional to the predicate's selectivity at 100 TB. */
+  private val qQ19Disjunctive: Q = (spark, dir) => {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_q9_profit"     -> qQ9Profit,
     "q_q18_big_orders" -> qQ18BigOrders,
@@ -257,7 +287,8 @@ object WarehouseQueries {
     "q_q4_order_priority" -> qQ4OrderPriority,
     "q_q17_small_qty" -> qQ17SmallQty,
     "q_q21_lone_blame" -> qQ21LoneBlame,
-    "q_q22_idle_customers" -> qQ22IdleCustomers
+    "q_q22_idle_customers" -> qQ22IdleCustomers,
+    "q_q19_disjunctive" -> qQ19Disjunctive
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -341,6 +372,15 @@ object WarehouseQueries {
            AND NOT EXISTS (SELECT 1 FROM orders o
                            WHERE o.o_custkey = pool.c_custkey
                              AND o.o_orderdate >= DATE '2000-01-01')
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q_q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)"""
   )
 }

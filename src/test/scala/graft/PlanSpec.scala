@@ -391,6 +391,20 @@ class PlanSpec extends SparkSpec {
       s"the scalar average must combine map-side:\n$plan")
   }
 
+  test("Q19: each side's residual of the OR-of-ANDs pushes into its scan") {
+    val plan = planOf(
+      SparkEntry.queries("q_q19_disjunctive")(spark, "/root/testdata/sf0.001"))
+    // lineitem scan: the quantity-range disjunction reaches PushedFilters
+    assert("PushedFilters: \\[[^\\]]*Or\\(Or\\(And\\(GreaterThanOrEqual\\(l_quantity".r
+        .findFirstIn(plan).nonEmpty,
+      s"the quantity disjunction must push into the lineitem scan:\n$plan")
+    // part scan: the brand/size disjunction reaches PushedFilters
+    assert("Or\\(Or\\(And\\(EqualTo\\(p_brand".r.findFirstIn(plan).nonEmpty,
+      s"the brand/size disjunction must push into the part scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part must broadcast; the full OR confirms after the join:\n$plan")
+  }
+
   test("z-order projection prunes the scan to its two input columns") {
     val dir = graft.io.TempDirs.registered("graft-zorder-scan").toString
     (1L to 20L).map(i => (i, i * 7 % 50, s"pad$i", i * 1.5)).toDF("k", "c", "s", "v")
