@@ -315,6 +315,15 @@ object ExtensionQueries {
       "vec_id", "embedding", queryVec, m = pqM, dims = queryVec.length,
       centroidStep = 50, iters = 2, k = 10)
 
+  /** IVF-PQ top-10: trained coarse probe (3 cells) + ADC re-rank from
+    * PQ codes — the FAISS-style composition, nothing reads a raw
+    * vector at query time ([[graft.operators.Pq.ivfPqTopK]]). */
+  private val qSimIvfPq: Q = (spark, dir) =>
+    graft.operators.Pq.ivfPqTopK(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "vec_id", "embedding", queryVec, coarseStep = 50, coarseIters = 2,
+      nprobe = 3, m = pqM, dims = queryVec.length, pqStep = 50, pqIters = 2,
+      k = 10)
+
   /** Recall CURVE of the seed-quantizer IVF probe: recall@{1,5,10,50}
     * from ONE ranked-list join + one aggregation — the tune-nprobe
     * sweep without a query per k. */
@@ -465,7 +474,8 @@ object ExtensionQueries {
     "q_st12_stream_semdedup" -> qSt12StreamSemdedup,
     "q_st14_stream_lshdedup" -> qSt14StreamLshDedup,
     "q_recall_curve"    -> qRecallCurve,
-    "q_sim_pq_adc"      -> qSimPqAdc
+    "q_sim_pq_adc"      -> qSimPqAdc,
+    "q_sim_ivf_pq"      -> qSimIvfPq
   )
 
   // =====================================================================
@@ -968,6 +978,15 @@ object ExtensionQueries {
       s"""WITH $pqCtes
           SELECT c.vec_id, sum(CAST(round(d2q * 1e6) AS BIGINT)) / 1e6 AS adc_dist
           FROM codes c JOIN dt ON c.sub = dt.sub AND c.cell = dt.cid
+          GROUP BY 1 ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 10""",
+    "q_sim_ivf_pq" ->
+      s"""WITH $ivfKmeansCtes,
+          $pqCtes
+          SELECT c.vec_id, sum(CAST(round(d2q * 1e6) AS BIGINT)) / 1e6 AS adc_dist
+          FROM codes c
+            JOIN dt ON c.sub = dt.sub AND c.cell = dt.cid
+            JOIN af ON af.vec_id = c.vec_id
+            JOIN probe p ON af.cell = p.cell
           GROUP BY 1 ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 10""",
     "q_ann_recall_kmeans" ->
       s"""WITH $ivfKmeansCtes,

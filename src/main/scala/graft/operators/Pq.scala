@@ -156,4 +156,44 @@ object Pq {
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** IVF-PQ top-k — the production ANN composition (FAISS's IVFPQ
+    * layout): a trained coarse quantizer routes the query to its
+    * `nprobe` nearest cells, and ADC re-ranks ONLY those cells'
+    * members from their PQ codes.
+    *
+    * Scale shape: the two quantizers are independent offline
+    * artifacts (coarse cells map to `partitionBy` storage — the probe
+    * partition-prunes the scan to nprobe directories; PQ codes are
+    * the m-bytes-per-vector payload inside each cell). At query time
+    * nothing reads a raw vector: the candidate set is cut FIRST by
+    * the broadcast probe-cell list, then scored by the broadcast m×k
+    * distance table in one id-keyed hash aggregation. Both codebooks
+    * broadcast; the corpus contributes one pruned scan. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], coarseStep: Int, coarseIters: Int,
+                nprobe: Int, m: Int, dims: Int, pqStep: Int, pqIters: Int,
+                k: Int): DataFrame = {
+    val subLen = dims / m
+    val cent = Similarity.kmeansCentroids(emb, idCol, vecCol, coarseStep, coarseIters)
+    val probeCells = cent
+      .withColumn("__qcos",
+        round(Similarity.cosine(col("cvec"), Similarity.vecLit(query)), 6))
+      .orderBy(col("__qcos").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid").as("cell"))
+    val cand = Similarity.ivfAssignTo(emb, idCol, vecCol, cent)
+      .join(broadcast(probeCells), "cell")
+      .select(col(idCol), col(vecCol))
+    val books = codebooks(emb, idCol, vecCol, m, dims, pqStep, pqIters)
+    val dt = books.select(col("sub").as("__dtsub"), col("cid").as("__dtcid"),
+      round(distanceTable(books, query, subLen), 6).as("d2q"))
+    assign(cand, idCol, vecCol, books, subLen)
+      .join(broadcast(dt),
+        col("sub") === col("__dtsub") && col("cell") === col("__dtcid"))
+      .groupBy(col(idCol))
+      .agg((sum(round(col("d2q") * 1e6).cast(LongType)) / 1e6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

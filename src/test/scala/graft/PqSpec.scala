@@ -93,6 +93,37 @@ class PqSpec extends SparkSpec {
       s"top-k must not global-sort:\n$plan")
   }
 
+  test("IVF-PQ with an all-cells probe degrades to plain ADC (routing never rescores)") {
+    val full = Pq.adcTopK(corpus, "vec_id", "embedding", query, m, dims,
+      centroidStep = 4, iters = 1, k = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // nprobe >= cell count: the coarse probe filters nothing, so the
+    // ADC ranking must come through untouched — pins that the probe
+    // only CUTS candidates and the scoring path is shared
+    val probed = Pq.ivfPqTopK(corpus, "vec_id", "embedding", query,
+      coarseStep = 6, coarseIters = 1, nprobe = 100, m = m, dims = dims,
+      pqStep = 4, pqIters = 1, k = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed == full,
+      s"all-cells IVF-PQ diverged from ADC:\n  $probed\n  $full")
+  }
+
+  test("narrow IVF-PQ probe returns a subset of the all-cells ranking's ids") {
+    val all = Pq.ivfPqTopK(corpus, "vec_id", "embedding", query,
+      coarseStep = 6, coarseIters = 1, nprobe = 100, m = m, dims = dims,
+      pqStep = 4, pqIters = 1, k = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val narrow = Pq.ivfPqTopK(corpus, "vec_id", "embedding", query,
+      coarseStep = 6, coarseIters = 1, nprobe = 1, m = m, dims = dims,
+      pqStep = 4, pqIters = 1, k = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(narrow.nonEmpty && narrow.length < 24,
+      s"nprobe=1 on 4 seed cells should cut the candidate set: ${narrow.length}")
+    narrow.foreach { case (id, d) =>
+      assert(all(id) == d, s"vec $id scored $d probed but ${all(id)} unprobed")
+    }
+  }
+
   test("out-of-contract codebook (cid or scale) fails fast") {
     val badCid = Seq((0, -1L, Array.fill(subLen)(0.0)))
       .toDF("sub", "cid", "cvec")
