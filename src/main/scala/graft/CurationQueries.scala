@@ -399,6 +399,19 @@ object CurationQueries {
       .select(col("event_id"), col("user_id"), col("ts"), col("avg_7d"))
   }
 
+  /** 15-minute-grid resample + forward fill over the events stream —
+    * the pandas `resample().sum().ffill()` idiom with the dense grid
+    * constructed distributively ([[graft.operators.TimeSeries]]):
+    * half the buckets at this rate are genuine gaps, so the ffill
+    * path is exercised, not decorative. */
+  private val qTsGapfill: Q = (spark, dir) =>
+    graft.operators.TimeSeries.resampleFfill(
+      Tables.fanOut(Tables.events(spark, dir)),
+      "event_type", "ts", "value", stepSeconds = 900L)
+      .select(col("event_type"),
+        date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket_str"),
+        col("n_events"), col("v_sum"), col("v_ffill"))
+
   /** Native session_window aggregation — Spark's built-in session
     * operator (streaming-capable: the same expression works under
     * withWatermark in a stream). Semantics differ from [[qSessionize]]
@@ -655,6 +668,7 @@ object CurationQueries {
     "q_st16_stream_scd2" -> qSt16StreamScd2,
     "q_st18_late_quarantine" -> qSt18LateQuarantine,
     "q_session_window" -> qSessionWindow,
+    "q_ts_gapfill"     -> qTsGapfill,
     "q_pivot_events"   -> qPivotEvents,
     "q_rolling_avg"    -> qRollingAvg,
     "q_dup_components" -> qDupComponents,
@@ -1125,6 +1139,27 @@ object CurationQueries {
            count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
            count(CASE WHEN event_type = 'error' THEN 1 END) AS error
          FROM events GROUP BY user_id""",
+    "q_ts_gapfill" ->
+      """WITH agg AS (
+           SELECT event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 900 AS bucket,
+                  count(*) AS n_events,
+                  sum(CAST(value AS DECIMAL(18,4))) AS v
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+                  FROM agg GROUP BY 1),
+         grid AS (SELECT event_type, unnest(range(b0, b1 + 1)) AS bucket
+                  FROM span)
+         SELECT g.event_type,
+                strftime(make_timestamp(g.bucket * 900 * 1000000),
+                         '%Y-%m-%d %H:%M:%S') AS bucket_str,
+                coalesce(n_events, 0) AS n_events,
+                CAST(v AS DOUBLE) AS v_sum,
+                CAST(last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY g.event_type ORDER BY g.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS v_ffill
+         FROM grid g LEFT JOIN agg USING (event_type, bucket)""",
     "q_rolling_avg" ->
       """WITH p AS (SELECT event_id, user_id, ts,
            CAST(floor(epoch(ts)) AS BIGINT) AS sec,
