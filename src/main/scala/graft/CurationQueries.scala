@@ -380,6 +380,19 @@ object CurationQueries {
       d.withColumn(t, coalesce(col(t), lit(0L))))
   }
 
+  /** Unpivot (pandas melt) — the pivot's inverse: lineitem's measure
+    * columns to long (id, metric, val) form via the native `unpivot`
+    * operator. Plans as a pure map-side Expand: each row emits one
+    * output row per metric with NO shuffle and no per-metric re-scan,
+    * so the reshape costs exactly one pass at any scale. */
+  private val qUnpivotMeasures: Q = (spark, dir) =>
+    Tables.fanOut(Tables.lineitem(spark, dir))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "val")
+
   /** 7-day rolling average purchase value per user. The window sums
     * integer CENTS (exact, addition-order independent — engines disagree
     * on float summation order inside sliding frames) and divides at the
@@ -670,6 +683,7 @@ object CurationQueries {
     "q_session_window" -> qSessionWindow,
     "q_ts_gapfill"     -> qTsGapfill,
     "q_pivot_events"   -> qPivotEvents,
+    "q_unpivot_measures" -> qUnpivotMeasures,
     "q_rolling_avg"    -> qRollingAvg,
     "q_dup_components" -> qDupComponents,
     "q_split_leakage"  -> qSplitLeakage,
@@ -1139,6 +1153,17 @@ object CurationQueries {
            count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
            count(CASE WHEN event_type = 'error' THEN 1 END) AS error
          FROM events GROUP BY user_id""",
+    "q_unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                l_quantity AS val FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
     "q_ts_gapfill" ->
       """WITH agg AS (
            SELECT event_type,

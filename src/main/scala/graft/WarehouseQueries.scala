@@ -280,6 +280,86 @@ object WarehouseQueries {
         .as("revenue"))
   }
 
+  /** Q1-shaped pricing summary: the canonical full-scan aggregate —
+    * eight aggregates over a date-bounded fact scan, grouped by two
+    * low-cardinality flags.
+    *
+    * Scale shape: the whole query is one scan + one map-side-combined
+    * hash aggregation; group cardinality is |flags|×|status| (≤ 6), so
+    * virtually every row collapses in the partial aggregate and the
+    * exchange moves a handful of rows. All eight aggregates ride the
+    * same pass — adding an aggregate adds a column, never a scan. Sums
+    * and averages round to 4 decimals (the established FP-portability
+    * contract with the oracle). */
+  private val qQ1Pricing: Q = (spark, dir) => {
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= "1998-09-02")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(disc), 4).as("sum_disc_price"),
+        round(sum(disc * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Q10-shaped returned-item report: top 20 customers by revenue lost
+    * to returns in one quarter.
+    *
+    * Scale shape: customer is fact-sized (Q5's lesson), so the naive
+    * join order — customer⋈orders⋈lineitem then aggregate — shuffles
+    * customer's wide payload through the whole spine. Instead the
+    * revenue aggregates FIRST on o_custkey (the fact spine collapses
+    * to ≤ |active customers| narrow rows), and only then joins
+    * customer once on the key both sides shuffle; nation broadcasts
+    * last. The final top-20 is a TakeOrderedAndProject. */
+  private val qQ10Returns: Q = (spark, dir) => {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1996-04-01")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+    Tables.customer(spark, dir)
+      .join(rev, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** Q14-shaped promo revenue share: one ratio over a month of fact
+    * rows — promo-typed parts' share of revenue.
+    *
+    * Scale shape: both the conditional (promo) and unconditional sums
+    * ride ONE aggregation over one broadcast-joined scan; the part
+    * side carries only (partkey, is-promo flag) into the broadcast.
+    * The date filter pushes into the fact scan. A naive form computes
+    * two separate joins/aggregations for numerator and denominator. */
+  private val qQ14PromoShare: Q = (spark, dir) => {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1996-02-01")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("is_promo"), disc).otherwise(lit(0.0))) / sum(disc), 4)
+        .as("promo_share"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_q9_profit"     -> qQ9Profit,
     "q_q18_big_orders" -> qQ18BigOrders,
@@ -288,7 +368,10 @@ object WarehouseQueries {
     "q_q17_small_qty" -> qQ17SmallQty,
     "q_q21_lone_blame" -> qQ21LoneBlame,
     "q_q22_idle_customers" -> qQ22IdleCustomers,
-    "q_q19_disjunctive" -> qQ19Disjunctive
+    "q_q19_disjunctive" -> qQ19Disjunctive,
+    "q_q1_pricing" -> qQ1Pricing,
+    "q_q10_returns" -> qQ10Returns,
+    "q_q14_promo_share" -> qQ14PromoShare
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -381,6 +464,41 @@ object WarehouseQueries {
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-                AND l_quantity BETWEEN 20 AND 30)"""
+                AND l_quantity BETWEEN 20 AND 30)""",
+    "q_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2""",
+    "q_q10_returns" ->
+      """SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           c_acctbal, n_name
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate < DATE '1996-04-01'
+           AND l_returnflag = 'R'
+         GROUP BY 1, 2, 4, 5
+         ORDER BY revenue DESC, c_custkey ASC
+         LIMIT 20""",
+    "q_q14_promo_share" ->
+      """SELECT round(100.0 *
+           sum(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+           sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1996-02-01'"""
   )
 }

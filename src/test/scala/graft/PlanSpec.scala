@@ -405,6 +405,66 @@ class PlanSpec extends SparkSpec {
       s"part must broadcast; the full OR confirms after the join:\n$plan")
   }
 
+  test("Q1: one scan, one map-side-combined aggregation, filter pushed") {
+    val plan = planOf(
+      SparkEntry.queries("q_q1_pricing")(spark, "/root/testdata/sf0.001"))
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"all eight aggregates must ride a single scan:\n$plan")
+    assert(plan.contains("partial_sum") && !plan.contains("Join"),
+      s"one partial-combined aggregation, no joins:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*LessThanOrEqual\\(l_shipdate".r
+        .findFirstIn(plan).nonEmpty,
+      s"the date bound must reach the scan:\n$plan")
+  }
+
+  test("Q10: revenue aggregates below the customer join (fact spine collapses first)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(Option(conf.get(k))).toOption.flatten)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(
+        SparkEntry.queries("q_q10_returns")(spark, "/root/testdata/sf0.001"))
+      // the per-custkey aggregation must sit BELOW the join with customer
+      // (a printed CHILD of the c_custkey join): the join consumes the
+      // collapsed aggregate, not raw lineitem rows
+      val joinIdx = plan.indexOf("oin [c_custkey")
+      val aggIdx = plan.indexOf("HashAggregate(keys=[o_custkey")
+      assert(joinIdx >= 0 && aggIdx > joinIdx,
+        s"revenue must pre-aggregate below the customer join:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-20 must not global-sort:\n$plan")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size == 2,
+        s"exactly lineitem-orders and aggregate-customer may shuffle:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("Q14: numerator and denominator share one aggregation over one joined scan") {
+    val plan = planOf(
+      SparkEntry.queries("q_q14_promo_share")(spark, "/root/testdata/sf0.001"))
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"the ratio must not re-scan the fact table:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size == 2,
+      s"one partial+final aggregation pair serves both sums:\n$plan")
+  }
+
+  test("unpivot plans as a map-side Expand with zero exchanges") {
+    val plan = planOf(
+      SparkEntry.queries("q_unpivot_measures")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("Expand"),
+      s"unpivot must plan as Expand:\n$plan")
+    // fanOut's round-robin split is allowed (a no-op at scale); what the
+    // reshape must never introduce is a KEYED shuffle or per-metric scans
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Union"),
+      s"the reshape must neither key-shuffle nor re-scan per metric:\n$plan")
+  }
+
   test("z-order projection prunes the scan to its two input columns") {
     val dir = graft.io.TempDirs.registered("graft-zorder-scan").toString
     (1L to 20L).map(i => (i, i * 7 % 50, s"pad$i", i * 1.5)).toDF("k", "c", "s", "v")
