@@ -324,6 +324,44 @@ object ExtensionQueries {
       nprobe = 3, m = pqM, dims = queryVec.length, pqStep = 50, pqIters = 2,
       k = 10)
 
+  /** ST19 — streaming ANN index maintenance: the embedding corpus
+    * arrives in three out-of-order micro-batches (residues 2, 0, 1);
+    * each trigger routes + PQ-codes its vectors against quantizers
+    * trained OFFLINE on the full corpus and appends them to the
+    * cell-partitioned codes store. The final probe scores the store —
+    * and must equal the batch IVF-PQ over everything delivered
+    * (same oracle as q_sim_ivf_pq), since routing and coding are
+    * per-row deterministic and the store is append-only. */
+  private val qSt19StreamAnn: Q = (spark, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    val coarse = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      centroidStep = 50, iters = 2)
+    val books = graft.operators.Pq.codebooks(emb, "vec_id", "embedding",
+      m = pqM, dims = queryVec.length, centroidStep = 50, iters = 2)
+    val in = graft.io.TempDirs.registered("graft-q-st19-in").toString
+    val idx = graft.io.TempDirs.registered("graft-q-st19-idx").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st19-ckpt").toString
+    val seen = scala.collection.mutable.Set[String]()
+    Seq(2L, 0L, 1L).zipWithIndex.foreach { case (r, s) =>
+      emb.filter(pmod(col("vec_id"), lit(3L)) === r)
+        .coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + s * 60000L)
+          seen += f.getName
+        }
+      }
+    }
+    val src = graft.streaming.Streaming.parquetSource(spark, in, emb.schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runStreamingAnnIndex(src, "vec_id", "embedding",
+      coarse, books, subLen = queryVec.length / pqM, idx, ckpt)
+    graft.streaming.Streaming.annIndexTopK(spark, idx, coarse, books,
+      subLen = queryVec.length / pqM, queryVec, nprobe = 3, k = 10)
+      .select(col("id").as("vec_id"), col("adc_dist"))
+  }
+
   /** Recall CURVE of the seed-quantizer IVF probe: recall@{1,5,10,50}
     * from ONE ranked-list join + one aggregation — the tune-nprobe
     * sweep without a query per k. */
@@ -475,7 +513,8 @@ object ExtensionQueries {
     "q_st14_stream_lshdedup" -> qSt14StreamLshDedup,
     "q_recall_curve"    -> qRecallCurve,
     "q_sim_pq_adc"      -> qSimPqAdc,
-    "q_sim_ivf_pq"      -> qSimIvfPq
+    "q_sim_ivf_pq"      -> qSimIvfPq,
+    "q_st19_stream_ann" -> qSt19StreamAnn
   )
 
   // =====================================================================
@@ -694,6 +733,19 @@ object ExtensionQueries {
           codes AS ($codes),
           dt AS ($dts)"""
   }
+
+  /** IVF-PQ: the coarse probe/assignment chain joined with the PQ
+    * codes + distance table — used verbatim by both the batch
+    * composition (q_sim_ivf_pq) and the streamed store (q_st19). */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH $ivfKmeansCtes,
+        $pqCtes
+        SELECT c.vec_id, sum(CAST(round(d2q * 1e6) AS BIGINT)) / 1e6 AS adc_dist
+        FROM codes c
+          JOIN dt ON c.sub = dt.sub AND c.cell = dt.cid
+          JOIN af ON af.vec_id = c.vec_id
+          JOIN probe p ON af.cell = p.cell
+        GROUP BY 1 ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 10"""
 
   /** Hamming-radius-1 probe list of the bucket column (bucket itself
     * plus each single-plane flip), as a SQL list literal. */
@@ -979,15 +1031,10 @@ object ExtensionQueries {
           SELECT c.vec_id, sum(CAST(round(d2q * 1e6) AS BIGINT)) / 1e6 AS adc_dist
           FROM codes c JOIN dt ON c.sub = dt.sub AND c.cell = dt.cid
           GROUP BY 1 ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 10""",
-    "q_sim_ivf_pq" ->
-      s"""WITH $ivfKmeansCtes,
-          $pqCtes
-          SELECT c.vec_id, sum(CAST(round(d2q * 1e6) AS BIGINT)) / 1e6 AS adc_dist
-          FROM codes c
-            JOIN dt ON c.sub = dt.sub AND c.cell = dt.cid
-            JOIN af ON af.vec_id = c.vec_id
-            JOIN probe p ON af.cell = p.cell
-          GROUP BY 1 ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 10""",
+    "q_sim_ivf_pq" -> ivfPqOracleSql,
+    // the streamed index must converge to the batch computation — the
+    // oracle IS q_sim_ivf_pq's, shared by construction
+    "q_st19_stream_ann" -> ivfPqOracleSql,
     "q_ann_recall_kmeans" ->
       s"""WITH $ivfKmeansCtes,
           ann AS (SELECT af.vec_id FROM af JOIN probe p ON af.cell = p.cell

@@ -54,7 +54,8 @@ object Pq {
       .filter(col("__ok").isNull).drop("__ok")
 
   /** Assign every (row, subspace) to its nearest codeword. Returns
-    * `(idCol, vecCol, sub, cell)` with the vector carried through so
+    * `(idCol, vecCol, carry..., sub, cell)` with the vector (and any
+    * `carry` columns, e.g. a coarse-cell id) carried through so
     * downstream means/scoring need no re-join.
     *
     * Scale shape: ONE scan of the corpus against a broadcast m×k
@@ -62,16 +63,17 @@ object Pq {
     * [[Similarity.ivfAssignTo]] (map-side combine collapses n·m·k to
     * n·m before the exchange, nothing sorts). */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
-             books: DataFrame, subLen: Int): DataFrame =
+             books: DataFrame, subLen: Int,
+             carry: Seq[String] = Nil): DataFrame =
     emb.join(broadcast(checked(books)))
       .withColumn("__d2",
         round(l2sqSub(col(vecCol), col("sub"), subLen, col("cvec")), 6))
       .withColumn("__packed",
         round(col("__d2") * 1e6).cast(LongType) * B + col("cid"))
-      .groupBy(col(idCol), col(vecCol), col("sub"))
+      .groupBy(col(idCol) +: col(vecCol) +: carry.map(col) :+ col("sub"): _*)
       .agg(min(col("__packed")).as("__mp"))
-      .select(col(idCol), col(vecCol), col("sub"),
-        pmod(col("__mp"), lit(B)).as("cell"))
+      .select(col(idCol) +: col(vecCol) +: carry.map(col) :+ col("sub") :+
+        pmod(col("__mp"), lit(B)).as("cell"): _*)
 
   /** Per-subspace codebooks `(sub, cid, cvec)`: seeds are every
     * `centroidStep`-th vector's slices (cid = seed id, matching the

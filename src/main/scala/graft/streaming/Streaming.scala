@@ -976,4 +976,85 @@ object Streaming {
           .otherwise(col("n")).as("n"))
       .distinct()
   }
+
+  // ---------------------------------------------------------------------
+  // ST19 — streaming ANN index maintenance: new vectors are routed and
+  // coded against FIXED offline-trained quantizers (coarse cells + PQ
+  // codebooks) as they arrive, and appended to a cell-partitioned codes
+  // store. Vector ids are immutable, so the store is append-only — no
+  // merge, no rewrite, no GC pressure: each trigger writes ONLY its own
+  // batch, into `indexRoot/batch=<id>/cell=<c>/` via DYNAMIC partition
+  // overwrite — a replayed trigger rewrites exactly its own batch=<id>
+  // partitions and touches nothing else, the same crash-safety argument
+  // as the merge manifest without needing one.
+  //
+  // Scale shape per trigger: one broadcast of each quantizer, one scan
+  // of the batch, zero contact with existing state — trigger cost is
+  // O(batch), independent of index size. At query time the probe list
+  // prunes the scan to nprobe cell directories (static partition
+  // pruning at file-index time) and scoring reads codes only — the
+  // same ADC plan as Pq.ivfPqTopK, off the incrementally-built store.
+  // ---------------------------------------------------------------------
+  /** Drain `src` (vector deliveries) into the codes store: per batch,
+    * coarse-assign + PQ-code each vector and write
+    * `(id, codes)` partitioned by coarse cell under `indexRoot/b<id>/`. */
+  def runStreamingAnnIndex(src: DataFrame, idCol: String, vecCol: String,
+                           coarse: DataFrame, books: DataFrame, subLen: Int,
+                           indexRoot: String, checkpointPath: String): Unit = {
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val routed = graft.operators.Similarity
+            .ivfAssignTo(batch, idCol, vecCol, coarse)
+            .withColumnRenamed("cell", "ivf_cell")
+          graft.operators.Pq
+            .assign(routed, idCol, vecCol, books, subLen, carry = Seq("ivf_cell"))
+            .groupBy(col(idCol), col("ivf_cell"))
+            .agg(transform(
+              array_sort(collect_list(struct(col("sub"), col("cell")))),
+              e => e.getField("cell")).as("codes"))
+            .select(col(idCol).as("id"), col("ivf_cell").as("cell"),
+              col("codes"), lit(id).as("batch"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "cell")
+            .parquet(indexRoot)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** ADC top-k off the streamed store: probe cells resolve from the
+    * coarse quantizer (nprobe ids — a bounded driver-side collect, like
+    * the merge manifest), the store scan partition-prunes to those cell
+    * directories, and the broadcast distance table scores the codes.
+    * Equals [[graft.operators.Pq.ivfPqTopK]] over everything delivered. */
+  def annIndexTopK(spark: SparkSession, indexRoot: String,
+                   coarse: DataFrame, books: DataFrame, subLen: Int,
+                   query: Seq[Double], nprobe: Int, k: Int): DataFrame = {
+    val probes = coarse
+      .withColumn("__qcos",
+        round(graft.operators.Similarity.cosine(col("cvec"),
+          graft.operators.Similarity.vecLit(query)), 6))
+      .orderBy(col("__qcos").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid")).collect().map(_.getLong(0)).toSeq
+    val dt = books.select(col("sub").as("__dtsub"), col("cid").as("__dtcid"),
+      round(graft.operators.Pq.distanceTable(books, query, subLen), 6).as("d2q"))
+    spark.read.parquet(indexRoot)
+      .filter(col("cell").isin(probes: _*))
+      .select(col("id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(dt),
+        col("sub") === col("__dtsub") && col("code") === col("__dtcid"))
+      .groupBy(col("id"))
+      .agg((sum(round(col("d2q") * 1e6)
+        .cast(org.apache.spark.sql.types.LongType)) / 1e6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("id").asc)
+      .limit(k)
+  }
 }

@@ -124,6 +124,48 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ST19: streamed store partition-prunes the probe; a drained checkpoint re-run is a no-op") {
+    val coarse = Pq.codebooks(corpus, "vec_id", "embedding", 1, dims, 6, 1)
+      .select(col("cid"), col("cvec"))
+    val books = Pq.codebooks(corpus, "vec_id", "embedding", m, dims, 4, 1)
+    val in = graft.io.TempDirs.registered("graft-st19spec-in").toString
+    val idx = graft.io.TempDirs.registered("graft-st19spec-idx").toString
+    val ckpt = graft.io.TempDirs.registered("graft-st19spec-ckpt").toString
+    corpus.filter(col("vec_id") < 12).coalesce(1).write.mode("append").parquet(in)
+    corpus.filter(col("vec_id") >= 12).coalesce(1).write.mode("append").parquet(in)
+    def drain(): Unit = graft.streaming.Streaming.runStreamingAnnIndex(
+      graft.streaming.Streaming.parquetSource(spark, in, corpus.schema, 1),
+      "vec_id", "embedding", coarse, books, subLen, idx, ckpt)
+    drain()
+    val topk = graft.streaming.Streaming.annIndexTopK(
+      spark, idx, coarse, books, subLen, query, nprobe = 2, k = 24)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty,
+      s"the probe must prune cell partitions at the file index:\n$plan")
+    val first = topk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(first.nonEmpty)
+    // all vectors delivered + an all-cells probe => identical to batch IVF-PQ
+    val batch = Pq.ivfPqTopK(corpus, "vec_id", "embedding", query,
+      coarseStep = 6, coarseIters = 1, nprobe = 100, m = m, dims = dims,
+      pqStep = 4, pqIters = 1, k = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val streamedAll = graft.streaming.Streaming.annIndexTopK(
+      spark, idx, coarse, books, subLen, query, nprobe = 100, k = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamedAll == batch,
+      s"streamed store must converge to the batch computation:\n$streamedAll\n$batch")
+    // re-drain on the same checkpoint with no new files: store unchanged
+    def storeFiles() = {
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        Option(f.listFiles).map(_.toSeq.flatMap(walk)).getOrElse(Seq((f.getPath, f.length)))
+      walk(new java.io.File(idx)).sortBy(_._1)
+    }
+    val before = storeFiles()
+    drain()
+    assert(storeFiles() == before,
+      "a drained checkpoint must not rewrite or duplicate the store")
+  }
+
   test("out-of-contract codebook (cid or scale) fails fast") {
     val badCid = Seq((0, -1L, Array.fill(subLen)(0.0)))
       .toDF("sub", "cid", "cvec")
