@@ -1033,7 +1033,22 @@ object Streaming {
     * coarse quantizer (nprobe ids — a bounded driver-side collect, like
     * the merge manifest), the store scan partition-prunes to those cell
     * directories, and the broadcast distance table scores the codes.
-    * Equals [[graft.operators.Pq.ivfPqTopK]] over everything delivered. */
+    * Equals [[graft.operators.Pq.ivfPqTopK]] over everything delivered.
+    *
+    * Re-delivered ids (vector UPDATES — a later batch re-coding the
+    * same id) resolve latest-batch-wins: per (id, subspace) the code
+    * from the highest batch survives via a packed-long `max` (batch·B +
+    * code, both bounded — the same mutable-buffer HashAggregate idiom
+    * as the assignment argmin, never a window or sort), so a stale
+    * row can neither double a score nor shadow the update.
+    *
+    * CONTRACT: the resolution sees only PROBED partitions. An update
+    * that moves an id to a different coarse cell leaves the stale row
+    * in the old cell's partitions — correct whenever both or neither
+    * cell is probed, but a probe hitting ONLY the old cell scores the
+    * stale code. A deployment taking cross-cell updates runs periodic
+    * compaction that drops superseded ids per cell (the st15 manifest
+    * compaction shape); same-cell updates need nothing. */
   def annIndexTopK(spark: SparkSession, indexRoot: String,
                    coarse: DataFrame, books: DataFrame, subLen: Int,
                    query: Seq[Double], nprobe: Int, k: Int): DataFrame = {
@@ -1046,9 +1061,13 @@ object Streaming {
       .select(col("cid")).collect().map(_.getLong(0)).toSeq
     val dt = books.select(col("sub").as("__dtsub"), col("cid").as("__dtcid"),
       round(graft.operators.Pq.distanceTable(books, query, subLen), 6).as("d2q"))
+    val b = 1L << 30 // codes are PQ cids (< 2^30 by Pq's checked contract)
     spark.read.parquet(indexRoot)
       .filter(col("cell").isin(probes: _*))
-      .select(col("id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col("id"), col("batch"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .groupBy(col("id"), col("sub"))
+      .agg(max(col("batch") * b + col("code")).as("__bp"))
+      .select(col("id"), col("sub"), pmod(col("__bp"), lit(b)).as("code"))
       .join(broadcast(dt),
         col("sub") === col("__dtsub") && col("code") === col("__dtcid"))
       .groupBy(col("id"))

@@ -164,6 +164,21 @@ class PqSpec extends SparkSpec {
     drain()
     assert(storeFiles() == before,
       "a drained checkpoint must not rewrite or duplicate the store")
+    // UPDATE: re-deliver id 0 carrying id 5's embedding in a new batch.
+    // Latest-batch-wins resolution => id 0 now codes identically to id 5:
+    // equal ADC scores, and still exactly one row per id (no doubling).
+    val v5 = corpus.filter(col("vec_id") === 5L)
+      .select(lit(0L).as("vec_id"), col("embedding"))
+    v5.coalesce(1).write.mode("append").parquet(in)
+    drain()
+    val updated = graft.streaming.Streaming.annIndexTopK(
+      spark, idx, coarse, books, subLen, query, nprobe = 100, k = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(updated.size == 24, s"update must not duplicate ids: ${updated.size}")
+    assert(updated(0L) == updated(5L),
+      s"updated id 0 must score as id 5: ${updated(0L)} vs ${updated(5L)}")
+    assert(updated(0L) != streamedAll.toMap.apply(0L),
+      "the stale code must not survive the update")
   }
 
   test("out-of-contract codebook (cid or scale) fails fast") {
