@@ -120,10 +120,11 @@ object Pq {
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
         e => e.getField("cell")).as("codes"))
 
-  /** ADC distance table for one query: `(sub, cid, d2q)` — m·k rows of
-    * rounded squared L2 from the query's slices to every codeword,
-    * computed on the codebook relation (never the corpus). */
-  def distanceTable(books: DataFrame, query: Seq[Double], subLen: Int): Column = {
+  /** ADC distance COLUMN for one query, evaluated over the codebook
+    * relation (never the corpus): squared L2 from the query's `sub`-th
+    * slice to the row's codeword — select it on `books` (m·k rows) to
+    * materialize the distance table. */
+  def distanceTable(query: Seq[Double], subLen: Int): Column = {
     // per-row: query slice selected by the sub column, unrolled terms
     (0 until subLen).map { i =>
       val qi = element_at(
@@ -149,7 +150,7 @@ object Pq {
     val subLen = dims / m
     val books = codebooks(emb, idCol, vecCol, m, dims, centroidStep, iters)
     val dt = books.select(col("sub").as("__dtsub"), col("cid").as("__dtcid"),
-      round(distanceTable(books, query, subLen), 6).as("d2q"))
+      round(distanceTable(query, subLen), 6).as("d2q"))
     assign(emb, idCol, vecCol, books, subLen)
       .join(broadcast(dt),
         col("sub") === col("__dtsub") && col("cell") === col("__dtcid"))
@@ -189,7 +190,7 @@ object Pq {
       .select(col(idCol), col(vecCol))
     val books = codebooks(emb, idCol, vecCol, m, dims, pqStep, pqIters)
     val dt = books.select(col("sub").as("__dtsub"), col("cid").as("__dtcid"),
-      round(distanceTable(books, query, subLen), 6).as("d2q"))
+      round(distanceTable(query, subLen), 6).as("d2q"))
     assign(cand, idCol, vecCol, books, subLen)
       .join(broadcast(dt),
         col("sub") === col("__dtsub") && col("cell") === col("__dtcid"))

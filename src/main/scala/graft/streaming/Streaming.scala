@@ -1060,7 +1060,7 @@ object Streaming {
       .limit(nprobe)
       .select(col("cid")).collect().map(_.getLong(0)).toSeq
     val dt = books.select(col("sub").as("__dtsub"), col("cid").as("__dtcid"),
-      round(graft.operators.Pq.distanceTable(books, query, subLen), 6).as("d2q"))
+      round(graft.operators.Pq.distanceTable(query, subLen), 6).as("d2q"))
     val b = 1L << 30 // codes are PQ cids (< 2^30 by Pq's checked contract)
     spark.read.parquet(indexRoot)
       .filter(col("cell").isin(probes: _*))
