@@ -1076,4 +1076,49 @@ object Streaming {
       .orderBy(col("adc_dist").asc, col("id").asc)
       .limit(k)
   }
+
+  /** Offline maintenance for the streamed codes store: drop every
+    * superseded row (older deliveries of re-delivered ids — including
+    * cross-cell stale rows, closing [[annIndexTopK]]'s probe contract)
+    * while keeping each surviving row's ORIGINAL batch stamp.
+    *
+    * Crash-safety without a manifest, in three one-way steps:
+    * 1. survivors (latest batch per id, via one id-keyed aggregation +
+    *    one co-partitioned join — an offline job's two scans) are
+    *    staged to a sibling directory: the live store is untouched;
+    * 2. staged partitions dynamically overwrite their originals —
+    *    every partition holding ≥1 survivor is rewritten to exactly
+    *    its survivors under Spark's job-level commit;
+    * 3. wholly-superseded batch/cell partition dirs (no survivors, so
+    *    step 2 never touched them) and the staging dir are deleted.
+    * A crash after any step leaves only EXTRA stale rows, never
+    * missing ones — and stale rows are exactly what latest-wins reads
+    * already resolve; re-running compaction converges. */
+  def compactAnnIndex(spark: SparkSession, indexRoot: String): Unit = {
+    val staging = indexRoot + "__compact"
+    val store = spark.read.parquet(indexRoot)
+    val latest = store.groupBy(col("id")).agg(max(col("batch")).as("batch"))
+    store.join(latest, Seq("id", "batch"))
+      .write.mode("overwrite").partitionBy("batch", "cell").parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell").parquet(indexRoot)
+    val surviving = spark.read.parquet(staging)
+      .select(col("batch"), col("cell")).distinct()
+      .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+    }
+    Option(new java.io.File(indexRoot).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("batch=")).foreach { bDir =>
+        val b = bDir.getName.stripPrefix("batch=")
+        Option(bDir.listFiles).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("cell=")).foreach { cDir =>
+            if (!surviving((b, cDir.getName.stripPrefix("cell=")))) del(cDir)
+          }
+        if (Option(bDir.listFiles).forall(_.isEmpty)) del(bDir)
+      }
+    del(new java.io.File(staging))
+  }
 }

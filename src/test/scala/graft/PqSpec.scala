@@ -179,6 +179,18 @@ class PqSpec extends SparkSpec {
       s"updated id 0 must score as id 5: ${updated(0L)} vs ${updated(5L)}")
     assert(updated(0L) != streamedAll.toMap.apply(0L),
       "the stale code must not survive the update")
+    // COMPACTION: drops the superseded row (one row per id), preserves
+    // every score, and converges when re-run
+    graft.streaming.Streaming.compactAnnIndex(spark, idx)
+    val store = spark.read.parquet(idx)
+    assert(store.count() == 24 && store.select("id").distinct().count() == 24,
+      "compaction must leave exactly one row per id")
+    val afterCompact = graft.streaming.Streaming.annIndexTopK(
+      spark, idx, coarse, books, subLen, query, nprobe = 100, k = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(afterCompact == updated, "compaction must not change any score")
+    graft.streaming.Streaming.compactAnnIndex(spark, idx)
+    assert(spark.read.parquet(idx).count() == 24, "compaction must be idempotent")
   }
 
   test("out-of-contract codebook (cid or scale) fails fast") {
