@@ -362,6 +362,28 @@ object ExtensionQueries {
       .select(col("id").as("vec_id"), col("adc_dist"))
   }
 
+  /** Recall@10 of PQ-ADC against exact squared-L2 ground truth — the
+    * compression-side index eval (the IVF recalls measure ROUTING loss;
+    * this measures CODING loss: how much the m-subspace quantization
+    * distorts the ranking). On this synthetic corpus the number is LOW
+    * by design: near-uniform vectors have no cluster structure for 10
+    * codewords per subspace to exploit, which is exactly what the eval
+    * exists to expose — production tuning raises k toward 256 and
+    * watches this query until it clears the target. */
+  private val qPqRecall: Q = (spark, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    val ann = graft.operators.Pq.adcTopK(emb, "vec_id", "embedding",
+      queryVec, m = pqM, dims = queryVec.length, centroidStep = 50,
+      iters = 2, k = 10)
+    val l2 = round((0 until queryVec.length).map { i =>
+      val d = element_at(col("embedding"), i + 1).cast(DoubleType) - lit(queryVec(i))
+      d * d
+    }.reduce(_ + _), 6)
+    val truth = emb.select(col("vec_id"), l2.as("__d2"))
+      .orderBy(col("__d2").asc, col("vec_id").asc).limit(10)
+    Similarity.recallAtK(ann, truth, "vec_id", 10)
+  }
+
   /** Recall CURVE of the seed-quantizer IVF probe: recall@{1,5,10,50}
     * from ONE ranked-list join + one aggregation — the tune-nprobe
     * sweep without a query per k. */
@@ -514,7 +536,8 @@ object ExtensionQueries {
     "q_recall_curve"    -> qRecallCurve,
     "q_sim_pq_adc"      -> qSimPqAdc,
     "q_sim_ivf_pq"      -> qSimIvfPq,
-    "q_st19_stream_ann" -> qSt19StreamAnn
+    "q_st19_stream_ann" -> qSt19StreamAnn,
+    "q_pq_recall"       -> qPqRecall
   )
 
   // =====================================================================
@@ -746,6 +769,14 @@ object ExtensionQueries {
           JOIN af ON af.vec_id = c.vec_id
           JOIN probe p ON af.cell = p.cell
         GROUP BY 1 ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 10"""
+
+  /** Full-vector rounded squared L2 from the query literals — the
+    * exact ground truth the PQ recall compares against. */
+  private lazy val pqExactL2Sql: String =
+    "round(" + (1 to 64).map { i =>
+      val q = queryVec(i - 1)
+      s"($q - CAST(embedding[$i] AS DOUBLE)) * ($q - CAST(embedding[$i] AS DOUBLE))"
+    }.mkString(" + ") + ", 6)"
 
   /** Hamming-radius-1 probe list of the bucket column (bucket itself
     * plus each single-plane flip), as a SQL list literal. */
@@ -1032,6 +1063,19 @@ object ExtensionQueries {
           FROM codes c JOIN dt ON c.sub = dt.sub AND c.cell = dt.cid
           GROUP BY 1 ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 10""",
     "q_sim_ivf_pq" -> ivfPqOracleSql,
+    "q_pq_recall" ->
+      s"""WITH $pqCtes,
+          adc AS (SELECT c.vec_id
+                  FROM codes c JOIN dt ON c.sub = dt.sub AND c.cell = dt.cid
+                  GROUP BY 1
+                  ORDER BY sum(CAST(round(d2q * 1e6) AS BIGINT)) / 1e6 ASC,
+                           c.vec_id ASC LIMIT 10),
+          truth AS (SELECT vec_id FROM embeddings
+                    ORDER BY $pqExactL2Sql ASC, vec_id ASC LIMIT 10),
+          h AS (SELECT count(*) AS n_hits FROM adc
+                WHERE vec_id IN (SELECT vec_id FROM truth))
+          SELECT CAST(10 AS BIGINT) AS k, n_hits,
+                 round(n_hits / 10.0, 4) AS recall FROM h""",
     // the streamed index must converge to the batch computation — the
     // oracle IS q_sim_ivf_pq's, shared by construction
     "q_st19_stream_ann" -> ivfPqOracleSql,
