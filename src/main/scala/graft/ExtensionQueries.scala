@@ -384,6 +384,17 @@ object ExtensionQueries {
     Similarity.recallAtK(ann, truth, "vec_id", 10)
   }
 
+  /** Per-subspace PQ quantization MSE after the trained rounds — the
+    * codebook-health report read before shipping an index build. */
+  private val qPqDistortion: Q = (spark, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    val books = graft.operators.Pq.codebooks(emb, "vec_id", "embedding",
+      m = pqM, dims = queryVec.length, centroidStep = 50, iters = 2)
+    graft.operators.Pq.distortion(emb, "vec_id", "embedding", books,
+      subLen = queryVec.length / pqM)
+      .select(col("sub").cast(LongType).as("sub"), col("n"), col("mse"))
+  }
+
   /** Recall CURVE of the seed-quantizer IVF probe: recall@{1,5,10,50}
     * from ONE ranked-list join + one aggregation — the tune-nprobe
     * sweep without a query per k. */
@@ -537,7 +548,8 @@ object ExtensionQueries {
     "q_sim_pq_adc"      -> qSimPqAdc,
     "q_sim_ivf_pq"      -> qSimIvfPq,
     "q_st19_stream_ann" -> qSt19StreamAnn,
-    "q_pq_recall"       -> qPqRecall
+    "q_pq_recall"       -> qPqRecall,
+    "q_pq_distortion"   -> qPqDistortion
   )
 
   // =====================================================================
@@ -1063,6 +1075,17 @@ object ExtensionQueries {
           FROM codes c JOIN dt ON c.sub = dt.sub AND c.cell = dt.cid
           GROUP BY 1 ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 10""",
     "q_sim_ivf_pq" -> ivfPqOracleSql,
+    "q_pq_distortion" ->
+      s"""WITH $pqCtes,
+          dist AS (${(0 until pqM).map(su =>
+            s"""SELECT vec_id, $su AS sub,
+                min(${pqL2Sql("e.sv", "c.cvec")}) AS d2
+                FROM sub$su e CROSS JOIN pc${su}2 c GROUP BY 1, 2""")
+            .mkString("\n            UNION ALL ")})
+          SELECT CAST(sub AS BIGINT) AS sub, count(*) AS n,
+                 round(CAST(sum(CAST(round(d2 * 1e6) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1e6, 6) AS mse
+          FROM dist GROUP BY 1""",
     "q_pq_recall" ->
       s"""WITH $pqCtes,
           adc AS (SELECT c.vec_id

@@ -120,6 +120,28 @@ object Pq {
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
         e => e.getField("cell")).as("codes"))
 
+  /** Quantization-distortion report: per subspace, the corpus size and
+    * mean squared error to the chosen codeword — the standard PQ
+    * training diagnostic (watch it fall across Lloyd rounds; a subspace
+    * whose MSE dwarfs the others wants more codewords or a different
+    * split). One assignment scan plus a broadcast re-join to the m×k
+    * codebook; the error mean rides integer-quantized sums so shards
+    * merge exactly. */
+  def distortion(emb: DataFrame, idCol: String, vecCol: String,
+                 books: DataFrame, subLen: Int): DataFrame = {
+    val b = books.select(col("sub").as("__bsub"), col("cid").as("__bcid"),
+      col("cvec"))
+    assign(emb, idCol, vecCol, books, subLen)
+      .join(broadcast(b),
+        col("sub") === col("__bsub") && col("cell") === col("__bcid"))
+      .withColumn("__q",
+        round(round(l2sqSub(col(vecCol), col("sub"), subLen, col("cvec")), 6)
+          * 1e6).cast(LongType))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__q")).cast(DoubleType) / count(lit(1)) / 1e6, 6).as("mse"))
+  }
+
   /** ADC distance COLUMN for one query, evaluated over the codebook
     * relation (never the corpus): squared L2 from the query's `sub`-th
     * slice to the row's codeword — select it on `books` (m·k rows) to

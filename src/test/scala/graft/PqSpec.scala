@@ -193,6 +193,24 @@ class PqSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == 24, "compaction must be idempotent")
   }
 
+  test("distortion: Lloyd training never increases a subspace's MSE; exact-codebook MSE is zero") {
+    def mse(iters: Int): Map[Int, Double] =
+      Pq.distortion(corpus, "vec_id", "embedding",
+        Pq.codebooks(corpus, "vec_id", "embedding", m, dims, 6, iters), subLen)
+        .collect().map(r => (r.getInt(0), r.getDouble(2))).toMap
+    val before = mse(0)
+    val after = mse(2)
+    (0 until m).foreach { s =>
+      assert(after(s) <= before(s) + 1e-4, // 6-dp quantized means can wobble a rounded MSE by ~1e-6
+        s"sub $s: training worsened MSE ${before(s)} -> ${after(s)}")
+    }
+    // codebook = corpus => every vector quantizes to itself, MSE 0
+    val exact = Pq.distortion(corpus, "vec_id", "embedding",
+      Pq.codebooks(corpus, "vec_id", "embedding", m, dims, 1, 0), subLen)
+      .collect().map(_.getDouble(2))
+    assert(exact.forall(_ == 0.0), s"self-codebook MSE must be zero: ${exact.toSeq}")
+  }
+
   test("out-of-contract codebook (cid or scale) fails fast") {
     val badCid = Seq((0, -1L, Array.fill(subLen)(0.0)))
       .toDF("sub", "cid", "cvec")
