@@ -566,6 +566,70 @@ object CurationQueries {
       .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
   }
 
+  /** ST20 — stream-stream LEFT OUTER join: purchases joined to the
+    * clicks that preceded them within an hour, where a purchase with NO
+    * qualifying click must still emit, null-padded — and the engine may
+    * emit that null only once the GLOBAL watermark proves no matching
+    * click can ever arrive. The harness advances the watermark past all
+    * real rows with far-future sentinel deliveries (negative keys,
+    * which can never join real rows) and drains twice — the watermark
+    * lags one trigger, so the flush lands in the second drain; a live
+    * stream gets both for free from ongoing data. Oracle is the plain
+    * batch LEFT JOIN over the real rows. */
+  private val qStStreamOuterJoin: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").cast("timestamp").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").cast("timestamp").as("c_ts"))
+    val pIn = graft.io.TempDirs.registered("graft-q-st20-p").toString
+    val cIn = graft.io.TempDirs.registered("graft-q-st20-c").toString
+    val out = graft.io.TempDirs.registered("graft-q-st20-out").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st20-ckpt").toString
+    def sentinel(df: DataFrame, key: Long, plusDays: Int): DataFrame = {
+      val far = ev.agg(max(col("ts")).cast("timestamp")).head.getTimestamp(0)
+      val cols = df.columns
+      df.sparkSession.range(1).select(
+        lit(key).as(cols(0)), lit(key).as(cols(1)),
+        (lit(far) + expr(s"INTERVAL $plusDays DAYS")).as(cols(2)))
+    }
+    // delivery 1: all real rows; delivery 2: watermark-pushing sentinels
+    purchases.coalesce(1).write.mode("append").parquet(pIn)
+    clicks.coalesce(1).write.mode("append").parquet(cIn)
+    Seq(pIn, cIn).foreach(d => new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("part-")).foreach(_.setLastModified(1700000000000L)))
+    sentinel(purchases, -1L, 1).coalesce(1).write.mode("append").parquet(pIn)
+    sentinel(clicks, -1L, 1).coalesce(1).write.mode("append").parquet(cIn)
+    Seq(pIn, cIn).foreach(d => new java.io.File(d).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.lastModified > 1700000000000L)
+      .foreach(_.setLastModified(1700000060000L)))
+    // both delivery files fit one trigger: the null flush needs only the
+    // across-DRAIN watermark lag, not per-file triggers
+    def drain(): Unit = graft.streaming.Streaming.runStreamStreamJoin(
+      graft.streaming.Streaming.parquetSource(spark, pIn, purchases.schema,
+        maxFilesPerTrigger = 2),
+      graft.streaming.Streaming.parquetSource(spark, cIn, clicks.schema,
+        maxFilesPerTrigger = 2),
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"),
+      "2 hours", "p_ts", "c_ts", out, ckpt, joinType = "left_outer")
+    drain()
+    // second sentinel wave + drain: the watermark from wave 1 applies to
+    // these triggers and flushes every pending null-padded purchase
+    sentinel(purchases, -2L, 2).coalesce(1).write.mode("append").parquet(pIn)
+    sentinel(clicks, -2L, 2).coalesce(1).write.mode("append").parquet(cIn)
+    Seq(pIn, cIn).foreach(d => new java.io.File(d).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.lastModified > 1700000060000L)
+      .foreach(_.setLastModified(1700000120000L)))
+    drain()
+    spark.read.parquet(out)
+      .filter(col("p_user") >= 0)
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+  }
+
   /** Exact-count sample: exactly 5 docs per source by salted-hash
     * order (eval-set construction; binomial gates can't hit quotas). */
   private val qExactSample: Q = (spark, dir) =>
@@ -670,6 +734,7 @@ object CurationQueries {
     "q_merge_upsert"   -> qMergeUpsert,
     "q_exact_sample"   -> qExactSample,
     "q_st9_stream_join" -> qStStreamJoin,
+    "q_st20_stream_outer_join" -> qStStreamOuterJoin,
     "q_dup_canonical"  -> qDupCanonical,
     "q_t_chunk"        -> qTChunk,
     "q_mix_sample"     -> qMixSample,
@@ -1017,6 +1082,13 @@ object CurationQueries {
            ON p.event_type = 'purchase' AND c.event_type = 'click'
           AND p.user_id = c.user_id
           AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts""",
+    "q_st20_stream_outer_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+         FROM events p LEFT JOIN events c
+           ON c.event_type = 'click'
+          AND p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+         WHERE p.event_type = 'purchase'""",
     "q_dup_canonical" ->
       s"""WITH RECURSIVE ${ExtensionQueries.lshJaccardCtes},
           edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs

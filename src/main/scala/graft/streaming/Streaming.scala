@@ -185,13 +185,23 @@ object Streaming {
   // watermark, so the result equals the batch join over the same
   // deliveries (the oracle).
   // ---------------------------------------------------------------------
+  // For OUTER variants the null side emits only once the GLOBAL
+  // watermark (min across both inputs) passes the row's joinable
+  // horizon — which is why outer stream-stream joins REQUIRE the
+  // event-time range in the condition: it bounds how long a row must
+  // wait before the engine can prove no match will arrive. The
+  // watermark lags one trigger, so a drain flushes pending nulls only
+  // on a SUBSEQUENT trigger — callers advance it by delivering a
+  // watermark-pushing sentinel and draining again (the q_st20 harness
+  // shape); a live stream gets this for free from ongoing data.
   def runStreamStreamJoin(left: DataFrame, right: DataFrame,
                           joinExpr: Column, watermarkDelay: String,
                           leftTs: String, rightTs: String,
-                          sinkPath: String, checkpointPath: String): Unit = {
+                          sinkPath: String, checkpointPath: String,
+                          joinType: String = "inner"): Unit = {
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
-    l.join(r, joinExpr, "inner").writeStream
+    l.join(r, joinExpr, joinType).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .option("path", sinkPath)
