@@ -194,7 +194,12 @@ object Pq {
     * nothing reads a raw vector: the candidate set is cut FIRST by
     * the broadcast probe-cell list, then scored by the broadcast m×k
     * distance table in one id-keyed hash aggregation. Both codebooks
-    * broadcast; the corpus contributes one pruned scan. */
+    * broadcast; the corpus contributes one pruned scan.
+    *
+    * Metrics are deliberately mixed, per the IVF-PQ convention: the
+    * coarse probe routes by COSINE (consistent with this engine's IVF
+    * family), the PQ re-rank scores by L2 — routing only needs to find
+    * the right neighborhoods, and the ADC table is an L2 structure. */
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
                 query: Seq[Double], coarseStep: Int, coarseIters: Int,
                 nprobe: Int, m: Int, dims: Int, pqStep: Int, pqIters: Int,
