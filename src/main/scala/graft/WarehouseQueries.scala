@@ -360,6 +360,58 @@ object WarehouseQueries {
         .as("promo_share"))
   }
 
+  /** Q13-shaped customer order-count distribution: how many customers
+    * placed 0, 1, 2, … qualifying orders — the canonical LEFT OUTER
+    * aggregate whose zero bucket exists ONLY because customers without
+    * orders survive the join.
+    *
+    * Scale shape: orders pre-aggregates to one row per active custkey
+    * BEFORE the outer join (Q10's lesson — the wide side joins a
+    * collapsed relation, one shuffle each on the shared key), nulls
+    * coalesce to the zero bucket, and the distribution aggregate is
+    * |distinct counts|-sized so partials collapse map-side. The join
+    * must be customer LEFT OUTER counts — an inner join silently
+    * deletes the zero bucket, the classic Q13 bug. */
+  private val qQ13CustDist: Q = (spark, dir) => {
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("__n"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("__n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Q16-shaped supplier-variety count: distinct suppliers shipping
+    * each qualifying (brand, size), excluding a complaint set — the
+    * canonical NOT IN turned anti join plus a grouped COUNT DISTINCT.
+    * (NOT IN's three-valued-logic trap — one NULL in the subquery
+    * empties the result — does not arise: s_suppkey is a key; the anti
+    * join is exactly equivalent here and is what NOT IN must compile
+    * to at scale anyway.)
+    *
+    * Scale shape: the excluded-supplier set is dimension-sized and
+    * broadcasts as a LEFT ANTI gate on the fact scan; part gates
+    * broadcast likewise; the only exchange is the distinct-supplier
+    * aggregation, which Spark plans as the two-level (keys+value,
+    * then keys) hash aggregate — partial combines collapse repeats
+    * map-side, nothing sorts. */
+  private val qQ16SupplierCnt: Q = (spark, dir) => {
+    val excl = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#45" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_q9_profit"     -> qQ9Profit,
     "q_q18_big_orders" -> qQ18BigOrders,
@@ -371,7 +423,9 @@ object WarehouseQueries {
     "q_q19_disjunctive" -> qQ19Disjunctive,
     "q_q1_pricing" -> qQ1Pricing,
     "q_q10_returns" -> qQ10Returns,
-    "q_q14_promo_share" -> qQ14PromoShare
+    "q_q14_promo_share" -> qQ14PromoShare,
+    "q_q13_custdist" -> qQ13CustDist,
+    "q_q16_supplier_cnt" -> qQ16SupplierCnt
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -499,6 +553,21 @@ object WarehouseQueries {
            sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= DATE '1996-01-01'
-           AND l_shipdate < DATE '1996-02-01'"""
+           AND l_shipdate < DATE '1996-02-01'""",
+    "q_q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c LEFT JOIN orders o
+             ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'P'
+           GROUP BY 1)
+         GROUP BY 1""",
+    "q_q16_supplier_cnt" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#45'
+           AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY 1, 2"""
   )
 }

@@ -465,6 +465,38 @@ class PlanSpec extends SparkSpec {
       s"the reshape must neither key-shuffle nor re-scan per metric:\n$plan")
   }
 
+  test("Q13: per-custkey counts aggregate below the LEFT OUTER join (zero bucket survives)") {
+    val plan = planOf(
+      SparkEntry.queries("q_q13_custdist")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("LeftOuter"),
+      s"an inner join would silently delete the zero bucket:\n$plan")
+    val joinIdx = plan.indexOf("oin [c_custkey")
+    val aggIdx = plan.indexOf("HashAggregate(keys=[o_custkey")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"orders must collapse to per-custkey counts below the join:\n$plan")
+  }
+
+  test("Q16: NOT IN compiles to a broadcast LEFT ANTI gate; nothing shuffle-joins") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(Option(conf.get(k))).toOption.flatten)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(
+        SparkEntry.queries("q_q16_supplier_cnt")(spark, "/root/testdata/sf0.001"))
+      assert(plan.contains("LeftAnti"),
+        s"the exclusion set must gate as an anti join:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"both gates must broadcast; only the distinct agg may exchange:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("z-order projection prunes the scan to its two input columns") {
     val dir = graft.io.TempDirs.registered("graft-zorder-scan").toString
     (1L to 20L).map(i => (i, i * 7 % 50, s"pad$i", i * 1.5)).toDF("k", "c", "s", "v")
