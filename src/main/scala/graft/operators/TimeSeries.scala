@@ -33,7 +33,24 @@ object TimeSeries {
     * sum as `v_sum` (null on gaps), and `v_ffill` carrying the last
     * non-null sum forward. `bucket_ts` is the bucket's start instant. */
   def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
-                    valCol: String, stepSeconds: Long): DataFrame = {
+                    valCol: String, stepSeconds: Long): DataFrame =
+    resampleFfillChunked(df, keyCol, tsCol, valCol, stepSeconds,
+      chunkBuckets = 0)
+
+  /** [[resampleFfill]] with the per-key window split into fixed
+    * `chunkBuckets`-wide partitions plus a boundary carry — for grids
+    * where span/step is too long for one partition (second-granularity
+    * over years). The fill becomes two bounded windows: a LOCAL ffill
+    * inside each (key, chunk), and a carry window over the per-chunk
+    * "last non-null" summary rows — span/chunkBuckets rows per key,
+    * i.e. the level-2 window operates on a relation `chunkBuckets`×
+    * smaller than the grid. Gap rows before a chunk's first value take
+    * the carry from the newest prior chunk that had one. Results are
+    * identical to the single-window form for every chunking (spec-
+    * pinned); `chunkBuckets = 0` selects the single window. */
+  def resampleFfillChunked(df: DataFrame, keyCol: String, tsCol: String,
+                           valCol: String, stepSeconds: Long,
+                           chunkBuckets: Long): DataFrame = {
     val agg = df
       .groupBy(col(keyCol),
         floor(Relational.epochSeconds(df, tsCol) / stepSeconds)
@@ -44,13 +61,38 @@ object TimeSeries {
       .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
       .select(col(keyCol),
         explode(sequence(col("__b0"), col("__b1"))).as("bucket"))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
-    grid.join(agg, Seq(keyCol, "bucket"), "left")
-      .select(col(keyCol),
-        timestamp_seconds(col("bucket") * stepSeconds).as("bucket_ts"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        col("__v").cast(DoubleType).as("v_sum"),
-        last(col("__v"), ignoreNulls = true).over(w)
-          .cast(DoubleType).as("v_ffill"))
+    val joined = grid.join(agg, Seq(keyCol, "bucket"), "left")
+    val filled =
+      if (chunkBuckets <= 0) {
+        val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+        joined.withColumn("__f", last(col("__v"), ignoreNulls = true).over(w))
+      } else {
+        val chunked = joined
+          .withColumn("__chunk", floor(col("bucket") / chunkBuckets))
+        val wLocal = Window.partitionBy(col(keyCol), col("__chunk"))
+          .orderBy(col("bucket"))
+        val local = chunked
+          .withColumn("__lf", last(col("__v"), ignoreNulls = true).over(wLocal))
+        // per-chunk summary: the newest value each chunk can hand on —
+        // one row per (key, chunk), so the carry window is bounded
+        val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("__chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // the chunk's hand-on value is its local ffill AT the last
+        // bucket (null iff the chunk saw no value at all): max_by on
+        // the unique bucket is deterministic and hash-aggregates
+        val carry = local
+          .groupBy(col(keyCol), col("__chunk"))
+          .agg(max_by(col("__lf"), col("bucket")).as("__last"))
+          .withColumn("__carry",
+            last(col("__last"), ignoreNulls = true).over(wCarry))
+          .select(col(keyCol), col("__chunk"), col("__carry"))
+        local.join(carry, Seq(keyCol, "__chunk"))
+          .withColumn("__f", coalesce(col("__lf"), col("__carry")))
+      }
+    filled.select(col(keyCol),
+      timestamp_seconds(col("bucket") * stepSeconds).as("bucket_ts"),
+      coalesce(col("n_events"), lit(0L)).as("n_events"),
+      col("__v").cast(DoubleType).as("v_sum"),
+      col("__f").cast(DoubleType).as("v_ffill"))
   }
 }

@@ -47,6 +47,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("chunked ffill equals the single-window form for every chunking") {
+    val plain = TimeSeries.resampleFfill(events, "k", "t", "v", 10L)
+      .orderBy("k", "bucket_ts").collect().toSeq
+    for (chunk <- Seq(1L, 2L, 3L, 7L, 100L)) {
+      val chunked = TimeSeries.resampleFfillChunked(events, "k", "t", "v", 10L, chunk)
+        .orderBy("k", "bucket_ts").collect().toSeq
+      assert(chunked == plain, s"chunkBuckets=$chunk diverged:\n$chunked\n$plain")
+    }
+  }
+
+  test("chunked carry crosses an all-gap chunk (value hands on through empty chunks)") {
+    // key with values only in buckets 0 and 9: chunks 1 and 2 (width 3)
+    // are entirely gaps — the carry must pass THROUGH them unchanged
+    val sparse = Seq(("x", ts(5), 2.0), ("x", ts(95), 8.0)).toDF("k", "t", "v")
+    val out = TimeSeries.resampleFfillChunked(sparse, "k", "t", "v", 10L, 3L)
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getTimestamp(1).getTime / 1000, r.getDouble(4)))
+    assert(out.toSeq == (0L to 9L).map(b => (b * 10, if (b < 9) 2.0 else 8.0)),
+      s"got ${out.toSeq}")
+  }
+
   test("plan: grid explodes from the span aggregate, never a nested-loop calendar join") {
     val plan = TimeSeries.resampleFfill(events, "k", "t", "v", 10L)
       .queryExecution.executedPlan.toString
