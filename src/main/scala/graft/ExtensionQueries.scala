@@ -395,6 +395,40 @@ object ExtensionQueries {
       .select(col("sub").cast(LongType).as("sub"), col("n"), col("mse"))
   }
 
+  /** Shared feature bank for the learned length-class filter: surface
+    * signals with established SQL mirrors (unit-scaled), weak label =
+    * the stored n_chars class — the one signal this synthetic corpus
+    * genuinely encodes (its text is distributionally identical across
+    * lang/source tags, so those labels are unlearnable by design). */
+  private def learnFeatures: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "ntok"  -> (Text.tokenCount(col("text")) / lit(200.0)),
+    "mtl"   -> (Text.meanTokenLength(col("text")) / lit(10.0)),
+    "punct" -> Text.punctRatio(col("text")))
+  private def learnLabel = (col("n_chars") > 306).cast(DoubleType)
+  private val learnLr = 4.0
+  private val learnIters = 8
+
+  /** Trained quality-filter weights: 3 rounds of deterministic batch
+    * GD (hard sigmoid, quantized gradients) on lang='en' weak labels —
+    * the CCNet/fastText-filter trainer as a first-class distributed
+    * operator ([[graft.operators.Learn.logisticTrain]]). */
+  private val qLearnLogreg: Q = (spark, dir) =>
+    graft.operators.Learn.logisticTrain(
+      Tables.fanOut(Tables.documents(spark, dir)), learnFeatures,
+      learnLabel, learnLr, learnIters)
+
+  /** Per-document scores under the trained filter — the gate a corpus
+    * run applies at scan time (weights collected to literals: a pure
+    * codegen'd projection, zero joins). */
+  private val qLearnScore: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val w = graft.operators.Learn.logisticTrain(docs, learnFeatures,
+      learnLabel, learnLr, learnIters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    docs.select(col("doc_id"),
+      graft.operators.Learn.logisticScore(learnFeatures, w).as("score"))
+  }
+
   /** Recall CURVE of the seed-quantizer IVF probe: recall@{1,5,10,50}
     * from ONE ranked-list join + one aggregation — the tune-nprobe
     * sweep without a query per k. */
@@ -549,7 +583,9 @@ object ExtensionQueries {
     "q_sim_ivf_pq"      -> qSimIvfPq,
     "q_st19_stream_ann" -> qSt19StreamAnn,
     "q_pq_recall"       -> qPqRecall,
-    "q_pq_distortion"   -> qPqDistortion
+    "q_pq_distortion"   -> qPqDistortion,
+    "q_learn_logreg"    -> qLearnLogreg,
+    "q_learn_score"     -> qLearnScore
   )
 
   // =====================================================================
@@ -781,6 +817,40 @@ object ExtensionQueries {
           JOIN af ON af.vec_id = c.vec_id
           JOIN probe p ON af.cell = p.cell
         GROUP BY 1 ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 10"""
+
+  /** Logistic-trainer oracle chain: the feature CTE (the q_t_quality
+    * formulas), then `learnIters` unrolled hard-sigmoid GD rounds with
+    * integer-quantized gradient sums — ends in w<iters>(w0,w1,w2,wb). */
+  private lazy val learnCtes: String = {
+    val iters = (1 to learnIters).map { t =>
+      s"""g$t AS (SELECT
+            sum(CAST(round(err * 1e6) AS BIGINT)) AS gb,
+            sum(CAST(round(err * f0 * 1e6) AS BIGINT)) AS g0,
+            sum(CAST(round(err * f1 * 1e6) AS BIGINT)) AS g1,
+            sum(CAST(round(err * f2 * 1e6) AS BIGINT)) AS g2
+          FROM (SELECT greatest(0.0, least(1.0,
+                  (f0 * w.w0 + f1 * w.w1 + f2 * w.w2 + w.wb) * 0.25 + 0.5)) - y AS err,
+                  f0, f1, f2
+                FROM lf, w${t - 1} w)),
+        w$t AS (SELECT
+            round(w.w0 - $learnLr * (CAST(g.g0 AS DOUBLE) / 1e6) / n.n, 6) AS w0,
+            round(w.w1 - $learnLr * (CAST(g.g1 AS DOUBLE) / 1e6) / n.n, 6) AS w1,
+            round(w.w2 - $learnLr * (CAST(g.g2 AS DOUBLE) / 1e6) / n.n, 6) AS w2,
+            round(w.wb - $learnLr * (CAST(g.gb AS DOUBLE) / 1e6) / n.n, 6) AS wb
+          FROM w${t - 1} w, g$t g, ln0 n)"""
+    }.mkString(",\n        ")
+    s"""lf AS (SELECT doc_id,
+          len(string_split_regex(text, '\\s+')) / 200.0 AS f0,
+          (length(regexp_replace(text, '\\s+', '', 'g'))
+            / CAST(greatest(len(string_split_regex(text, '\\s+')), 1) AS DOUBLE))
+            / 10.0 AS f1,
+          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1) AS f2,
+          (CASE WHEN n_chars > 306 THEN 1.0 ELSE 0.0 END) AS y
+        FROM documents),
+        ln0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lf),
+        w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS wb),
+        $iters"""
+  }
 
   /** Full-vector rounded squared L2 from the query literals — the
     * exact ground truth the PQ recall compares against. */
@@ -1086,6 +1156,17 @@ object ExtensionQueries {
                  round(CAST(sum(CAST(round(d2 * 1e6) AS BIGINT)) AS DOUBLE)
                        / count(*) / 1e6, 6) AS mse
           FROM dist GROUP BY 1""",
+    "q_learn_logreg" ->
+      s"""WITH $learnCtes
+          SELECT 'ntok' AS feature, w0 AS weight FROM w$learnIters
+          UNION ALL SELECT 'mtl', w1 FROM w$learnIters
+          UNION ALL SELECT 'punct', w2 FROM w$learnIters
+          UNION ALL SELECT '__bias', wb FROM w$learnIters""",
+    "q_learn_score" ->
+      s"""WITH $learnCtes
+          SELECT doc_id, round(greatest(0.0, least(1.0,
+            (f0 * w.w0 + f1 * w.w1 + f2 * w.w2 + w.wb) * 0.25 + 0.5)), 6) AS score
+          FROM lf, w$learnIters w""",
     "q_pq_recall" ->
       s"""WITH $pqCtes,
           adc AS (SELECT c.vec_id
