@@ -429,6 +429,29 @@ object ExtensionQueries {
       graft.operators.Learn.logisticScore(learnFeatures, w).as("score"))
   }
 
+  /** Holdout evaluation of the learned filter: fit on the 90% train
+    * split (the same deterministic hash split every split-aware query
+    * shares), score the held-out 10%, report one accuracy row — the
+    * generalization check a filter must pass before gating a corpus.
+    * Scale shape: the split predicate gates the TRAINING scans
+    * map-side (no materialized split table), the holdout pass is one
+    * scan + a single-row aggregate. */
+  private val qLearnHoldout: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .withColumn("__split", ScaleQueries.splitColumn)
+    val w = graft.operators.Learn.logisticTrain(
+      docs.filter(col("__split") === "train"), learnFeatures,
+      learnLabel, learnLr, learnIters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    docs.filter(col("__split") =!= "train")
+      .select((graft.operators.Learn.logisticScore(learnFeatures, w) >= 0.5)
+        .as("__pred"), (learnLabel === 1.0).as("__y"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__pred") === col("__y"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("n_test"), col("n_correct"),
+        round(col("n_correct") / col("n_test"), 4).as("accuracy"))
+  }
+
   /** Recall CURVE of the seed-quantizer IVF probe: recall@{1,5,10,50}
     * from ONE ranked-list join + one aggregation — the tune-nprobe
     * sweep without a query per k. */
@@ -585,7 +608,8 @@ object ExtensionQueries {
     "q_pq_recall"       -> qPqRecall,
     "q_pq_distortion"   -> qPqDistortion,
     "q_learn_logreg"    -> qLearnLogreg,
-    "q_learn_score"     -> qLearnScore
+    "q_learn_score"     -> qLearnScore,
+    "q_learn_holdout"   -> qLearnHoldout
   )
 
   // =====================================================================
@@ -821,7 +845,7 @@ object ExtensionQueries {
   /** Logistic-trainer oracle chain: the feature CTE (the q_t_quality
     * formulas), then `learnIters` unrolled hard-sigmoid GD rounds with
     * integer-quantized gradient sums — ends in w<iters>(w0,w1,w2,wb). */
-  private lazy val learnCtes: String = {
+  private def learnCtes(where: String = ""): String = {
     val iters = (1 to learnIters).map { t =>
       s"""g$t AS (SELECT
             sum(CAST(round(err * 1e6) AS BIGINT)) AS gb,
@@ -846,7 +870,7 @@ object ExtensionQueries {
             / 10.0 AS f1,
           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1) AS f2,
           (CASE WHEN n_chars > 306 THEN 1.0 ELSE 0.0 END) AS y
-        FROM documents),
+        FROM documents $where),
         ln0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lf),
         w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS wb),
         $iters"""
@@ -1157,16 +1181,36 @@ object ExtensionQueries {
                        / count(*) / 1e6, 6) AS mse
           FROM dist GROUP BY 1""",
     "q_learn_logreg" ->
-      s"""WITH $learnCtes
+      s"""WITH ${learnCtes()}
           SELECT 'ntok' AS feature, w0 AS weight FROM w$learnIters
           UNION ALL SELECT 'mtl', w1 FROM w$learnIters
           UNION ALL SELECT 'punct', w2 FROM w$learnIters
           UNION ALL SELECT '__bias', wb FROM w$learnIters""",
     "q_learn_score" ->
-      s"""WITH $learnCtes
+      s"""WITH ${learnCtes()}
           SELECT doc_id, round(greatest(0.0, least(1.0,
             (f0 * w.w0 + f1 * w.w1 + f2 * w.w2 + w.wb) * 0.25 + 0.5)), 6) AS score
           FROM lf, w$learnIters w""",
+    "q_learn_holdout" ->
+      s"""WITH ${learnCtes("WHERE " + ScaleQueries.splitCaseSql + " = 'train'")},
+          test AS (SELECT
+            len(string_split_regex(text, '\\s+')) / 200.0 AS f0,
+            (length(regexp_replace(text, '\\s+', '', 'g'))
+              / CAST(greatest(len(string_split_regex(text, '\\s+')), 1) AS DOUBLE))
+              / 10.0 AS f1,
+            len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1) AS f2,
+            (CASE WHEN n_chars > 306 THEN 1.0 ELSE 0.0 END) AS y
+          FROM documents WHERE ${ScaleQueries.splitCaseSql} <> 'train'),
+          scored AS (SELECT y,
+            (CASE WHEN round(greatest(0.0, least(1.0,
+              (f0 * w.w0 + f1 * w.w1 + f2 * w.w2 + w.wb) * 0.25 + 0.5)), 6) >= 0.5
+             THEN 1.0 ELSE 0.0 END) AS pred
+          FROM test, w$learnIters w)
+          SELECT count(*) AS n_test,
+                 CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                 round(CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+                       / count(*), 4) AS accuracy
+          FROM scored""",
     "q_pq_recall" ->
       s"""WITH $pqCtes,
           adc AS (SELECT c.vec_id
