@@ -485,8 +485,31 @@ object ScaleQueries {
     operators.Bpe.learnMerges(spark, words, "word", "n", bpeRounds)
   }
 
+  /** BPE ENCODE under the corpus' own learned merges — the tokenizer's
+    * apply half: the merge table (bounded, one row per merge) collects
+    * to literals and the whole corpus tokenizes in one codegen'd
+    * projection ([[operators.Bpe.encode]]) — no joins, no shuffles.
+    * Output keeps rows narrow at scale: token count + an md5 over the
+    * ordered token stream instead of the token array itself. */
+  private val qTBpeEncode: Q = (spark, dir) => {
+    val words = Tables.fanOut(Tables.documents(spark, dir))
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val merges = operators.Bpe.learnMerges(spark, words, "word", "n", bpeRounds)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        operators.Bpe.encode(col("text"), merges).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast(LongType).as("n_bpe_tokens"),
+        md5(array_join(col("__toks"), " ")).as("tokens_md5"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_t_bpe"          -> qTBpe,
+    "q_t_bpe_encode"   -> qTBpeEncode,
     "q_cm_freq"        -> qCmFreq,
     "q_drift_psi"      -> qDriftPsi,
     "q_dq_report"      -> qDqReport,
@@ -539,6 +562,15 @@ object ScaleQueries {
     * same (cnt desc, x asc, y asc) top-1, and the same left-to-right
     * literal replace, unrolled one CTE trio per round. */
   private def bpeSql(rounds: Int): String = {
+    val sel = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, x AS left_sym, y AS right_sym, cnt AS freq FROM m$r")
+      .mkString("\n         UNION ALL\n         ")
+    s"${bpeCtesSql(rounds)}\n$sel"
+  }
+
+  /** The trainer CTE prefix alone (`WITH w0..wR, m1..mR` — no final
+    * select) for queries composing ON the learned merges. */
+  private def bpeCtesSql(rounds: Int): String = {
     val w0 =
       """w0 AS MATERIALIZED (
          SELECT '<' || array_to_string(regexp_extract_all(word, '.'), '><') || '>' AS s, n
@@ -560,10 +592,7 @@ object ScaleQueries {
              '<' || (SELECT x FROM m$r) || (SELECT y FROM m$r) || '>') AS s, n
            FROM w${r - 1})"""
     }
-    val sel = (1 to rounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_rank, x AS left_sym, y AS right_sym, cnt AS freq FROM m$r")
-      .mkString("\n         UNION ALL\n         ")
-    s"WITH $w0,\n${perRound.mkString(",\n")}\n$sel"
+    s"WITH $w0,\n${perRound.mkString(",\n")}"
   }
 
   // =====================================================================
@@ -572,6 +601,17 @@ object ScaleQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_t_bpe" -> bpeSql(bpeRounds),
+    "q_t_bpe_encode" ->
+      s"""${bpeCtesSql(bpeRounds)},
+         docw AS (SELECT doc_id, array_to_string(list_transform(
+             regexp_extract_all(lower(text), '[a-z]+'),
+             w -> '<' || array_to_string(regexp_extract_all(w, '.'), '><') || '>'),
+             '|') AS s FROM documents),
+         applied AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(s, '<' || (SELECT x FROM m1) || '><' || (SELECT y FROM m1) || '>', '<' || (SELECT x FROM m1) || (SELECT y FROM m1) || '>'), '<' || (SELECT x FROM m2) || '><' || (SELECT y FROM m2) || '>', '<' || (SELECT x FROM m2) || (SELECT y FROM m2) || '>'), '<' || (SELECT x FROM m3) || '><' || (SELECT y FROM m3) || '>', '<' || (SELECT x FROM m3) || (SELECT y FROM m3) || '>'), '<' || (SELECT x FROM m4) || '><' || (SELECT y FROM m4) || '>', '<' || (SELECT x FROM m4) || (SELECT y FROM m4) || '>'), '<' || (SELECT x FROM m5) || '><' || (SELECT y FROM m5) || '>', '<' || (SELECT x FROM m5) || (SELECT y FROM m5) || '>'), '<' || (SELECT x FROM m6) || '><' || (SELECT y FROM m6) || '>', '<' || (SELECT x FROM m6) || (SELECT y FROM m6) || '>') AS s FROM docw)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(s, '<([^>]*)>', 1)) AS BIGINT) AS n_bpe_tokens,
+           md5(array_to_string(regexp_extract_all(s, '<([^>]*)>', 1), ' ')) AS tokens_md5
+         FROM applied""",
     "q_embed_quantize" ->
       """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),

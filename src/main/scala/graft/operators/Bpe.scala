@@ -75,4 +75,24 @@ object Bpe {
     } finally enc.unpersist(blocking = false)
     merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "freq")
   }
+
+  /** Apply learned merges to segment a text column into BPE tokens — a
+    * PURE PROJECTION once the merge table (bounded: one row per merge,
+    * the tokenizer artifact) is collected to literals: the whole
+    * document becomes one wrapped-symbol string (words joined by `|`,
+    * which no `<x><y>` pattern can span, so merges never cross word
+    * boundaries), the merges replay in rank order as literal replaces
+    * with training's exact left-greedy semantics, and the token array
+    * reads back off the wrappers. Zero joins, zero shuffles — the
+    * tokenize step costs one codegen'd pass at any corpus size. */
+  def encode(text: org.apache.spark.sql.Column,
+             merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val words = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+    val wrapped = array_join(transform(words,
+      w => concat(lit("<"), array_join(split(w, ""), "><"), lit(">"))), "|")
+    val merged = merges.foldLeft(wrapped) { case (s, (x, y)) =>
+      replace(s, lit(s"<$x><$y>"), lit(s"<$x$y>"))
+    }
+    regexp_extract_all(merged, lit("<([^>]*)>"), lit(1))
+  }
 }

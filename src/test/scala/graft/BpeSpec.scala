@@ -40,4 +40,21 @@ class BpeSpec extends SparkSpec {
     val m = learn(Seq(("a", 5L), ("b", 3L)), rounds = 2)
     assert(m.isEmpty)
   }
+
+  test("encode replays merges left-greedily and never crosses word boundaries") {
+    import org.apache.spark.sql.functions.col
+    def enc(text: String, merges: Seq[(String, String)]): Seq[String] =
+      Seq(text).toDF("t")
+        .select(graft.operators.Bpe.encode(col("t"), merges).as("x"))
+        .collect().head.getSeq[String](0)
+    assert(enc("ab abc d", Seq(("a", "b"))) == Seq("ab", "ab", "c", "d"))
+    // left-greedy: <a><a><a> merges the FIRST pair only
+    assert(enc("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    // merges stack in rank order: (a,b) then (ab,c)
+    assert(enc("abc", Seq(("a", "b"), ("ab", "c"))) == Seq("abc"))
+    // word boundary: trailing 'a' of one word never pairs with the next
+    assert(enc("ba ab", Seq(("a", "a"))) == Seq("b", "a", "a", "b"))
+    // non-alpha strips like the training histogram; empty text is fine
+    assert(enc("7 + 9!", Seq(("a", "b"))) == Seq())
+  }
 }
