@@ -452,6 +452,37 @@ object ExtensionQueries {
         round(col("n_correct") / col("n_test"), 4).as("accuracy"))
   }
 
+  /** ST21 — streaming model training: three ordered micro-batch
+    * deliveries (doc_id residues 0, 1, 2), each advancing the model by
+    * one mini-batch SGD step through the versioned weight store; the
+    * final weights must equal the set-wise three-step replay (the
+    * oracle). Order sensitivity is inherent to SGD and pinned by the
+    * delivery mtimes exactly as the checkpoint would pin it live. */
+  private val qSt21StreamSgd: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val in = graft.io.TempDirs.registered("graft-q-st21-in").toString
+    val state = graft.io.TempDirs.registered("graft-q-st21-state").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st21-ckpt").toString
+    val seen = scala.collection.mutable.Set[String]()
+    Seq(0L, 1L, 2L).zipWithIndex.foreach { case (r, s) =>
+      docs.filter(pmod(col("doc_id"), lit(3L)) === r)
+        .coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + s * 60000L)
+          seen += f.getName
+        }
+      }
+    }
+    val src = graft.streaming.Streaming.parquetSource(spark, in, docs.schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runStreamingSgd(src, learnFeatures, learnLabel,
+      learnLr, state, ckpt)
+    graft.streaming.Streaming.sgdWeights(spark, state)
+  }
+
   /** Recall CURVE of the seed-quantizer IVF probe: recall@{1,5,10,50}
     * from ONE ranked-list join + one aggregation — the tune-nprobe
     * sweep without a query per k. */
@@ -609,7 +640,8 @@ object ExtensionQueries {
     "q_pq_distortion"   -> qPqDistortion,
     "q_learn_logreg"    -> qLearnLogreg,
     "q_learn_score"     -> qLearnScore,
-    "q_learn_holdout"   -> qLearnHoldout
+    "q_learn_holdout"   -> qLearnHoldout,
+    "q_st21_stream_sgd" -> qSt21StreamSgd
   )
 
   // =====================================================================
@@ -872,6 +904,40 @@ object ExtensionQueries {
           (CASE WHEN n_chars > 306 THEN 1.0 ELSE 0.0 END) AS y
         FROM documents $where),
         ln0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lf),
+        w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS wb),
+        $iters"""
+  }
+
+  /** Streaming-SGD oracle chain: same lf features, but each of the
+    * three steps trains on ONE delivery (doc_id residues 0, 1, 2 in
+    * that order) with its own batch size — the set-wise replay of
+    * [[graft.streaming.Streaming.runStreamingSgd]]'s trigger sequence. */
+  private lazy val sgdCtes: String = {
+    val iters = (1 to 3).map { t =>
+      val r = t - 1
+      s"""n$t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lf
+            WHERE doc_id % 3 = $r),
+        g$t AS (SELECT
+            sum(CAST(round(err * 1e6) AS BIGINT)) AS gb,
+            sum(CAST(round(err * f0 * 1e6) AS BIGINT)) AS g0,
+            sum(CAST(round(err * f1 * 1e6) AS BIGINT)) AS g1,
+            sum(CAST(round(err * f2 * 1e6) AS BIGINT)) AS g2
+          FROM (SELECT greatest(0.0, least(1.0,
+                  (f0 * w.w0 + f1 * w.w1 + f2 * w.w2 + w.wb) * 0.25 + 0.5)) - y AS err,
+                  f0, f1, f2
+                FROM lf, w${t - 1} w WHERE doc_id % 3 = $r)),
+        w$t AS (SELECT
+            round(w.w0 - $learnLr * (CAST(g.g0 AS DOUBLE) / 1e6) / n.n, 6) AS w0,
+            round(w.w1 - $learnLr * (CAST(g.g1 AS DOUBLE) / 1e6) / n.n, 6) AS w1,
+            round(w.w2 - $learnLr * (CAST(g.g2 AS DOUBLE) / 1e6) / n.n, 6) AS w2,
+            round(w.wb - $learnLr * (CAST(g.gb AS DOUBLE) / 1e6) / n.n, 6) AS wb
+          FROM w${t - 1} w, g$t g, n$t n)"""
+    }.mkString(",\n        ")
+    val lfStart = learnCtes()
+    // reuse learnCtes' lf/w0 prefix verbatim (everything before ln0),
+    // then the per-delivery steps
+    val prefixEnd = lfStart.indexOf("ln0 AS")
+    s"""WITH ${lfStart.substring(0, prefixEnd)}
         w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS wb),
         $iters"""
   }
@@ -1191,6 +1257,12 @@ object ExtensionQueries {
           SELECT doc_id, round(greatest(0.0, least(1.0,
             (f0 * w.w0 + f1 * w.w1 + f2 * w.w2 + w.wb) * 0.25 + 0.5)), 6) AS score
           FROM lf, w$learnIters w""",
+    "q_st21_stream_sgd" ->
+      s"""$sgdCtes
+          SELECT 'ntok' AS feature, w0 AS weight FROM w3
+          UNION ALL SELECT 'mtl', w1 FROM w3
+          UNION ALL SELECT 'punct', w2 FROM w3
+          UNION ALL SELECT '__bias', wb FROM w3""",
     "q_learn_holdout" ->
       s"""WITH ${learnCtes("WHERE " + ScaleQueries.splitCaseSql + " = 'train'")},
           test AS (SELECT

@@ -32,36 +32,55 @@ object Learn {
     * producing m+1 quantized sums that collapse map-side to one row.
     * Total: 1 featurize + iters cheap scans, zero shuffles beyond the
     * single-row aggregations. */
-  def logisticTrain(df: DataFrame, features: Seq[(String, Column)],
-                    label: Column, lr: Double, iters: Int): DataFrame = {
-    val m = features.size
-    val feats = df.select(
+  /** Project `df` onto the numbered feature/label columns the GD step
+    * consumes. */
+  private[graft] def featurize(df: DataFrame, features: Seq[(String, Column)],
+                               label: Column): DataFrame =
+    df.select(
       features.zipWithIndex.map { case ((_, c), i) => c.cast(DoubleType).as(s"__f$i") } :+
         label.cast(DoubleType).as("__y"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = feats.count().toDouble
-    var w = Array.fill(m + 1)(0.0)
-    for (_ <- 0 until iters) {
-      val margin = (0 until m).map(i => col(s"__f$i") * lit(w(i)))
-        .reduceOption(_ + _).getOrElse(lit(0.0)) + lit(w(m))
-      // hard sigmoid: exact arithmetic, no transcendental drift
-      val p = greatest(lit(0.0), least(lit(1.0), margin * lit(0.25) + lit(0.5)))
-      val err = p - col("__y")
-      val sums = feats.agg(
-        sum(round(err * lit(1e6)).cast(LongType)).as("gb"),
-        (0 until m).map(i =>
-          sum(round(err * col(s"__f$i") * lit(1e6)).cast(LongType)).as(s"g$i")): _*)
-        .head()
-      w = Array.tabulate(m + 1) { i =>
-        val g = if (i < m) sums.getAs[Long](s"g$i") else sums.getAs[Long]("gb")
-        BigDecimal(w(i) - lr * (g / 1e6) / n)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      }
+
+  /** One full-batch GD step from weights `w` over a featurized frame of
+    * `n` rows: ONE aggregation producing m+1 integer-quantized gradient
+    * sums, then the 6-decimal driver-side update (BigDecimal HALF_UP —
+    * the same rounding round(x, 6) applies in both engines). */
+  private[graft] def gdStep(feats: DataFrame, m: Int, w: Array[Double],
+                            lr: Double, n: Double): Array[Double] = {
+    val margin = (0 until m).map(i => col(s"__f$i") * lit(w(i)))
+      .reduceOption(_ + _).getOrElse(lit(0.0)) + lit(w(m))
+    // hard sigmoid: exact arithmetic, no transcendental drift
+    val p = greatest(lit(0.0), least(lit(1.0), margin * lit(0.25) + lit(0.5)))
+    val err = p - col("__y")
+    val sums = feats.agg(
+      sum(round(err * lit(1e6)).cast(LongType)).as("gb"),
+      (0 until m).map(i =>
+        sum(round(err * col(s"__f$i") * lit(1e6)).cast(LongType)).as(s"g$i")): _*)
+      .head()
+    Array.tabulate(m + 1) { i =>
+      val g = if (i < m) sums.getAs[Long](s"g$i") else sums.getAs[Long]("gb")
+      BigDecimal(w(i) - lr * (g / 1e6) / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    feats.unpersist(blocking = false)
+  }
+
+  /** Weight rows (feature, weight) in declaration order. */
+  private[graft] def weightsDf(df: DataFrame, features: Seq[(String, Column)],
+                               w: Array[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     (features.map(_._1) :+ "__bias").zip(w.toSeq).toDF("feature", "weight")
+  }
+
+  def logisticTrain(df: DataFrame, features: Seq[(String, Column)],
+                    label: Column, lr: Double, iters: Int): DataFrame = {
+    val m = features.size
+    val feats = featurize(df, features, label)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = feats.count().toDouble
+    var w = Array.fill(m + 1)(0.0)
+    for (_ <- 0 until iters) w = gdStep(feats, m, w, lr, n)
+    feats.unpersist(blocking = false)
+    weightsDf(df, features, w)
   }
 
   /** Score rows under a fitted weight row-set (the [[logisticTrain]]

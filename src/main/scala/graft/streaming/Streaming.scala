@@ -1087,6 +1087,67 @@ object Streaming {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------------
+  // ST21 — streaming model training (mini-batch SGD): each micro-batch
+  // advances the linear model by ONE hard-sigmoid GD step computed over
+  // that batch alone, and commits the updated weights as a versioned
+  // m+1-row parquet. State is the MODEL — bounded by feature count,
+  // never by data or delivery history — and a replayed trigger
+  // recomputes the same step from the same predecessor version and
+  // overwrites its own w<id> dir (idempotent, no manifest needed: the
+  // newest version below the replayed id is by construction the one the
+  // original attempt read, since batch N only starts after N-1's
+  // checkpoint commit). Per-trigger cost: one aggregation over the
+  // batch. ORDER SENSITIVITY is inherent to SGD and therefore part of
+  // the operator contract: the fitted weights depend on delivery order,
+  // which the checkpoint pins.
+  // ---------------------------------------------------------------------
+  def runStreamingSgd(src: DataFrame,
+                      features: Seq[(String, Column)], label: Column,
+                      lr: Double, stateRoot: String,
+                      checkpointPath: String): Unit = {
+    val m = features.size
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val prev = sgdWeightVersions(stateRoot).filter(_ < id).sorted.lastOption
+          val w = prev match {
+            case None => Array.fill(m + 1)(0.0)
+            case Some(v) =>
+              val rows = spark.read.parquet(s"$stateRoot/w$v")
+                .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+              (features.map(_._1) :+ "__bias").map(rows).toArray
+          }
+          val feats = graft.operators.Learn.featurize(batch, features, label)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val n = feats.count().toDouble
+          val w2 = graft.operators.Learn.gdStep(feats, m, w, lr, n)
+          feats.unpersist(blocking = false)
+          graft.operators.Learn.weightsDf(batch, features, w2)
+            .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/w$id")
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  private def sgdWeightVersions(stateRoot: String): Seq[Long] =
+    Option(new java.io.File(stateRoot).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("w"))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("w").toLong).toOption)
+      .toSeq
+
+  /** The newest committed model. */
+  def sgdWeights(spark: SparkSession, stateRoot: String): DataFrame = {
+    val v = sgdWeightVersions(stateRoot).max
+    spark.read.parquet(s"$stateRoot/w$v")
+  }
+
   /** Offline maintenance for the streamed codes store: drop every
     * superseded row (older deliveries of re-delivered ids — including
     * cross-cell stale rows, closing [[annIndexTopK]]'s probe contract)

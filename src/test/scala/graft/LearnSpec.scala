@@ -45,6 +45,40 @@ class LearnSpec extends SparkSpec {
     assert(a10 >= a1, s"iters=10 accuracy $a10 < iters=1 accuracy $a1")
   }
 
+  test("streaming SGD resumes training from the checkpointed model, not from zero") {
+    def deliver(dir: String, lo: Int, hi: Int, stamp: Long): Unit = {
+      (lo until hi).map { i => (i / 40.0, if (i / 40.0 > 0.5) 1.0 else 0.0) }
+        .toDF("x", "y").coalesce(1).write.mode("append").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.lastModified > stamp)
+        .foreach(_.setLastModified(stamp))
+    }
+    def drainInto(in: String, state: String, ckpt: String): Unit =
+      graft.streaming.Streaming.runStreamingSgd(
+        graft.streaming.Streaming.parquetSource(spark,
+          in, separable.schema, 1),
+        fx, col("y"), lr = 2.0, state, ckpt)
+    def weights(state: String): Seq[(String, Double)] =
+      graft.streaming.Streaming.sgdWeights(spark, state)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq.sortBy(_._1)
+    // run A: both deliveries, one drain
+    val inA = graft.io.TempDirs.registered("graft-sgd-a-in").toString
+    val stA = graft.io.TempDirs.registered("graft-sgd-a-st").toString
+    deliver(inA, 0, 20, 1700000000000L); deliver(inA, 20, 40, 1700000060000L)
+    drainInto(inA, stA, graft.io.TempDirs.registered("graft-sgd-a-ck").toString)
+    // run B: drain the first delivery, THEN the second arrives, drain again
+    val inB = graft.io.TempDirs.registered("graft-sgd-b-in").toString
+    val stB = graft.io.TempDirs.registered("graft-sgd-b-st").toString
+    val ckB = graft.io.TempDirs.registered("graft-sgd-b-ck").toString
+    deliver(inB, 0, 20, 1700000000000L)
+    drainInto(inB, stB, ckB)
+    deliver(inB, 20, 40, 1700000060000L)
+    drainInto(inB, stB, ckB)
+    assert(weights(stA) == weights(stB),
+      s"a restart mid-stream must continue from the model, not retrain:\n" +
+        s"${weights(stA)}\n${weights(stB)}")
+  }
+
   test("scoring is a pure projection: no joins, no exchanges") {
     val w = Map("x" -> 1.0, "__bias" -> -0.5)
     val plan = separable.select(Learn.logisticScore(fx, w).as("p"))
