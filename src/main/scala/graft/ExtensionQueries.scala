@@ -452,6 +452,35 @@ object ExtensionQueries {
         round(col("n_correct") / col("n_test"), 4).as("accuracy"))
   }
 
+  /** ROC AUC of the trained filter on its corpus — the threshold-free
+    * eval via the integer-exact histogram rank-sum
+    * ([[graft.operators.Learn.auc]]). */
+  private val qLearnAuc: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val w = graft.operators.Learn.logisticTrain(docs, learnFeatures,
+      learnLabel, learnLr, learnIters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.operators.Learn.auc(
+      docs.select(
+        graft.operators.Learn.logisticScore(learnFeatures, w).as("score"),
+        learnLabel.as("y")),
+      "score", "y")
+  }
+
+  /** Reliability table of the trained filter: 10 score bins, observed
+    * positive rate beside the quantized mean score. */
+  private val qLearnCalibration: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val w = graft.operators.Learn.logisticTrain(docs, learnFeatures,
+      learnLabel, learnLr, learnIters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.operators.Learn.calibration(
+      docs.select(
+        graft.operators.Learn.logisticScore(learnFeatures, w).as("score"),
+        learnLabel.as("y")),
+      "score", "y", bins = 10)
+  }
+
   /** ST21 — streaming model training: three ordered micro-batch
     * deliveries (doc_id residues 0, 1, 2), each advancing the model by
     * one mini-batch SGD step through the versioned weight store; the
@@ -641,7 +670,9 @@ object ExtensionQueries {
     "q_learn_logreg"    -> qLearnLogreg,
     "q_learn_score"     -> qLearnScore,
     "q_learn_holdout"   -> qLearnHoldout,
-    "q_st21_stream_sgd" -> qSt21StreamSgd
+    "q_st21_stream_sgd" -> qSt21StreamSgd,
+    "q_learn_auc"       -> qLearnAuc,
+    "q_learn_calibration" -> qLearnCalibration
   )
 
   // =====================================================================
@@ -1257,6 +1288,36 @@ object ExtensionQueries {
           SELECT doc_id, round(greatest(0.0, least(1.0,
             (f0 * w.w0 + f1 * w.w1 + f2 * w.w2 + w.wb) * 0.25 + 0.5)), 6) AS score
           FROM lf, w$learnIters w""",
+    "q_learn_auc" ->
+      s"""WITH ${learnCtes()},
+          scored AS (SELECT round(greatest(0.0, least(1.0,
+              (f0 * w.w0 + f1 * w.w1 + f2 * w.w2 + w.wb) * 0.25 + 0.5)), 6) AS score,
+              y
+            FROM lf, w$learnIters w),
+          h AS (SELECT score AS s, count(*) AS n, CAST(sum(y) AS BIGINT) AS np
+                FROM scored GROUP BY 1),
+          r AS (SELECT np, n,
+                  2 * coalesce(sum(n) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + n + 1 AS r2
+                FROM h)
+          SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                 CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+                 round((sum(np * r2) - sum(np) * (sum(np) + 1))
+                       / (2.0 * sum(np) * (sum(n) - sum(np))), 6) AS auc
+          FROM r""",
+    "q_learn_calibration" ->
+      s"""WITH ${learnCtes()},
+          scored AS (SELECT round(greatest(0.0, least(1.0,
+              (f0 * w.w0 + f1 * w.w1 + f2 * w.w2 + w.wb) * 0.25 + 0.5)), 6) AS score,
+              y
+            FROM lf, w$learnIters w)
+          SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+                 count(*) AS n,
+                 round(CAST(sum(CAST(round(score * 1e6) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1e6, 6) AS mean_score,
+                 round(CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) / count(*), 6) AS pos_rate
+          FROM scored GROUP BY 1""",
     "q_st21_stream_sgd" ->
       s"""$sgdCtes
           SELECT 'ntok' AS feature, w0 AS weight FROM w3

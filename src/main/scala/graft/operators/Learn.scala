@@ -83,6 +83,48 @@ object Learn {
     weightsDf(df, features, w)
   }
 
+  /** ROC AUC of a score column against 0/1 labels — the threshold-free
+    * eval, computed as the Mann-Whitney rank-sum over the SCORE
+    * HISTOGRAM: the corpus collapses to one row per distinct score
+    * first (map-side combined), the tie-averaged ranks come from a
+    * prefix-sum window over that bounded relation, and every term
+    * stays an integer (ranks doubled to absorb the .5 tie averages)
+    * until the single final division — so the result is exact in any
+    * engine and any partitioning, and the only per-row work is one
+    * aggregation. Returns one row (n_pos, n_neg, auc). */
+  def auc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = scored.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(labelCol).cast(DoubleType)).cast(LongType).as("__np"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = h.withColumn("__below", coalesce(sum(col("__n")).over(w), lit(0L)))
+      // doubled tie-averaged rank: 2·below + n + 1 (integer, exact)
+      .withColumn("__r2", lit(2L) * col("__below") + col("__n") + lit(1L))
+    ranked.agg(
+      sum(col("__np")).as("n_pos"),
+      (sum(col("__n")) - sum(col("__np"))).as("n_neg"),
+      sum(col("__np") * col("__r2")).as("__s2"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("__s2") - col("n_pos") * (col("n_pos") + 1)) /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Reliability table: scores bucketed into `bins`, each bin's count,
+    * quantized mean score and observed positive rate — the calibration
+    * check beside [[auc]]. One aggregation; integer sums throughout. */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int): DataFrame =
+    scored.select(
+      least(floor(col(scoreCol) * bins).cast(LongType), lit(bins - 1L)).as("bin"),
+      round(col(scoreCol) * lit(1e6)).cast(LongType).as("__q"),
+      col(labelCol).cast(DoubleType).cast(LongType).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__q")).cast(DoubleType) / count(lit(1)) / 1e6, 6).as("mean_score"),
+        round(sum(col("__y")).cast(DoubleType) / count(lit(1)), 6).as("pos_rate"))
+
   /** Score rows under a fitted weight row-set (the [[logisticTrain]]
     * output collected to a literal — m+1 values): the hard-sigmoid
     * probability, rounded to 6. Pure projection — the gate a corpus

@@ -79,6 +79,32 @@ class LearnSpec extends SparkSpec {
         s"${weights(stA)}\n${weights(stB)}")
   }
 
+  test("AUC: 1 for perfect ranking, 0 for inverted, exactly 0.5 under total ties") {
+    def auc(rows: Seq[(Double, Double)]): Double =
+      Learn.auc(rows.toDF("s", "y"), "s", "y").collect().head.getDouble(2)
+    val perfect = Seq((0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0))
+    assert(auc(perfect) == 1.0)
+    assert(auc(perfect.map { case (s, y) => (s, 1.0 - y) }) == 0.0)
+    assert(auc(Seq((0.5, 1.0), (0.5, 0.0), (0.5, 1.0), (0.5, 0.0))) == 0.5,
+      "tie-averaged ranks must give exactly 0.5 when scores carry no signal")
+    // partial ties: one positive tied with one negative above a negative
+    // ranks(doubled): s=0.1 -> r2=2; s=0.5 pair -> r2=(2*1)+2+1=5 each
+    // AUC = (5/2 - 1) / (1*2) = 0.75
+    assert(auc(Seq((0.5, 1.0), (0.5, 0.0), (0.1, 0.0))) == 0.75)
+  }
+
+  test("calibration bins partition the rows and quantized means are exact") {
+    val rows = Seq((0.05, 0.0), (0.07, 0.0), (0.95, 1.0), (0.99, 1.0), (1.0, 1.0))
+    val out = Learn.calibration(rows.toDF("s", "y"), "s", "y", bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._2).sum == 5, "bins must partition the input")
+    assert(out.toSeq == Seq(
+      (0L, 2L, 0.06, 0.0),         // (0.05+0.07)/2 exactly
+      (9L, 3L, 0.98, 1.0)),        // score 1.0 clamps into the last bin
+      s"got ${out.toSeq}")
+  }
+
   test("scoring is a pure projection: no joins, no exchanges") {
     val w = Map("x" -> 1.0, "__bias" -> -0.5)
     val plan = separable.select(Learn.logisticScore(fx, w).as("p"))
