@@ -117,6 +117,17 @@ object CurationQueries {
           Text.qualityScore(col("text")).as("q")),
       "source", col("q"), srcMinMeanQ, srcMinDocs)
 
+  /** Per-source Wilson ranking: lower 95% bound of the quality-gate
+    * pass rate per source — the trust metric that keeps a tiny source
+    * at a perfect raw rate from outranking a large one
+    * ([[Curation.sourceWilson]]). Pass = quality score above the
+    * corpus-typical cut. */
+  private val qSourceWilson: Q = (spark, dir) =>
+    Curation.sourceWilson(
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("source"), Text.qualityScore(col("text")).as("q")),
+      "source", col("q") >= 0.5)
+
   /** Per-source go/no-go scorecard: mean quality, benchmark
     * contamination, exact-dup rate, and token-length PSI vs the
     * corpus-wide distribution, one row per source — the report a
@@ -757,6 +768,7 @@ object CurationQueries {
     "q_shard_pack"     -> qShardPack,
     "q_quality_tiers"  -> qQualityTiers,
     "q_source_filter"  -> qSourceFilter,
+    "q_source_wilson"  -> qSourceWilson,
     "q_source_scorecard" -> qSourceScorecard,
     "q_st13_incr_scorecard" -> qSt13IncrScorecard,
     "q_dup_size_hist" -> qDupSizeHist,
@@ -1236,6 +1248,20 @@ object CurationQueries {
          FROM lineitem
          UNION ALL
          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+    "q_source_wilson" ->
+      s"""WITH $qualityCte,
+          a AS (SELECT source, count(*) AS n_docs,
+                  CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+                FROM scored GROUP BY 1)
+          SELECT source, n_docs, n_pass,
+            round(n_pass / CAST(n_docs AS DOUBLE), 6) AS pass_rate,
+            round((n_pass / CAST(n_docs AS DOUBLE)
+                   + (1.96 * 1.96) / (2.0 * CAST(n_docs AS DOUBLE))
+                   - 1.96 * sqrt((n_pass / CAST(n_docs AS DOUBLE))
+                       * (1.0 - n_pass / CAST(n_docs AS DOUBLE)) / CAST(n_docs AS DOUBLE)
+                       + (1.96 * 1.96) / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))
+                  / (1.0 + (1.96 * 1.96) / CAST(n_docs AS DOUBLE)), 6) AS wilson_lower
+          FROM a""",
     "q_ts_gapfill" ->
       """WITH agg AS (
            SELECT event_type,

@@ -248,6 +248,33 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Wilson lower bound per source — rank sources by the LOWER confidence
+  // bound of their gate-pass rate, not the raw rate: a 3-doc source at
+  // 100% must not outrank a 10k-doc source at 95% (the small sample's
+  // bound collapses toward 0). One aggregation; the bound is pure
+  // arithmetic over integer counts plus one sqrt — IEEE sqrt is
+  // correctly rounded, so the value is bit-identical in any engine.
+  // ---------------------------------------------------------------------
+  /** Per `sourceCol`: docs, passes of `passCol` (boolean), the raw rate
+    * and the Wilson lower bound at z (default 1.96 ≈ 95%), all rounded
+    * to 6 — ordered consumption is the caller's choice. */
+  def sourceWilson(df: DataFrame, sourceCol: String, passCol: Column,
+                   z: Double = 1.96): DataFrame = {
+    val zz = z * z
+    val agg = df.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(passCol.cast(DoubleType)).cast(LongType).as("n_pass"))
+    val n = col("n_docs").cast(DoubleType)
+    val p = col("n_pass") / n
+    val lower = (p + lit(zz) / (lit(2.0) * n)
+      - lit(z) * sqrt(p * (lit(1.0) - p) / n + lit(zz) / (lit(4.0) * n * n))) /
+      (lit(1.0) + lit(zz) / n)
+    agg.select(col(sourceCol), col("n_docs"), col("n_pass"),
+      round(p, 6).as("pass_rate"),
+      round(lower, 6).as("wilson_lower"))
+  }
+
+  // ---------------------------------------------------------------------
   // Quality tiers — equal-depth quality quartiles per stratum (curation
   // by relative quality WITHIN each source, so one high-quality domain
   // doesn't monopolize the kept set). ntile per stratum = one shuffle on

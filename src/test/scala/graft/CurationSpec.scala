@@ -433,4 +433,21 @@ class CurationSpec extends SparkSpec {
     val tv = r(("test", "val"))
     assert(tv.getAs[Long]("n_pairs") == 1L && tv.getAs[Double]("max_sim") == 1.0)
   }
+
+  test("Wilson lower bound: small perfect sources rank below large near-perfect ones") {
+    import spark.implicits._
+    // tiny: 3/3 pass; large: 95/100 pass
+    val rows = Seq.fill(3)(("tiny", true)) ++
+      Seq.fill(95)(("big", true)) ++ Seq.fill(5)(("big", false))
+    val out = Curation.sourceWilson(rows.toDF("source", "ok"), "source", col("ok"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (tn, tp, tRate, tLow) = out("tiny")
+    val (bn, bp, bRate, bLow) = out("big")
+    assert(tRate == 1.0 && bRate == 0.95)
+    assert(tLow < bLow,
+      s"3/3 (lower=$tLow) must not outrank 95/100 (lower=$bLow)")
+    assert(tLow > 0.0 && bLow > 0.0 && tLow < 1.0 && bLow < 1.0)
+    assert((tn, tp) == ((3L, 3L)) && (bn, bp) == ((100L, 95L)))
+  }
 }
