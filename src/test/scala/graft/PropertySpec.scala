@@ -240,4 +240,40 @@ class PropertySpec extends SparkSpec {
       assert(kept == want, s"mBits=$m")
     }
   }
+
+  test("AUC complement law: auc(s, y) + auc(s, 1-y) = 1 on random scored data") {
+    val gen = for {
+      sc <- Gen.chooseNum(0, 1000)   // quantized scores force tie cases
+      y  <- Gen.oneOf(0.0, 1.0)
+    } yield (sc / 1000.0, y)
+    val rows = sample(gen, 200)
+    // regenerate until both classes present (Seed(42) gives both; guard anyway)
+    assert(rows.exists(_._2 == 1.0) && rows.exists(_._2 == 0.0))
+    val df = rows.toDF("s", "y")
+    def auc(label: org.apache.spark.sql.Column): Double =
+      graft.operators.Learn.auc(df.select(col("s"), label.as("y")), "s", "y")
+        .collect().head.getDouble(2)
+    val a = auc(col("y"))
+    val b = auc(lit(1.0) - col("y"))
+    assert(math.abs(a + b - 1.0) < 2e-6, // each side rounds to 6 once
+      s"auc=$a, inverted=$b, sum=${a + b}")
+  }
+
+  test("PQ ADC distances are non-negative and zero only for exact codeword hits") {
+    val dims = 4
+    val vecs = sample(Gen.listOfN(dims, Gen.chooseNum(-8, 8)), 30)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.map(_ / 8f).toArray) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = Seq(0.25, -0.5, 0.75, 0.0)
+    val out = graft.operators.Pq.adcTopK(df, "vec_id", "embedding", q,
+      m = 2, dims = dims, centroidStep = 1, iters = 0, k = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length == 30)
+    assert(out.forall(_._2 >= 0.0), s"negative ADC distance: ${out.toSeq}")
+    // zero iff the vector equals the query exactly (codebook = corpus)
+    out.foreach { case (id, d) =>
+      val exact = vecs.find(_._1 == id).get._2.toSeq.map(_.toDouble) == q
+      assert((d == 0.0) == exact, s"vec $id d=$d exactMatch=$exact")
+    }
+  }
 }
