@@ -412,6 +412,44 @@ object WarehouseQueries {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
+  /** Q2-shaped cheapest-supplier selection: per brand-gated part, the
+    * supplier(s) achieving that part's minimum unit cost — the
+    * canonical correlated-MIN subquery, decorrelated to the ARGMIN
+    * JOIN: aggregate the per-key minimum once, equi-join it back on
+    * (key, value = min) to recover every tied achiever.
+    *
+    * Scale shape: the brand gate broadcasts into the fact scan FIRST,
+    * so all aggregation happens on the gated slice; the per-(part,
+    * supplier) and per-part aggregates plus the join-back all hash on
+    * the part key, so the exchanges share one partitioning family.
+    * The join-back (rather than a packed argmin) is deliberate: Q2
+    * returns the full TIE SET per part, which a single-winner argmin
+    * cannot. The min is a raw double — safe as a join key because
+    * min() is order-independent and both sides carry the identical
+    * IEEE value. */
+  private val qQ2MinCost: Q = (spark, dir) => {
+    val pp = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    val pc = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("__c"))
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("__c")).as("cost"))
+    val pm = pc.groupBy(col("l_partkey").as("__mk"))
+      .agg(min(col("cost")).as("__mc"))
+    pc.join(pm, col("l_partkey") === col("__mk") && col("cost") === col("__mc"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"),
+        // floor-based half-up: engine-exact where round() is not (the
+        // q_embed_quantize precedent) — this query's min landed exactly
+        // on a 4th-decimal rounding boundary at sf0.01
+        (floor(col("cost") * 1e4 + 0.5) / 1e4).as("cost"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_q9_profit"     -> qQ9Profit,
     "q_q18_big_orders" -> qQ18BigOrders,
@@ -425,7 +463,8 @@ object WarehouseQueries {
     "q_q10_returns" -> qQ10Returns,
     "q_q14_promo_share" -> qQ14PromoShare,
     "q_q13_custdist" -> qQ13CustDist,
-    "q_q16_supplier_cnt" -> qQ16SupplierCnt
+    "q_q16_supplier_cnt" -> qQ16SupplierCnt,
+    "q_q2_min_cost" -> qQ2MinCost
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -568,6 +607,18 @@ object WarehouseQueries {
            AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                  WHERE s_acctbal < 0)
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "q_q2_min_cost" ->
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+         pc AS (SELECT l_partkey, l_suppkey,
+                  min(l_extendedprice / l_quantity) AS cost
+                FROM lineitem JOIN pp ON l_partkey = p_partkey
+                GROUP BY 1, 2),
+         sel AS (SELECT * FROM pc
+                 WHERE cost = (SELECT min(cost) FROM pc p2
+                               WHERE p2.l_partkey = pc.l_partkey))
+         SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name,
+                floor(cost * 1e4 + 0.5) / 1e4 AS cost
+         FROM sel JOIN supplier ON l_suppkey = s_suppkey"""
   )
 }
