@@ -450,6 +450,51 @@ object WarehouseQueries {
         (floor(col("cost") * 1e4 + 0.5) / 1e4).as("cost"))
   }
 
+  /** Q8-shaped market share: one supplier nation's share of the
+    * revenue ASIA customers generate, per order year — the canonical
+    * SHARE-WITHIN-GROUP: numerator and denominator are conditional and
+    * unconditional sums of the SAME measure inside one grouped
+    * aggregation (Q14's single-pass ratio, now per group).
+    *
+    * Scale shape: Q5's spine verbatim — region/nation gates and the
+    * nation-resolved supplier broadcast, fact-sized customer shuffles
+    * once on the key — with the share computed in the same partial-
+    * combined aggregation that groups by year: adding the focal-nation
+    * numerator costs a column, not a second join or pass. FP ratio
+    * divergence is absorbed by quantizing both sums to DECIMAL(18,4)
+    * (the events contract) before the division. */
+  private val qQ8MarketShare: Q = (spark, dir) => {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val custAsia = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_7", rev)
+          .otherwise(lit(0.0).cast(DecimalType(18, 4)))).cast(DoubleType)
+          / sum(rev).cast(DoubleType), 6).as("mkt_share"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_q9_profit"     -> qQ9Profit,
     "q_q18_big_orders" -> qQ18BigOrders,
@@ -464,7 +509,8 @@ object WarehouseQueries {
     "q_q14_promo_share" -> qQ14PromoShare,
     "q_q13_custdist" -> qQ13CustDist,
     "q_q16_supplier_cnt" -> qQ16SupplierCnt,
-    "q_q2_min_cost" -> qQ2MinCost
+    "q_q2_min_cost" -> qQ2MinCost,
+    "q_q8_market_share" -> qQ8MarketShare
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -619,6 +665,22 @@ object WarehouseQueries {
                                WHERE p2.l_partkey = pc.l_partkey))
          SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name,
                 floor(cost * 1e4 + 0.5) / 1e4 AS cost
-         FROM sel JOIN supplier ON l_suppkey = s_suppkey"""
+         FROM sel JOIN supplier ON l_suppkey = s_suppkey""",
+    "q_q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                   ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                    AS DOUBLE), 6) AS mkt_share
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN region ON cn.n_regionkey = r_regionkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE r_name = 'ASIA'
+         GROUP BY 1"""
   )
 }
