@@ -430,12 +430,16 @@ object WarehouseQueries {
   private val qQ2MinCost: Q = (spark, dir) => {
     val pp = Tables.part(spark, dir)
       .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    // pc feeds BOTH the per-part minimum and the join-back: persist it
+    // so the fact table is scanned once (the tfidf precedent — the
+    // harness clearCache releases it after materialization)
     val pc = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"),
         (col("l_extendedprice") / col("l_quantity")).as("__c"))
       .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("__c")).as("cost"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pm = pc.groupBy(col("l_partkey").as("__mk"))
       .agg(min(col("cost")).as("__mc"))
     pc.join(pm, col("l_partkey") === col("__mk") && col("cost") === col("__mc"))

@@ -497,6 +497,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("Q2: argmin join — the per-part minimum aggregates before joining back, brand gate broadcasts") {
+    val plan = planOf(
+      SparkEntry.queries("q_q2_min_cost")(spark, "/root/testdata/sf0.001"))
+    // two aggregation levels (per-(part,supplier) then per-part min)
+    assert("HashAggregate\\(keys=\\[l_partkey".r.findAllIn(plan).size >= 2,
+      s"both argmin aggregation levels must hash-aggregate:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"the min equi-join-back must never nested-loop:\n$plan")
+    // pc is persisted and consumed twice: BOTH the min aggregation and
+    // the join-back must read the cache, so the fact scan runs once at
+    // materialization (each InMemoryTableScan prints the cached plan,
+    // which is why counting raw scan strings would mislead here)
+    assert("InMemoryTableScan".r.findAllIn(plan).size == 2,
+      s"both argmin consumers must read the persisted slice:\n$plan")
+  }
+
+  test("Q8: the share's numerator and denominator ride one aggregation over the Q5 spine") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(Option(conf.get(k))).toOption.flatten)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(
+        SparkEntry.queries("q_q8_market_share")(spark, "/root/testdata/sf0.001"))
+      assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+        s"the ratio must not re-scan the fact table:\n$plan")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size == 2,
+        s"only the orders and customer fact contacts may shuffle:\n$plan")
+      assert(plan.contains("partial_sum"),
+        s"both share sums must combine map-side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("z-order projection prunes the scan to its two input columns") {
     val dir = graft.io.TempDirs.registered("graft-zorder-scan").toString
     (1L to 20L).map(i => (i, i * 7 % 50, s"pad$i", i * 1.5)).toDF("k", "c", "s", "v")
