@@ -21,17 +21,6 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * the same rounds reproduces the fitted weights bit-for-bit.
   */
 object Learn {
-  /** Fit weights by `iters` rounds of full-batch GD at rate `lr` from
-    * zero initialization. `features` are (name, expression) pairs;
-    * `label` must evaluate to 0.0/1.0. Returns one row per feature
-    * plus `__bias`, in declaration order.
-    *
-    * Scale shape: the featurized corpus is persisted once (feature
-    * extraction — regex counts, token splits — is the expensive part
-    * and must not re-run per round); each round then costs one scan
-    * producing m+1 quantized sums that collapse map-side to one row.
-    * Total: 1 featurize + iters cheap scans, zero shuffles beyond the
-    * single-row aggregations. */
   /** Project `df` onto the numbered feature/label columns the GD step
     * consumes. */
   private[graft] def featurize(df: DataFrame, features: Seq[(String, Column)],
@@ -71,12 +60,24 @@ object Learn {
     (features.map(_._1) :+ "__bias").zip(w.toSeq).toDF("feature", "weight")
   }
 
+  /** Fit weights by `iters` rounds of full-batch GD at rate `lr` from
+    * zero initialization. `features` are (name, expression) pairs;
+    * `label` must evaluate to 0.0/1.0. Returns one row per feature
+    * plus `__bias`, in declaration order.
+    *
+    * Scale shape: the featurized corpus is persisted once (feature
+    * extraction — regex counts, token splits — is the expensive part
+    * and must not re-run per round); each round then costs one scan
+    * producing m+1 quantized sums that collapse map-side to one row.
+    * Total: 1 featurize + iters cheap scans, zero shuffles beyond the
+    * single-row aggregations. */
   def logisticTrain(df: DataFrame, features: Seq[(String, Column)],
                     label: Column, lr: Double, iters: Int): DataFrame = {
     val m = features.size
     val feats = featurize(df, features, label)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = feats.count().toDouble
+    require(n > 0, "Learn.logisticTrain: empty training input")
     var w = Array.fill(m + 1)(0.0)
     for (_ <- 0 until iters) w = gdStep(feats, m, w, lr, n)
     feats.unpersist(blocking = false)
@@ -91,7 +92,9 @@ object Learn {
     * stays an integer (ranks doubled to absorb the .5 tie averages)
     * until the single final division — so the result is exact in any
     * engine and any partitioning, and the only per-row work is one
-    * aggregation. Returns one row (n_pos, n_neg, auc). */
+    * aggregation. Returns one row (n_pos, n_neg, auc); auc is NaN when
+    * either class is absent (the metric is undefined there — callers
+    * gate on n_pos/n_neg, which the row carries for exactly that). */
   def auc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = scored.groupBy(col(scoreCol).as("__s"))
