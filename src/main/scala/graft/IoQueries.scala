@@ -242,6 +242,28 @@ object IoQueries {
         col("ok"))
   }
 
+  /** Distributed resize through the partition-iterator plumbing: real
+    * images re-raster to the target under a nearest-neighbor transform
+    * (witnessed on real PNG bytes in MultimodalSpec); this corpus's
+    * text payloads take the deterministic fallback (decode-fallback
+    * input dims, one synthetic byte per output pixel), which the
+    * oracle mirrors — schema, partitioning and batch shape are the
+    * production path either way. */
+  private val qMmResize: Q = (spark, dir) => {
+    val media = graft.operators.Multimodal.asMedia(
+      Tables.documents(spark, dir),
+      col("doc_id"), col("text"), lit("image/png"), col("source"),
+      col("n_chars").cast(LongType))
+    graft.operators.Multimodal.resize(spark, media, targetW = 96,
+        targetH = 64, spark.sparkContext.defaultParallelism)
+      .select(col("mediaId").as("media_id"),
+        col("inWidth").cast(LongType).as("in_width"),
+        col("inHeight").cast(LongType).as("in_height"),
+        col("outWidth").cast(LongType).as("out_width"),
+        col("outHeight").cast(LongType).as("out_height"),
+        col("outBytes").as("out_bytes"), col("ok"))
+  }
+
   /** Distributed audio decode through the partition-iterator plumbing:
     * WAV payloads get REAL header-parsed channel/rate/duration
     * (witnessed on synthesized RIFF bytes in MultimodalSpec); this
@@ -373,6 +395,7 @@ object IoQueries {
     "q_mm_media"            -> qMmMedia,
     "q_mm_features"         -> qMmFeatures,
     "q_mm_decode"           -> qMmDecode,
+    "q_mm_resize"           -> qMmResize,
     "q_mm_audio"            -> qMmAudio,
     "q_mm_video"            -> qMmVideo,
     "q_dpp_prune"           -> qDppPrune)
@@ -428,6 +451,19 @@ object IoQueries {
            CAST(CASE WHEN n = 0 THEN 0
                 ELSE 8000 + 125 * (CAST('0x' || substring(hx, 2 * (n // 2) + 1, 2) AS INT) % 128) END AS BIGINT) AS sample_rate_hz,
            CAST(CASE WHEN n = 0 THEN 0 ELSE n END AS BIGINT) AS duration_ms,
+           n > 0 AS ok
+         FROM b""",
+    "q_mm_resize" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+           coalesce(octet_length(encode(text)), 0) AS n FROM documents)
+         SELECT doc_id AS media_id,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE 64 + CAST('0x' || substring(hx, 1, 2) AS INT) % 128 END AS BIGINT) AS in_width,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE 64 + CAST('0x' || substring(hx, 2 * (n // 2) + 1, 2) AS INT) % 128 END AS BIGINT) AS in_height,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE 96 END AS BIGINT) AS out_width,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE 64 END AS BIGINT) AS out_height,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE 96 * 64 END AS BIGINT) AS out_bytes,
            n > 0 AS ok
          FROM b""",
     "q_mm_decode" ->

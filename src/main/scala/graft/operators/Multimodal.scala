@@ -154,6 +154,66 @@ object Multimodal {
       .toDF()
   }
 
+  final case class ResizedMeta(mediaId: Long, inWidth: Int, inHeight: Int,
+                               outWidth: Int, outHeight: Int,
+                               outBytes: Long, ok: Boolean)
+
+  /** Resize swap-point, shaped like [[decodePartition]]: real image
+    * payloads are decoded, scaled to (targetW, targetH) with a
+    * NEAREST-NEIGHBOR affine transform — chosen over interpolating
+    * kernels because its output pixels are an exact deterministic
+    * selection of input pixels, no FP resampling to drift — and
+    * re-encoded as PNG (lossless, JDK-bundled). Non-image payloads
+    * take the [[decodePartition]] fallback dims with a synthetic
+    * out-payload size of outW·outH (one byte per pixel), keeping the
+    * pipeline oracle-comparable end-to-end without codec libraries. */
+  def resizePartition(targetW: Int, targetH: Int)(rows: Iterator[Row]): Iterator[ResizedMeta] =
+    rows.map { r =>
+      val id = r.getAs[Long]("media_id")
+      val content = r.getAs[Array[Byte]]("content")
+      if (content == null || content.isEmpty)
+        ResizedMeta(id, 0, 0, 0, 0, 0L, ok = false)
+      else {
+        val real =
+          if (!looksLikeImage(content)) None
+          else try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(content))).map { img =>
+              val out = new java.awt.image.BufferedImage(
+                targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+                g.drawImage(img, 0, 0, targetW, targetH, null)
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              ResizedMeta(id, img.getWidth, img.getHeight,
+                targetW, targetH, bos.size().toLong, ok = true)
+            }
+          } catch { case _: Exception => None }
+        real.getOrElse {
+          val w = 64 + (content(0) & 0x7f)
+          val h = 64 + (content(content.length / 2) & 0x7f)
+          ResizedMeta(id, w, h, targetW, targetH,
+            targetW.toLong * targetH, ok = true)
+        }
+      }
+    }
+
+  /** Distributed resize: the same repartition → per-partition batch →
+    * typed Dataset plumbing as [[decode]]. */
+  def resize(spark: SparkSession, media: DataFrame, targetW: Int,
+             targetH: Int, partitions: Int): DataFrame = {
+    import spark.implicits._
+    repartitionForDecode(media, partitions)
+      .select(col("media_id"), col("content"))
+      .mapPartitions(resizePartition(targetW, targetH))(Encoders.product[ResizedMeta])
+      .toDF()
+  }
+
   // ------------------------------------------------------------------
   // Audio decode — real for WAV (RIFF header arithmetic, zero codec
   // dependencies), deterministic byte-derived fallback otherwise

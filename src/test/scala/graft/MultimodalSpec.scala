@@ -68,6 +68,39 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).getInt(1) >= 64 && out(2).getInt(2) >= 64)
   }
 
+  test("resize: real PNG re-rasters to the target; text takes the fallback; empty fails") {
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff00ff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, imageBytes("png", 40, 30)),
+      (2L, "plain text payload".getBytes("UTF-8")),
+      (3L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val m = Multimodal.asMedia(rows, col("id"), col("payload"),
+      lit("image/mixed"), lit("unit"), lit(0L))
+    val out = Multimodal.resize(spark, m, targetW = 8, targetH = 6, 2)
+      .orderBy("mediaId").collect()
+    // real path: true input dims, target output dims, a REAL re-encoded
+    // PNG whose byte size is what ImageIO produced (non-trivial, small)
+    assert(out(0).getInt(1) == 40 && out(0).getInt(2) == 30)
+    assert(out(0).getInt(3) == 8 && out(0).getInt(4) == 6)
+    assert(out(0).getLong(5) > 0 && out(0).getBoolean(6))
+    // determinism of the real path: identical bytes in, identical size out
+    val again = Multimodal.resize(spark, m, 8, 6, 2)
+      .orderBy("mediaId").collect()
+    assert(again(0).getLong(5) == out(0).getLong(5))
+    // fallback path: byte-derived input dims, synthetic out payload size
+    assert(out(1).getInt(1) >= 64 && out(1).getLong(5) == 8L * 6)
+    // empty payload fails closed
+    assert(!out(2).getBoolean(6) && out(2).getLong(5) == 0L)
+  }
+
   test("hashFeatures: dims channels in [0,1), deterministic, null-safe") {
     val f = media.select(col("media_id"),
       Multimodal.hashFeatures(col("content"), 4).as("feat"))
