@@ -1144,8 +1144,10 @@ object Streaming {
 
   /** The newest committed model. */
   def sgdWeights(spark: SparkSession, stateRoot: String): DataFrame = {
-    val v = sgdWeightVersions(stateRoot).max
-    spark.read.parquet(s"$stateRoot/w$v")
+    val vs = sgdWeightVersions(stateRoot)
+    require(vs.nonEmpty,
+      s"sgdWeights: no committed model under $stateRoot (drain first)")
+    spark.read.parquet(s"$stateRoot/w${vs.max}")
   }
 
   /** Offline maintenance for the streamed codes store: drop every
@@ -1166,6 +1168,9 @@ object Streaming {
     * missing ones — and stale rows are exactly what latest-wins reads
     * already resolve; re-running compaction converges. */
   def compactAnnIndex(spark: SparkSession, indexRoot: String): Unit = {
+    require(Option(new java.io.File(indexRoot).listFiles())
+        .exists(_.exists(_.getName.startsWith("batch="))),
+      s"compactAnnIndex: no batch partitions under $indexRoot (drain first)")
     val staging = indexRoot + "__compact"
     val store = spark.read.parquet(indexRoot)
     val latest = store.groupBy(col("id")).agg(max(col("batch")).as("batch"))
