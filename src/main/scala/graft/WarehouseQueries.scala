@@ -3,14 +3,17 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** TPC-H-shaped warehouse composites: the multi-join rollup and
-  * group-HAVING paths a reporting warehouse lives on, expressed the way
-  * they should run at 100 TB.
-  *
-  * The headline join/agg queries elsewhere in the suite are q1/q3-shaped
-  * (one join, one aggregation); these two exercise what those don't —
-  * join ORDER across a star of dimensions, partial (map-side) aggregation
-  * under a multi-join, and a semi-reductive HAVING feeding a top-k.
+/** TPC-H-shaped warehouse composites, expressed the way they should run
+  * at 100 TB: the full analytic-core craft beyond the suite's q1/q3
+  * one-join-one-agg headliners. Eighteen shapes across star join
+  * ordering (Q5/Q9), HAVING reduction + top-k (Q18), full-scan
+  * multi-aggregate (Q1), EXISTS / NOT EXISTS as semi and anti joins
+  * (Q4/Q21/Q22/Q16), decorrelated correlated aggregates (Q17 average,
+  * Q2 argmin-join tie set), disjunctive pushdown (Q19), outer-join
+  * count distributions and aggregate-below-join ordering (Q13/Q10),
+  * and single-pass conditional shares (Q14/Q8). Every query's physical
+  * shape is pinned in PlanSpec; every oracle keeps the naive/correlated
+  * SQL form as an independent formulation.
   */
 object WarehouseQueries {
   private type Q = (SparkSession, String) => DataFrame
