@@ -51,6 +51,21 @@ object CurationQueries {
     Curation.connectedComponents(docs, "doc_id", pairs)
   }
 
+  /** Triangle census of the near-dup graph: how clique-like the
+    * template families are ([[graft.operators.Graph.triangleStats]]) —
+    * a high clustering coefficient says connected components merge
+    * genuine families; a low one says the transitive closure chains
+    * through weak ties and the canonical-per-cluster step is lossy. */
+  private val qGraphTriangles: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val pairs = Similarity.lshJaccard(docs, "doc_id", "text",
+      shingleN, ExtensionQueries.minhashN, ExtensionQueries.rowsPerBand,
+      ExtensionQueries.lshBucketCap, ExtensionQueries.jaccardThreshold)
+    val out = graft.operators.Graph.triangleStats(pairs, "id_a", "id_b")
+    Similarity.release(pairs)
+    out
+  }
+
   /** Split-leakage report: near-duplicate pairs (the exact LSH →
     * jaccard gate of q_sim_lsh_jaccard) that cross the deterministic
     * 90/5/5 split of q_split — a test document with a near-dup in
@@ -762,6 +777,7 @@ object CurationQueries {
     "q_unpivot_measures" -> qUnpivotMeasures,
     "q_rolling_avg"    -> qRollingAvg,
     "q_dup_components" -> qDupComponents,
+    "q_graph_triangles" -> qGraphTriangles,
     "q_split_leakage"  -> qSplitLeakage,
     "q_decontaminate"  -> qDecontaminate,
     "q_strat_sample"   -> qStratSample,
@@ -1262,6 +1278,26 @@ object CurationQueries {
                        + (1.96 * 1.96) / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))
                   / (1.0 + (1.96 * 1.96) / CAST(n_docs AS DOUBLE)), 6) AS wilson_lower
           FROM a""",
+    "q_graph_triangles" ->
+      s"""WITH ${ExtensionQueries.lshJaccardCtes},
+          eg AS (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+                 FROM lsh_pairs WHERE id_a <> id_b),
+          dg AS (SELECT x, count(*) AS d FROM (
+                   SELECT u AS x FROM eg UNION ALL SELECT v FROM eg)
+                 GROUP BY 1),
+          t AS (SELECT count(*) AS n_triangles
+                FROM eg e1 JOIN eg e2 ON e1.v = e2.u
+                           JOIN eg e3 ON e3.u = e1.u AND e3.v = e2.v),
+          agg AS (SELECT (SELECT count(*) FROM dg) AS n_nodes,
+                         (SELECT count(*) FROM eg) AS n_edges,
+                         (SELECT sum(d * (d - 1)) FROM dg) AS w2)
+          SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                 CAST(n_edges AS BIGINT) AS n_edges,
+                 CAST(n_triangles AS BIGINT) AS n_triangles,
+                 CASE WHEN w2 > 0
+                      THEN round(6.0 * n_triangles / w2, 6)
+                      ELSE 0.0 END AS clustering_coeff
+          FROM agg, t""",
     "q_ts_gapfill" ->
       """WITH agg AS (
            SELECT event_type,

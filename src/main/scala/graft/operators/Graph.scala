@@ -245,4 +245,62 @@ object Graph {
     e.unpersist(blocking = false) // safe: h/a are flat checkpointed scans
     out
   }
+
+  /** Triangle census + global clustering coefficient of an undirected
+    * graph — the clique-density check a curator reads on the near-dup
+    * graph (template families are cliques; a low coefficient says the
+    * transitive-closure dedup is merging through weak ties).
+    *
+    * Scale shape: the classic DEGREE-ORDERED orientation — every edge
+    * points from its lower-(degree, id) endpoint, so wedge pairs
+    * generate only at each triangle's lowest-degree corner. That bounds
+    * the self-join fan-out by Σ d_out² with d_out ≤ O(√m) on any graph
+    * (a hub of degree d contributes d wedges, not d²), which is the
+    * difference between counting triangles on a power-law near-dup
+    * graph and materializing a hub's quadratic neighborhood. Three
+    * hash joins, all keyed on vertices; the edge relation is persisted
+    * once and shared by degrees, orientation, and closure. The count
+    * and coefficient are pure integer arithmetic until one final
+    * division — engine-exact. Returns one row
+    * (n_nodes, n_edges, n_triangles, clustering_coeff). */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast(LongType).as("u"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("t"),
+        when(lowFirst, col("dv")).otherwise(col("du")).as("dt"))
+    val wedges = oriented.select(col("s"), col("t").as("w1"), col("dt").as("d1"))
+      .join(oriented.select(col("s"), col("t").as("w2"), col("dt").as("d2")), "s")
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("w1") < col("w2")))
+    val tri = wedges.join(e,
+      least(col("w1"), col("w2")) === col("u") &&
+        greatest(col("w1"), col("w2")) === col("v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("d") * (col("d") - 1)).as("__w2")))
+    val out = counts.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        when(col("__w2") > 0,
+          round(lit(6.0) * col("n_triangles") / col("__w2"), 6))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+      .localCheckpoint()
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out
+  }
 }

@@ -279,4 +279,29 @@ class StatsSpec extends SparkSpec {
     val b = r("b")
     assert(b.getAs[Long]("top_share_bp") == 2000 && b.getAs[Long]("skew_x100") == 100)
   }
+
+  test("triangleStats: known censuses, orientation invariance, duplicate collapse") {
+    def stats(edges: Seq[(Long, Long)]): (Long, Long, Long, Double) = {
+      val r = Graph.triangleStats(edges.toDF("a", "b"), "a", "b").collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    // K4: 4 triangles, every wedge closed -> coefficient exactly 1
+    val k4 = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    assert(stats(k4) == ((4L, 6L, 4L, 1.0)))
+    // path graph: wedges but no triangles
+    assert(stats(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == ((4L, 3L, 0L, 0.0)))
+    // star + one closing edge: exactly the closed wedge counts
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L))
+    val (n, m, t, c) = stats(star)
+    assert((n, m, t) == ((5L, 5L, 1L)))
+    // duplicates, reversed orientations and self-loops collapse
+    assert(stats(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))) ==
+      ((3L, 3L, 1L, 1.0)))
+    // partitioning independence
+    val big = (0L until 30L).flatMap(i => Seq((i, (i + 1) % 30), (i, (i + 7) % 30)))
+    val a = Graph.triangleStats(big.toDF("a", "b"), "a", "b").collect().head.toSeq
+    val bb = Graph.triangleStats(big.toDF("a", "b").repartition(7), "a", "b")
+      .collect().head.toSeq
+    assert(a == bb)
+  }
 }
