@@ -66,6 +66,22 @@ object CurationQueries {
     out
   }
 
+  /** 2-core of the near-dup graph: the documents sitting in CYCLES of
+    * similarity — the hard kernel of each template family that
+    * survives after chains of weak ties peel away
+    * ([[graft.operators.Graph.kCore]]). The oracle unrolls six peel
+    * rounds, comfortably past this graph's peeling depth (the same
+    * fixed-unroll convergence contract as the k-means and GD oracles). */
+  private val qKcore: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val pairs = Similarity.lshJaccard(docs, "doc_id", "text",
+      shingleN, ExtensionQueries.minhashN, ExtensionQueries.rowsPerBand,
+      ExtensionQueries.lshBucketCap, ExtensionQueries.jaccardThreshold)
+    val out = graft.operators.Graph.kCore(pairs, "id_a", "id_b", k = 2)
+    Similarity.release(pairs)
+    out
+  }
+
   /** Split-leakage report: near-duplicate pairs (the exact LSH →
     * jaccard gate of q_sim_lsh_jaccard) that cross the deterministic
     * 90/5/5 split of q_split — a test document with a near-dup in
@@ -778,6 +794,7 @@ object CurationQueries {
     "q_rolling_avg"    -> qRollingAvg,
     "q_dup_components" -> qDupComponents,
     "q_graph_triangles" -> qGraphTriangles,
+    "q_kcore"          -> qKcore,
     "q_split_leakage"  -> qSplitLeakage,
     "q_decontaminate"  -> qDecontaminate,
     "q_strat_sample"   -> qStratSample,
@@ -1298,6 +1315,49 @@ object CurationQueries {
                       THEN round(6.0 * n_triangles / w2, 6)
                       ELSE 0.0 END AS clustering_coeff
           FROM agg, t""",
+    "q_kcore" ->
+      s"""WITH ${ExtensionQueries.lshJaccardCtesFrom("documents", materializePairs = true)},
+          ke0 AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+                  FROM lsh_pairs WHERE id_a <> id_b),
+          kd1 AS (SELECT x, count(*) AS d FROM (
+                     SELECT u AS x FROM ke0 UNION ALL SELECT v FROM ke0)
+                   GROUP BY 1),
+          kk1 AS (SELECT x FROM kd1 WHERE d >= 2),
+          ke1 AS MATERIALIZED (SELECT e.u, e.v FROM ke0 e
+                     JOIN kk1 a ON e.u = a.x JOIN kk1 b ON e.v = b.x),
+          kd2 AS (SELECT x, count(*) AS d FROM (
+                     SELECT u AS x FROM ke1 UNION ALL SELECT v FROM ke1)
+                   GROUP BY 1),
+          kk2 AS (SELECT x FROM kd2 WHERE d >= 2),
+          ke2 AS MATERIALIZED (SELECT e.u, e.v FROM ke1 e
+                     JOIN kk2 a ON e.u = a.x JOIN kk2 b ON e.v = b.x),
+          kd3 AS (SELECT x, count(*) AS d FROM (
+                     SELECT u AS x FROM ke2 UNION ALL SELECT v FROM ke2)
+                   GROUP BY 1),
+          kk3 AS (SELECT x FROM kd3 WHERE d >= 2),
+          ke3 AS MATERIALIZED (SELECT e.u, e.v FROM ke2 e
+                     JOIN kk3 a ON e.u = a.x JOIN kk3 b ON e.v = b.x),
+          kd4 AS (SELECT x, count(*) AS d FROM (
+                     SELECT u AS x FROM ke3 UNION ALL SELECT v FROM ke3)
+                   GROUP BY 1),
+          kk4 AS (SELECT x FROM kd4 WHERE d >= 2),
+          ke4 AS MATERIALIZED (SELECT e.u, e.v FROM ke3 e
+                     JOIN kk4 a ON e.u = a.x JOIN kk4 b ON e.v = b.x),
+          kd5 AS (SELECT x, count(*) AS d FROM (
+                     SELECT u AS x FROM ke4 UNION ALL SELECT v FROM ke4)
+                   GROUP BY 1),
+          kk5 AS (SELECT x FROM kd5 WHERE d >= 2),
+          ke5 AS MATERIALIZED (SELECT e.u, e.v FROM ke4 e
+                     JOIN kk5 a ON e.u = a.x JOIN kk5 b ON e.v = b.x),
+          kd6 AS (SELECT x, count(*) AS d FROM (
+                     SELECT u AS x FROM ke5 UNION ALL SELECT v FROM ke5)
+                   GROUP BY 1),
+          kk6 AS (SELECT x FROM kd6 WHERE d >= 2),
+          ke6 AS MATERIALIZED (SELECT e.u, e.v FROM ke5 e
+                     JOIN kk6 a ON e.u = a.x JOIN kk6 b ON e.v = b.x)
+          SELECT x AS node, count(*) AS core_degree FROM (
+            SELECT u AS x FROM ke6 UNION ALL SELECT v FROM ke6)
+          GROUP BY 1""",
     "q_ts_gapfill" ->
       """WITH agg AS (
            SELECT event_type,

@@ -246,6 +246,47 @@ object Graph {
     out
   }
 
+  /** k-core of an undirected graph: the maximal subgraph where every
+    * vertex keeps degree ≥ k — the standard peel: drop under-degree
+    * vertices, recompute degrees on the induced subgraph, repeat to
+    * fixpoint. On the near-dup graph the 2-core is exactly the set of
+    * documents sitting in CYCLES of similarity (template families);
+    * chain-of-weak-ties structures peel away.
+    *
+    * Scale shape: each round is one degree aggregation + one semi-join
+    * pair over the shrinking edge relation (all keyed on vertices),
+    * with lineage cut per round (localCheckpoint — the connected-
+    * components lesson: plan growth, not compute, is what kills
+    * iterative graph jobs). Rounds are bounded by the peeling depth
+    * (≤ max degree, tiny in practice); the driver sees one COUNT per
+    * round, never data. Returns the core's vertices with their core
+    * degrees. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int): DataFrame = {
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).cast(LongType).as("u"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var done = false
+    while (!done) {
+      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("x"))
+      val next = e
+        .join(keep.select(col("x").as("u")), "u", "left_semi")
+        .join(keep.select(col("x").as("v")), "v", "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val (before, after) = (e.count(), next.count())
+      e = next
+      done = after == before || after == 0
+    }
+    e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("core_degree"))
+      .select(col("x").as("node"), col("core_degree"))
+  }
+
   /** Triangle census + global clustering coefficient of an undirected
     * graph — the clique-density check a curator reads on the near-dup
     * graph (template families are cliques; a low coefficient says the

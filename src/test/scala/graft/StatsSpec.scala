@@ -304,4 +304,21 @@ class StatsSpec extends SparkSpec {
       .collect().head.toSeq
     assert(a == bb)
   }
+
+  test("kCore: chains peel away layer by layer; cycles survive; a tree empties") {
+    def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      Graph.kCore(edges.toDF("a", "b"), "a", "b", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle with a 3-node tail: the tail peels over multiple rounds,
+    // the cycle is the 2-core
+    val tailed = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(core(tailed, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // a pure tree has an empty 2-core
+    assert(core(Seq((1L, 2L), (2L, 3L), (2L, 4L)), 2) == Map.empty)
+    // K4 is its own 3-core
+    val k4 = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    assert(core(k4, 3) == (0L to 3L).map(_ -> 3L).toMap)
+    // k=1 keeps everything with at least one edge
+    assert(core(Seq((7L, 8L)), 1) == Map(7L -> 1L, 8L -> 1L))
+  }
 }
