@@ -276,4 +276,43 @@ class PropertySpec extends SparkSpec {
       assert((d == 0.0) == exact, s"vec $id d=$d exactMatch=$exact")
     }
   }
+
+  test("triangleStats and kCore match brute force on random graphs") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 11L); b <- Gen.chooseNum(0L, 11L)
+    } yield (a, b)
+    for (seedShift <- 0 until 3) {
+      val raw = Gen.listOfN(28, edgeGen)
+        .apply(Gen.Parameters.default, Seed(42L + seedShift)).get
+      val canon = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      val adj = canon.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      // brute-force triangles — yield the TUPLE: comprehending through
+      // Set generators with a constant yield dedupes the counts away
+      val bruteTri = (for {
+        (u, ns) <- adj.toSeq; v <- ns.toSeq if v > u; w <- adj(v).toSeq if w > v
+        if ns(w)
+      } yield (u, v, w)).size
+      val df = raw.toDF("a", "b")
+      val st = graft.operators.Graph.triangleStats(df, "a", "b").collect().head
+      assert(st.getLong(0) == adj.size && st.getLong(1) == canon.size &&
+        st.getLong(2) == bruteTri,
+        s"seed+$seedShift: got (${st.toSeq}) want nodes=${adj.size} " +
+          s"edges=${canon.size} tri=$bruteTri")
+      // brute-force 2-core peel
+      var keep = adj.keySet
+      var changed = true
+      while (changed) {
+        val next = keep.filter(u => adj(u).count(keep) >= 2)
+        changed = next != keep; keep = next
+      }
+      val core = graft.operators.Graph.kCore(df, "a", "b", 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(core.keySet == keep, s"seed+$seedShift: core ${core.keySet} want $keep")
+      keep.foreach { u =>
+        assert(core(u) == adj(u).count(keep).toLong, s"degree of $u in core")
+      }
+    }
+  }
 }
