@@ -4,16 +4,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** TPC-H-shaped warehouse composites, expressed the way they should run
-  * at 100 TB: the full analytic-core craft beyond the suite's q1/q3
-  * one-join-one-agg headliners. Eighteen shapes across star join
-  * ordering (Q5/Q9), HAVING reduction + top-k (Q18), full-scan
-  * multi-aggregate (Q1), EXISTS / NOT EXISTS as semi and anti joins
-  * (Q4/Q21/Q22/Q16), decorrelated correlated aggregates (Q17 average,
-  * Q2 argmin-join tie set), disjunctive pushdown (Q19), outer-join
-  * count distributions and aggregate-below-join ordering (Q13/Q10),
-  * and single-pass conditional shares (Q14/Q8). Every query's physical
-  * shape is pinned in PlanSpec; every oracle keeps the naive/correlated
-  * SQL form as an independent formulation.
+  * at 100 TB: with SparkEntry's q1/q3 headliners this registry covers
+  * all twenty-two TPC-H plan shapes. Star join ordering (Q5/Q9), HAVING
+  * reduction + top-k (Q18), full-scan multi-aggregate (Q1), pure
+  * pushdown scan (Q6), EXISTS / NOT EXISTS as semi and anti joins
+  * (Q4/Q21/Q22/Q16), nested IN as a semi-join chain (Q20), decorrelated
+  * correlated aggregates (Q17 average, Q2 argmin-join tie set, Q15
+  * global argmax, Q11 HAVING-scalar threshold), disjunctive pushdown
+  * (Q19), two-sided dimension gates (Q7), lateness residual joins with
+  * conditional counts (Q12), outer-join count distributions and
+  * aggregate-below-join ordering (Q13/Q10), and single-pass conditional
+  * shares (Q14/Q8). Every query's physical shape is pinned in PlanSpec;
+  * every oracle keeps the naive/correlated SQL form as an independent
+  * formulation. (Q3 in SparkEntry covers the segment top-k join; the
+  * testdata has no partsupp or ship-mode/commit/receipt columns, so
+  * Q11/Q12/Q20 keep their plan shapes over the columns that exist.)
   */
 object WarehouseQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -502,6 +507,203 @@ object WarehouseQueries {
           / sum(rev).cast(DoubleType), 6).as("mkt_share"))
   }
 
+  /** Q6-shaped forecast-revenue delta: the simplest — and most
+    * scan-bound — shape in the suite: one fact scan under three pushable
+    * range predicates, one scalar sum, no joins at all.
+    *
+    * Scale shape: every predicate (ship-year window, discount band,
+    * quantity cap) pushes into the parquet scan as a PushedFilter, so
+    * row-group statistics prune I/O before a single row materializes;
+    * the projection carries two columns. The aggregate is a one-row
+    * partial-combined sum — the exchange moves 32 rows. At 100 TB this
+    * query IS its scan; anything beyond pushdown+pruning is overhead. */
+  private val qQ6ForecastDelta: Q = (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01" &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+        .as("revenue"))
+
+  /** Q7-shaped cross-nation volume: revenue flowing between two named
+    * nations in either direction, per supplier-nation / customer-nation
+    * / ship-year cell — the two-sided dimension gate whose directional
+    * filter must not turn into a post-join cross filter.
+    *
+    * Scale shape: each side's nation gate broadcasts into its own
+    * relation BEFORE the spine (supplier directly; customer via the
+    * Q5 lesson — fact-sized, so it shuffles once on the custkey rather
+    * than broadcasting). The direction predicate collapses to
+    * supp_nation ≠ cust_nation because both sides are already gated to
+    * the pair — a 2×2 residual evaluated on join output, not a
+    * cross-table disjunction. The ship-year window pushes into the fact
+    * scan; group cardinality is 2 directions × years, so partials
+    * collapse map-side. */
+  private val qQ7NationVolume: Q = (spark, dir) => {
+    val pair = Seq("NATION_3", "NATION_7")
+    val gated = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(pair: _*))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(gated.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(gated.select(col("n_nationkey"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1998-01-01")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"),
+        year(col("l_shipdate")).as("l_year"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  /** Q11-shaped important-part concentration: parts whose shipped value
+    * from one nation's suppliers exceeds a fixed fraction of that
+    * slice's TOTAL value — the canonical uncorrelated scalar subquery
+    * in HAVING. (TPC-H Q11 measures partsupp stock value; this testdata
+    * has no partsupp, so the value is shipped extendedprice×quantity —
+    * same grouped-agg-vs-global-agg plan shape, same decorrelation.)
+    *
+    * Scale shape: the nation gate broadcasts as a semi join on the fact
+    * scan, so only the gated slice ever aggregates; the per-part
+    * aggregate is persisted and consumed twice — once to derive the
+    * global total (an aggregate OF the aggregate: no second fact scan)
+    * and once for the threshold filter — so the fact table is scanned
+    * exactly once. The global total is a one-row broadcast. Sums are
+    * DECIMAL(18,4)-quantized (the Q8 contract), making the threshold
+    * comparison exact arithmetic on both engines — a raw double sum
+    * would make boundary parts flap between runs. */
+  private val qQ11ImportantParts: Q = (spark, dir) => {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val supN = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === "NATION_5")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val per = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * col("l_quantity"))
+          .cast(DecimalType(18, 4)).as("__v"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey")).agg(sum(col("__v")).as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = per.agg(sum(col("value")).as("__t"))
+    per.crossJoin(broadcast(tot))
+      .filter(col("value") * 1000 > col("__t"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value").cast(DoubleType).as("value"))
+  }
+
+  /** Q12-shaped late-shipment priority audit: among lines shipped more
+    * than 90 days after their order date within one ship-year, how many
+    * belonged to high- vs low-priority orders, per line status. (TPC-H
+    * Q12 groups by ship mode and tests commit-vs-receipt lateness; this
+    * testdata has neither column, so the group is line status and the
+    * lateness is ship-vs-order — same join-with-residual + conditional-
+    * count shape.)
+    *
+    * Scale shape: both fact tables shuffle ONCE on the shared order
+    * key, with the date window pushed into the lineitem scan so the
+    * join's probe side is already year-sized; the lateness comparison
+    * rides the equi join as a residual, never a nested loop. High and
+    * low counts are conditional sums inside one aggregation (the Q14
+    * single-pass contract) whose 2-group output collapses map-side. */
+  private val qQ12LatePriority: Q = (spark, dir) => {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01")
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** Q15-shaped top supplier: the supplier(s) achieving the maximum
+    * quarterly revenue — the canonical view-plus-scalar-max, Q2's
+    * argmin join with a GLOBAL extreme instead of a per-key one.
+    *
+    * Scale shape: the quarter filter pushes into the one fact scan; the
+    * per-supplier revenue relation is persisted and consumed twice (the
+    * scalar max, then the tie filter) so the fact table is never
+    * re-scanned; the max is a one-row broadcast against the ≤|supplier|
+    * revenue relation. Revenue is DECIMAL(18,4)-quantized so the
+    * max-equality tie test is exact on both engines — the whole query
+    * hinges on an equality between two independently-computed sums,
+    * which raw doubles would make order-dependent. */
+  private val qQ15TopSupplier: Q = (spark, dir) => {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1996-04-01")
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4)).as("__r"))
+      .groupBy(col("l_suppkey")).agg(sum(col("__r")).as("total_revenue"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = rev.agg(max(col("total_revenue")).as("__mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("__mx"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast(DoubleType).as("total_revenue"))
+  }
+
+  /** Q20-shaped promotion-candidate suppliers: suppliers in a nation
+    * group who shipped a heavy quantity of some color-prefixed part in
+    * one year — the canonical NESTED IN (suppkey IN (… partkey IN (…)))
+    * with a correlated quantity threshold, decorrelated to a semi-join
+    * chain over one per-(supplier, part) aggregate.
+    *
+    * Scale shape: the innermost IN (color-prefixed parts) broadcasts as
+    * a semi gate on the fact scan, the year window pushes into the same
+    * scan, and the correlated threshold becomes ONE aggregation on
+    * (suppkey, partkey) — never a per-supplier subquery. The outer IN
+    * is a semi join against the heavy-supplier set, which is ≤|supplier|
+    * and joins after the nation gate has already cut the left side.
+    * Every relation the fact table meets is broadcast-sized; the only
+    * exchange is the pair aggregation. */
+  private val qQ20PromoSuppliers: Q = (spark, dir) => {
+    val pp = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("red "))
+      .select(col("p_partkey"))
+    val heavy = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("__qty"))
+      .filter(col("__qty") > 30)
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name").isin("NATION_0", "NATION_1", "NATION_2",
+          "NATION_3", "NATION_4"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_q9_profit"     -> qQ9Profit,
     "q_q18_big_orders" -> qQ18BigOrders,
@@ -517,7 +719,13 @@ object WarehouseQueries {
     "q_q13_custdist" -> qQ13CustDist,
     "q_q16_supplier_cnt" -> qQ16SupplierCnt,
     "q_q2_min_cost" -> qQ2MinCost,
-    "q_q8_market_share" -> qQ8MarketShare
+    "q_q8_market_share" -> qQ8MarketShare,
+    "q_q6_forecast_delta" -> qQ6ForecastDelta,
+    "q_q7_nation_volume" -> qQ7NationVolume,
+    "q_q11_important_parts" -> qQ11ImportantParts,
+    "q_q12_late_priority" -> qQ12LatePriority,
+    "q_q15_top_supplier" -> qQ15TopSupplier,
+    "q_q20_promo_suppliers" -> qQ20PromoSuppliers
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -688,6 +896,77 @@ object WarehouseQueries {
            JOIN supplier ON l_suppkey = s_suppkey
            JOIN nation sn ON s_nationkey = sn.n_nationkey
          WHERE r_name = 'ASIA'
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q_q6_forecast_delta" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q_q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+           AND cn.n_name IN ('NATION_3', 'NATION_7')
+           AND sn.n_name <> cn.n_name
+           AND l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1998-01-01'
+         GROUP BY 1, 2, 3""",
+    "q_q11_important_parts" ->
+      """WITH per AS (
+           SELECT l_partkey,
+             sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS value
+           FROM lineitem
+           WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                               JOIN nation ON s_nationkey = n_nationkey
+                               WHERE n_name = 'NATION_5')
+           GROUP BY 1)
+         SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS value
+         FROM per
+         WHERE value * 1000 > (SELECT sum(value) FROM per)""",
+    "q_q12_late_priority" ->
+      """SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1997-01-01'
+           AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+         GROUP BY 1""",
+    "q_q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= DATE '1996-01-01'
+             AND l_shipdate < DATE '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+    "q_q20_promo_suppliers" ->
+      """SELECT s_suppkey, s_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2',
+                          'NATION_3', 'NATION_4')
+           AND s_suppkey IN (
+             SELECT l_suppkey FROM lineitem
+             WHERE l_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_name LIKE 'red %')
+               AND l_shipdate >= DATE '1996-01-01'
+               AND l_shipdate < DATE '1997-01-01'
+             GROUP BY l_suppkey, l_partkey
+             HAVING sum(l_quantity) > 30)"""
   )
 }

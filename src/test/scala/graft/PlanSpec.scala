@@ -536,6 +536,104 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("Q6: pure pushdown — every predicate reaches the scan, no joins") {
+    val conf = spark.conf
+    val saved = util.Try(Option(conf.get("spark.sql.maxMetadataStringLength")))
+      .toOption.flatten
+    try {
+      // the default 100-char metadata truncation elides the later
+      // entries of a multi-predicate PushedFilters list
+      conf.set("spark.sql.maxMetadataStringLength", "2000")
+      val plan = planOf(
+        SparkEntry.queries("q_q6_forecast_delta")(spark, "/root/testdata/sf0.001"))
+      assert(!plan.contains("Join"),
+        s"Q6 is one scan plus one scalar aggregate:\n$plan")
+      val pushed = "PushedFilters: \\[[^\\]]*".r.findFirstIn(plan).getOrElse("")
+      assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+        pushed.contains("GreaterThanOrEqual(l_discount") &&
+        pushed.contains("LessThan(l_quantity"),
+        s"all three range predicates must push into the scan: $pushed")
+      assert(plan.contains("partial_sum"),
+        s"the scalar sum must combine map-side:\n$plan")
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.maxMetadataStringLength", v)
+      case None    => conf.unset("spark.sql.maxMetadataStringLength")
+    }
+  }
+
+  test("Q7: nation gates broadcast; only the two fact contacts shuffle") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(Option(conf.get(k))).toOption.flatten)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(
+        SparkEntry.queries("q_q7_nation_volume")(spark, "/root/testdata/sf0.001"))
+      assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+        s"one fact scan:\n$plan")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size == 2,
+        s"only orders and customer may shuffle (the Q5 lesson):\n$plan")
+      assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate".r
+          .findFirstIn(plan).nonEmpty,
+        s"the ship-year window must reach the fact scan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("Q11: one fact scan feeds both the per-part aggregate and (through it) the global total") {
+    val plan = planOf(
+      SparkEntry.queries("q_q11_important_parts")(spark, "/root/testdata/sf0.001"))
+    // per is persisted and consumed twice: threshold filter + total
+    assert("InMemoryTableScan".r.findAllIn(plan).size == 2,
+      s"both consumers must read the persisted per-part aggregate:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"the nation gate must apply as a semi join on the scan:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"only the one-row global total may cross-join:\n$plan")
+  }
+
+  test("Q12: the lateness comparison rides the equi join as a residual") {
+    val plan = planOf(
+      SparkEntry.queries("q_q12_late_priority")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"the non-equi lateness predicate must ride the equi join:\n$plan")
+    assert(plan.contains("l_shipdate"),
+      s"the residual comparison must appear in the physical join:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"both conditional counts must combine map-side in one aggregation:\n$plan")
+    assert("HashAggregate\\(keys=\\[l_linestatus".r.findAllIn(plan).size == 2,
+      s"high and low counts must ride ONE two-phase aggregation:\n$plan")
+  }
+
+  test("Q15: global argmax reuses the persisted revenue relation, never re-scans") {
+    val plan = planOf(
+      SparkEntry.queries("q_q15_top_supplier")(spark, "/root/testdata/sf0.001"))
+    // both consumers read the cache, so the fact scan runs once at
+    // materialization (the raw scan STRING appears under each printed
+    // InMemoryRelation — counting it would mislead, the Q2 note)
+    assert("InMemoryTableScan".r.findAllIn(plan).size == 2,
+      s"the scalar max and the tie filter must both read the cache:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"only the one-row max may cross-join:\n$plan")
+  }
+
+  test("Q20: nested IN decorrelates to two semi joins over one pair aggregate") {
+    val plan = planOf(
+      SparkEntry.queries("q_q20_promo_suppliers")(spark, "/root/testdata/sf0.001"))
+    assert("LeftSemi".r.findAllIn(plan).size >= 2,
+      s"both IN levels must plan as semi joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"the correlated quantity threshold must never nested-loop:\n$plan")
+    assert("HashAggregate\\(keys=\\[l_suppkey[^\\]]*l_partkey".r
+        .findAllIn(plan).nonEmpty,
+      s"the threshold must come from ONE per-(supplier, part) aggregate:\n$plan")
+  }
+
   test("z-order projection prunes the scan to its two input columns") {
     val dir = graft.io.TempDirs.registered("graft-zorder-scan").toString
     (1L to 20L).map(i => (i, i * 7 % 50, s"pad$i", i * 1.5)).toDF("k", "c", "s", "v")
