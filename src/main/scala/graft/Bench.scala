@@ -59,7 +59,11 @@ object Bench {
     println(line)
     // The driver tail-truncates long stdout lines; persist the complete
     // per-query map as a file artifact too so no timing is ever lost.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // A BENCH_ONLY subset defaults to its own file: the committed
+    // best-of-N baseline must never be silently replaced by a partial
+    // pass (merge subsets in via tools/merge_bench.py instead).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench_subset.json" else "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
