@@ -410,6 +410,60 @@ object CurationQueries {
         col("__open_from").as("open_from"))
   }
 
+  /** ST22 — streaming sessionization: three ts-tercile deliveries (the
+    * q_st16 time-ordered shape) drain through the event-time-timeout
+    * sessionizer, then two far-future single-row sentinel deliveries
+    * push the watermark past every real session's gap so the timeout
+    * path — not just the new-event-beyond-gap path — demonstrably
+    * emits (sessions spanning tercile boundaries close via gap breaks;
+    * idle tails close via timeout). All five files ride ONE drain at
+    * maxFilesPerTrigger=1: the watermark a sentinel batch establishes
+    * applies from the NEXT trigger, so sentinel A arms and sentinel B
+    * fires. Sentinel users are negative ids, filtered from the result;
+    * their own sessions never close, which is the point — open state
+    * is not emitted, only proven-complete sessions are. The oracle is
+    * the batch gap-replay (strict >= gap break, [first, last+gap)
+    * windows) over exactly the real events. */
+  private val qSt22StreamSessionize: Q = (spark, dir) => {
+    val ev = Tables.fanOut(Tables.events(spark, dir))
+      .select(col("user_id"), col("ts"))
+    val in = graft.io.TempDirs.registered("graft-q-st22-in").toString
+    val out = graft.io.TempDirs.registered("graft-q-st22-out").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st22-ckpt").toString
+    val tsl = expr(
+      "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    val Array(a, b) = ev.select(tsl.as("tsl")).stat
+      .approxQuantile("tsl", Array(1.0 / 3, 2.0 / 3), 0.0)
+    val far = ev.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0)
+    val deliveries: Seq[DataFrame] = Seq(
+      ev.filter(tsl <= a), ev.filter(tsl > a && tsl <= b), ev.filter(tsl > b),
+      spark.range(1).select(lit(-1L).as("user_id"),
+        lit(far.plusDays(1)).as("ts")),
+      spark.range(1).select(lit(-2L).as("user_id"),
+        lit(far.plusDays(2)).as("ts")))
+    val seen = scala.collection.mutable.Set[String]()
+    deliveries.zipWithIndex.foreach { case (d, s) =>
+      d.coalesce(1).write.mode("append").parquet(in)
+      // pin strictly increasing mtimes per delivery (FileStreamSource
+      // orders by modification time)
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + s * 60000L)
+          seen += f.getName
+        }
+      }
+    }
+    val src = graft.streaming.Streaming.parquetSource(spark, in, ev.schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runStreamingSessionize(src, "user_id", "ts",
+      gapMs = 30L * 60 * 1000, watermarkDelay = "0 seconds", out, ckpt)
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+  }
+
   /** Event-type pivot: one row per user, one count column per type.
     * Explicit pivot values keep the plan a single pass (no distinct-
     * values pre-query); absent cells coalesce to 0 to match COUNT
@@ -787,6 +841,7 @@ object CurationQueries {
     "q_scd2_timeline"  -> qScd2Timeline,
     "q_st16_stream_scd2" -> qSt16StreamScd2,
     "q_st18_late_quarantine" -> qSt18LateQuarantine,
+    "q_st22_stream_sessionize" -> qSt22StreamSessionize,
     "q_session_window" -> qSessionWindow,
     "q_ts_gapfill"     -> qTsGapfill,
     "q_pivot_events"   -> qPivotEvents,
@@ -1248,6 +1303,23 @@ object CurationQueries {
                    FROM t2 JOIN s2 ON t2.k = s2.k WHERE t2.ts < s2.ts)
          SELECT k AS user_id, st AS event_type, ts, eid AS event_id, open_from
          FROM (SELECT * FROM late1 UNION ALL SELECT * FROM late2)""",
+    // the drained streaming sessionizer must land on the identical
+    // session set the batch gap-replay produces (q_session_window's
+    // strict-boundary formulation, plus the per-session event count)
+    "q_st22_stream_sessionize" ->
+      """WITH x AS (SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+           FROM events),
+         s AS (SELECT user_id, ts,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM x)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+         FROM s GROUP BY user_id, sid""",
     "q_session_window" ->
       """WITH x AS (SELECT user_id, ts,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -175,6 +175,109 @@ object Streaming {
   }
 
   // ---------------------------------------------------------------------
+  // ST22 — streaming sessionization: the incremental form of the gap
+  // sessionizer (batch: session_window / Relational.sessionize), built
+  // on flatMapGroupsWithState with EVENT-TIME TIMEOUT — the state-
+  // eviction mechanism none of the other stateful operators need: a
+  // session has no natural closing row, so something must fire when
+  // the watermark proves no merging event can still arrive. Per-key
+  // state is ONE open session (start, last-event time, count — three
+  // longs): bounded by the number of keys with an open session inside
+  // the watermark horizon, never by delivery history — timed-out
+  // sessions are emitted and REMOVED, so an idle key costs nothing.
+  //
+  // Semantics match the native session_window exactly: an event merges
+  // into the open session iff ts < last + gap (strict; an event exactly
+  // gap after its predecessor starts a NEW session), emitted windows
+  // are [first, last + gap). A session closes two ways: a same-key
+  // event arrives beyond the gap (emitted in that batch), or the
+  // watermark passes last + gap (emitted by the timeout callback). If
+  // the open session is already behind the watermark when its batch
+  // ends, it is emitted immediately instead of stored — storing it
+  // would demand a timeout timestamp in the past, which the state API
+  // (correctly) rejects; no mergeable event can be on the way, because
+  // anything older than the watermark that should have merged is late
+  // by the delivery contract.
+  //
+  // Delivery contract: per-key time-ordered across triggers within the
+  // watermark delay (within one trigger any order — the batch sorts);
+  // state arithmetic is epoch MICROSECONDS, so merge decisions carry
+  // the full timestamp precision (timeout timestamps are millisecond
+  // API granularity, which only affects WHEN a closed session flushes,
+  // never which events merged). The drained result equals the batch
+  // session_window over all deliveries — the oracle replays it so.
+  // ---------------------------------------------------------------------
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+  def runStreamingSessionize(src: DataFrame, keyCol: String, tsCol: String,
+                             gapMs: Long, watermarkDelay: String,
+                             sinkPath: String, checkpointPath: String): Unit = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = src.sparkSession
+    import spark.implicits._
+    val gapUs = gapMs * 1000L
+    // the engine requires TIMESTAMP (not NTZ) event time; the session
+    // timezone is UTC throughout this library, so the cast preserves
+    // the wall-clock value and the NTZ cast on output restores it
+    // `__t` stays in the projection: the watermark rides its column
+    // metadata, and event-time timeout requires a watermarked column in
+    // scope at the stateful operator
+    val ds = src
+      .withColumn("__t", col(tsCol).cast("timestamp"))
+      .withWatermark("__t", watermarkDelay)
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col("__t")).as("us"), col("__t"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    val sessions = ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          def out(s: OpenSession) = (key, s.startUs, s.lastUs + gapUs, s.n)
+          if (!rows.hasNext && state.hasTimedOut) {
+            val s = state.get; state.remove(); Iterator(out(s))
+          } else {
+            val ts = rows.map(_._2).toArray.sorted
+            var closed = List.empty[OpenSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t < s.lastUs + gapUs =>
+                  cur = Some(OpenSession(s.startUs, math.max(s.lastUs, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= s
+                  cur = Some(OpenSession(t, t, 1L))
+                case None => cur = Some(OpenSession(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              val timeoutMs = s.lastUs / 1000L + gapMs
+              if (timeoutMs <= state.getCurrentWatermarkMs()) {
+                closed ::= s // already expired per event time — flush now
+                state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(timeoutMs)
+              }
+            }
+            closed.reverse.iterator.map(out)
+          }
+      }
+    sessions.toDF(keyCol, "__sus", "__eus", "n_events")
+      .select(col(keyCol),
+        timestamp_micros(col("__sus")).cast("timestamp_ntz").as("session_start"),
+        timestamp_micros(col("__eus")).cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .option("path", sinkPath)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start()
+      .awaitTermination()
+  }
+
+  // ---------------------------------------------------------------------
   // Stream-stream inner join — both sides are unbounded; the engine
   // buffers each side in the state store and emits matches as rows
   // arrive. The event-time range condition + watermarks are what make

@@ -446,6 +446,59 @@ class StreamingSpec extends SparkSpec {
     assert(quar == Seq(("u", 2L, 5L, "zz", 10L)), s"quarantine=$quar")
   }
 
+  test("ST22: sessions merge across triggers, break on the exact gap, close by timeout") {
+    import graft.io.TempDirs
+    val in = TempDirs.registered("graft-st22spec-in").toString
+    val out = TempDirs.registered("graft-st22spec-out").toString
+    val ckpt = TempDirs.registered("graft-st22spec-ckpt").toString
+    def ts(s: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusSeconds(s))
+    // gap = 10s. u1: 0s,5s then 14s in the NEXT trigger (< 5+10 — the
+    // cross-trigger merge), then 40s (>= 14+10 — gap break closes
+    // [0,24) and opens [40,·)). u2: a single 3s event — closeable only
+    // by the timeout path. u3: 0s and EXACTLY 10s in one trigger — the
+    // strict boundary makes two sessions, the session_window contract.
+    val d0 = Seq((1L, ts(0)), (1L, ts(5)), (2L, ts(3)), (3L, ts(0)), (3L, ts(10)))
+      .toDF("user_id", "ts")
+    val d1 = Seq((1L, ts(14))).toDF("user_id", "ts")
+    val d2 = Seq((1L, ts(40))).toDF("user_id", "ts")
+    val s1 = Seq((-1L, ts(86400))).toDF("user_id", "ts") // arm the watermark
+    val s2 = Seq((-2L, ts(172800))).toDF("user_id", "ts") // fire the timeouts
+    val seen = scala.collection.mutable.Set[String]()
+    Seq(d0, d1, d2, s1, s2).zipWithIndex.foreach { case (d, i) =>
+      d.coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + i * 60000L)
+          seen += f.getName
+        }
+      }
+    }
+    val src = Streaming.parquetSource(spark, in, d0.schema, maxFilesPerTrigger = 1)
+    Streaming.runStreamingSessionize(src, "user_id", "ts",
+      gapMs = 10000L, watermarkDelay = "0 seconds", out, ckpt)
+    val got = spark.read.parquet(out).filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).getSecond +
+          60 * r.getAs[java.time.LocalDateTime](1).getMinute,
+        r.getAs[java.time.LocalDateTime](2).getSecond +
+          60 * r.getAs[java.time.LocalDateTime](2).getMinute,
+        r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 0, 24, 3L),  // cross-trigger merge, closed by the 40s gap break
+      (1L, 40, 50, 1L), // reopened run, closed by timeout
+      (2L, 3, 13, 1L),  // timeout-only closure
+      (3L, 0, 10, 1L),  // strict boundary: 10s starts a NEW session
+      (3L, 10, 20, 1L)), s"got $got")
+    // sentinel -1's own session flushes too (the trailing no-data batch
+    // runs with -2's watermark); only the LAST sentinel's session is
+    // still open — and open state is never emitted
+    assert(spark.read.parquet(out).filter(col("user_id") === -2L).count() == 0)
+  }
+
   test("mergedSnapshot skips an uncommitted (crashed partial) version dir") {
     import graft.io.TempDirs
     val state = TempDirs.registered("graft-snap-partial").toString
