@@ -428,7 +428,7 @@ object IoQueries {
          WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0""",
     "q_dpp_prune" ->
       """SELECT event_type, count(*) AS n,
-              sum(CAST(floor(value) AS BIGINT)) AS sum_value
+              CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_value
          FROM events WHERE event_type IN ('click', 'view')
          GROUP BY event_type""",
     "q_mm_video" ->

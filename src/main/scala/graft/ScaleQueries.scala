@@ -580,7 +580,7 @@ object ScaleQueries {
                GROUP BY word))"""
     val perRound = (1 to rounds).map { r =>
       s"""p$r AS MATERIALIZED (
-           SELECT x, y, sum(n) AS cnt FROM (
+           SELECT x, y, CAST(sum(n) AS BIGINT) AS cnt FROM (
              SELECT l[i] AS x, l[i + 1] AS y, n FROM (
                SELECT regexp_extract_all(s, '<([^>]*)>', 1) AS l, n FROM w${r - 1}),
                unnest(range(1, len(l))) AS u(i))
