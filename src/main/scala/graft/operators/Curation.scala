@@ -84,14 +84,16 @@ object Curation {
         .select(col("node"), coalesce(col("l2"), col("lbl")).as("lbl"))
         .localCheckpoint() // eager: materializes AND flattens the plan
       val sum1 = checksum(next)
+      Checkpoints.release(labels) // prior round superseded by next's blocks
       labels = next
       converged = sum1.compareTo(sum0) == 0
       sum0 = sum1
       it += 1
     }
-    // localCheckpoint blocks are released by the ContextCleaner once the
-    // frames are unreachable — nothing stays registered in the cache
-    // manager (the session-lifetime leak persist() would create here).
+    // Superseded rounds are released eagerly above (Checkpoints.release:
+    // raw-RDD unpersist, no CacheManager entry, no re-cache cascade);
+    // only the final label frame's blocks survive, feeding the join below.
+    Checkpoints.release(sym) // iteration-only symmetrized edge relation
     val comp = labels.select(col("node"), col("lbl"))
     nodes.select(col(idCol))
       .join(comp, nodes(idCol) === comp("node"), "left")

@@ -52,8 +52,10 @@ object Graph {
     * re-caches every dependent entry, dropping the successors' data and
     * forcing chained recomputes of the edge join per round (measured 5×
     * on the HITS twin before the switch). Checkpoint blocks are |V|
-    * rows, freed by the context cleaner when the frames go out of
-    * scope. */
+    * rows; each superseded round's blocks are released DETERMINISTICALLY
+    * via [[Checkpoints.release]] the moment its successor materializes
+    * (raw-RDD unpersist — no CacheManager cascade), so the job holds at
+    * most two iteration frames at once instead of `iters`. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
                nodes: DataFrame, nodeCol: String,
                iters: Int = 3, damping: Double = 0.85,
@@ -81,6 +83,7 @@ object Graph {
     var r = v0.select(col("__v"), (lit(1.0) / col("__nn")).as("__r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      val prev = r
       val contrib = share.join(r, col("__src") === col("__v"))
         .select(col("__dst"),
           floor(col("__r") * col("__s") * lit(1e9) + lit(0.5)).cast(LongType).as("__cq"))
@@ -105,8 +108,12 @@ object Graph {
                 + col("__dq").cast(DoubleType) / lit(1e9) / col("__nn")))
               .as("__r"))
       }).localCheckpoint()
+      // prev's blocks are unreachable once this round materialized its
+      // own — release NOW, not at ContextCleaner GC time (Checkpoints)
+      Checkpoints.release(prev)
     }
     share.unpersist(blocking = false) // safe: r is a flat checkpointed scan
+    Checkpoints.release(dangling) // iteration-only; r no longer needs it
     r.select(col("__v").as(nodeCol), col("__r").as("pagerank"))
   }
 
@@ -159,6 +166,7 @@ object Graph {
       .localCheckpoint()
     var r = tvec.select(col("__v"), col("__t").as("__r")).localCheckpoint()
     for (_ <- 1 to iters) {
+      val prev = r
       val contrib = share.join(r, col("__src") === col("__v"))
         .select(col("__dst"),
           floor(col("__r") * col("__s") * lit(1e9) + lit(0.5)).cast(LongType).as("__cq"))
@@ -169,8 +177,10 @@ object Graph {
             + lit(damping) * coalesce(col("__cq"), lit(0L)).cast(DoubleType) / lit(1e9))
             .as("__r"))
         .localCheckpoint()
+      Checkpoints.release(prev) // superseded the moment r materialized
     }
     share.unpersist(blocking = false)
+    Checkpoints.release(tvec) // iteration-only teleport relation
     r.select(col("__v").as(nodeCol), col("__r").as("ppr"))
   }
 
@@ -236,8 +246,11 @@ object Graph {
     var h = v0.select(col("__v"), lit(1.0).as("__x")).localCheckpoint()
     var a: DataFrame = null
     for (_ <- 1 to iters) {
+      val (ph, pa) = (h, a)
       a = halfStep(h, "__src", "__dst")
+      Checkpoints.release(pa) // a_{t-1} unreachable once a_t exists
       h = halfStep(a, "__dst", "__src")
+      Checkpoints.release(ph) // h_{t-1} likewise (final h/a stay live)
     }
     val out = h.select(col("__v"), col("__x").as("hub"))
       .join(a.select(col("__v"), col("__x").as("authority")), Seq("__v"))
@@ -279,6 +292,7 @@ object Graph {
         .select(col("u"), col("v"))
         .localCheckpoint()
       val (before, after) = (e.count(), next.count())
+      Checkpoints.release(e) // the peeled round's blocks are superseded
       e = next
       done = after == before || after == 0
     }

@@ -92,7 +92,9 @@ object Pq {
       .select(col("sub"), col("cid"),
         transform(slice(col("__v"), col("sub") * subLen + 1, lit(subLen)),
           x => round(x.cast(DoubleType), 6)).as("cvec"))
+    var booksCk = false // round-0 seeds carry the caller's lineage
     for (_ <- 0 until iters) {
+      val (prev, prevCk) = (books, booksCk)
       books = assign(emb, idCol, vecCol, books, subLen)
         .select(col("sub"), col("cell"),
           posexplode(slice(col(vecCol), col("sub") * subLen + 1, lit(subLen)))
@@ -106,6 +108,8 @@ object Pq {
           e => e.getField("comp")).as("cvec"))
         .select(col("sub"), col("cell").as("cid"), col("cvec"))
         .localCheckpoint()
+      booksCk = true
+      if (prevCk) Checkpoints.release(prev) // superseded round's blocks
     }
     books
   }

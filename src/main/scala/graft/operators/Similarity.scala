@@ -716,7 +716,9 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
                       centroidStep: Int, iters: Int): DataFrame = {
     var cent = centroids(emb, idCol, vecCol, centroidStep)
+    var centCk = false // cent_0 is NOT ours to release (caller's lineage)
     for (_ <- 0 until iters) {
+      val (prev, prevCk) = (cent, centCk)
       val assigned = ivfAssignTo(emb, idCol, vecCol, cent)
       val comps = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
@@ -724,18 +726,18 @@ object Similarity {
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("q")).as("s"), count(lit(1)).as("c"))
         .withColumn("comp", round(col("s").cast(DoubleType) / col("c") / 1e6, 6))
-      // Eager localCheckpoint, not persist+count+release-prev: the
-      // checkpoint is the iteration's materialization barrier AND cuts
-      // lineage to a flat k-row scan, so no release bookkeeping exists
-      // to churn the cache (unpersisting a prior iteration re-caches
-      // dependents, dropping the trained relation's data — see
-      // Graph.pageRank). Blocks are k rows, freed by the context
-      // cleaner when the frames go out of scope.
+      // Eager localCheckpoint: the iteration's materialization barrier
+      // AND a lineage cut to a flat k-row scan. The superseded round's
+      // blocks are released via raw-RDD unpersist (Checkpoints.release)
+      // — unlike Dataset.unpersist there is no CacheManager re-cache
+      // cascade to churn, because localCheckpoint never registers there.
       cent = comps.groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
           e => e.getField("comp")).as("cvec"))
         .select(col("cell").as("cid"), col("cvec"))
         .localCheckpoint()
+      centCk = true
+      if (prevCk) Checkpoints.release(prev)
     }
     cent
   }
