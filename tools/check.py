@@ -46,6 +46,19 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Type lint FIRST (tools/lint_oracle.py): a HUGEINT output column or
+    # a hash-class drift vs the dumped parquet is a guaranteed compare
+    # failure, so refuse to even fetch values while any exists — this is
+    # the guard for the sum()-widening class that cost rounds 10 and 13.
+    import lint_oracle
+    lint_viol = lint_oracle.lint(
+        sf_dir, {k: v for k, v in oracle.items() if not only or k in only},
+        out_dir)
+    if lint_viol:
+        for v in lint_viol:
+            print(f"LINT {v}")
+        print(f"== oracle lint: {len(lint_viol)} violation(s) — fix before comparing")
+        sys.exit(2)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
