@@ -250,7 +250,15 @@ object Streaming {
               }
             }
             cur.foreach { s =>
-              val timeoutMs = s.lastUs / 1000L + gapMs
+              // CEILING division to ms: the session truly expires at
+              // lastUs+gapUs MICROseconds, but the timeout API is ms.
+              // Floor (lastUs/1000 + gapMs) fires up to 999us early for
+              // sub-ms timestamps — an on-time event landing in that
+              // window would find its session already flushed and start
+              // a spurious new one. Rounding UP keeps the timeout at or
+              // after the true expiry instant (late flush only shifts
+              // WHEN the row emits, never which events merged).
+              val timeoutMs = (s.lastUs + gapUs + 999L) / 1000L
               if (timeoutMs <= state.getCurrentWatermarkMs()) {
                 closed ::= s // already expired per event time — flush now
                 state.remove()
@@ -1110,10 +1118,23 @@ object Streaming {
   // ---------------------------------------------------------------------
   /** Drain `src` (vector deliveries) into the codes store: per batch,
     * coarse-assign + PQ-code each vector and write
-    * `(id, codes)` partitioned by coarse cell under `indexRoot/b<id>/`. */
+    * `(id, codes)` partitioned by coarse cell under `indexRoot/b<id>/`.
+    *
+    * `autoCompactSupersededPerCell` closes [[annIndexTopK]]'s cross-cell
+    * staleness contract automatically: after the drain, one
+    * column-pruned scan of the store's own (id, batch, cell) stamps
+    * counts superseded rows PER CELL — each one is a row a
+    * narrow probe could wrongly serve — and if any cell holds at least
+    * the threshold, [[compactAnnIndex]] runs. The check is post-drain,
+    * not per-trigger, so trigger cost stays O(batch); the check itself
+    * costs one id-keyed aggregation over the compressed codes relation
+    * (the same first scan compaction would do anyway). Default
+    * `Long.MaxValue` = never, the pure append-only regime for
+    * deployments whose updates are same-cell or absent. */
   def runStreamingAnnIndex(src: DataFrame, idCol: String, vecCol: String,
                            coarse: DataFrame, books: DataFrame, subLen: Int,
-                           indexRoot: String, checkpointPath: String): Unit = {
+                           indexRoot: String, checkpointPath: String,
+                           autoCompactSupersededPerCell: Long = Long.MaxValue): Unit = {
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
@@ -1140,6 +1161,23 @@ object Streaming {
       }
       .start()
     q.awaitTermination()
+    if (autoCompactSupersededPerCell != Long.MaxValue &&
+        Option(new java.io.File(indexRoot).listFiles())
+          .exists(_.exists(_.getName.startsWith("batch=")))) {
+      val spark = src.sparkSession
+      // superseded rows attributed to the cell HOLDING the stale copy —
+      // exactly the rows a probe of only that cell would wrongly serve
+      val store = spark.read.parquet(indexRoot)
+        .select(col("id"), col("batch"), col("cell"))
+      val latest = store.groupBy(col("id")).agg(max(col("batch")).as("__maxb"))
+      val worstCell = store.join(latest, Seq("id"))
+        .filter(col("batch") < col("__maxb"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+        .agg(coalesce(max(col("__n")), lit(0L)).as("__w"))
+        .head.getLong(0)
+      if (worstCell >= autoCompactSupersededPerCell)
+        compactAnnIndex(spark, indexRoot)
+    }
   }
 
   /** ADC top-k off the streamed store: probe cells resolve from the
@@ -1159,9 +1197,12 @@ object Streaming {
     * that moves an id to a different coarse cell leaves the stale row
     * in the old cell's partitions — correct whenever both or neither
     * cell is probed, but a probe hitting ONLY the old cell scores the
-    * stale code. A deployment taking cross-cell updates runs periodic
-    * compaction that drops superseded ids per cell (the st15 manifest
-    * compaction shape); same-cell updates need nothing. */
+    * stale code. [[runStreamingAnnIndex]]'s
+    * `autoCompactSupersededPerCell` threshold closes the window
+    * automatically at drain time (per-cell superseded counts from the
+    * store's own batch stamps gate [[compactAnnIndex]]); a deployment
+    * that leaves it off runs periodic compaction itself. Same-cell
+    * updates need nothing either way. */
   def annIndexTopK(spark: SparkSession, indexRoot: String,
                    coarse: DataFrame, books: DataFrame, subLen: Int,
                    query: Seq[Double], nprobe: Int, k: Int): DataFrame = {

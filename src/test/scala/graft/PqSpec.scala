@@ -193,6 +193,61 @@ class PqSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == 24, "compaction must be idempotent")
   }
 
+  test("ST19: cross-cell update auto-compacts at the threshold and heals the stale probe") {
+    // The probe contract's one hole: an update that MOVES an id across
+    // coarse cells strands a stale row in the old cell, and a probe
+    // hitting only that cell serves it. This drives the hole end-to-end:
+    // stale read demonstrated, then the drain-time threshold fires
+    // compactAnnIndex automatically and the same narrow probe heals.
+    val coarse = Pq.codebooks(corpus, "vec_id", "embedding", 1, dims, 6, 1)
+      .select(col("cid"), col("cvec"))
+    val books = Pq.codebooks(corpus, "vec_id", "embedding", m, dims, 4, 1)
+    val in = graft.io.TempDirs.registered("graft-st19auto-in").toString
+    val idx = graft.io.TempDirs.registered("graft-st19auto-idx").toString
+    val ckpt = graft.io.TempDirs.registered("graft-st19auto-ckpt").toString
+    def drain(threshold: Long): Unit = graft.streaming.Streaming.runStreamingAnnIndex(
+      graft.streaming.Streaming.parquetSource(spark, in, corpus.schema, 1),
+      "vec_id", "embedding", coarse, books, subLen, idx, ckpt,
+      autoCompactSupersededPerCell = threshold)
+    corpus.coalesce(1).write.mode("append").parquet(in)
+    drain(Long.MaxValue)
+    // two ids in DIFFERENT coarse cells; re-deliver a with b's embedding
+    val cells = Similarity.ivfAssignTo(corpus, "vec_id", "embedding", coarse)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val a = cells.keys.min
+    val b = cells.collectFirst { case (id, c) if c != cells(a) => id }.get
+    corpus.filter(col("vec_id") === b)
+      .select(lit(a).as("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("append").parquet(in)
+    drain(Long.MaxValue) // update lands, no compaction yet: 25 rows
+    assert(spark.read.parquet(idx).count() == 25)
+    // aim the probe at a's OLD cell only (query = that cell's centroid)
+    val oldCellVec: Seq[Double] = coarse.filter(col("cid") === cells(a))
+      .head.getSeq[Double](1)
+    def narrowProbe() = graft.streaming.Streaming.annIndexTopK(
+      spark, idx, coarse, books, subLen, oldCellVec, nprobe = 1, k = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(narrowProbe().contains(a),
+      "pre-compaction, the old cell's stale row IS served — the documented hole")
+    // below threshold: one superseded row in the old cell, threshold 2 -> no-op
+    drain(2L)
+    assert(spark.read.parquet(idx).count() == 25,
+      "a drain below the superseded-per-cell threshold must not compact")
+    // at threshold: the drain itself (no new data needed) fires compaction
+    drain(1L)
+    val store = spark.read.parquet(idx)
+    assert(store.count() == 24 && store.select("id").distinct().count() == 24,
+      "auto-compaction must leave exactly one row per id")
+    assert(!narrowProbe().contains(a),
+      "post-compaction the old cell no longer serves the moved id")
+    val full = graft.streaming.Streaming.annIndexTopK(
+      spark, idx, coarse, books, subLen, query, nprobe = 100, k = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(full(a) == full(b),
+      s"the auto-compacted store must serve the updated code: ${full(a)} vs ${full(b)}")
+  }
+
   test("distortion: Lloyd training never increases a subspace's MSE; exact-codebook MSE is zero") {
     def mse(iters: Int): Map[Int, Double] =
       Pq.distortion(corpus, "vec_id", "embedding",

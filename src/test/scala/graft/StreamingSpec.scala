@@ -499,6 +499,126 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).filter(col("user_id") === -2L).count() == 0)
   }
 
+  // shared harness for the two tests below: write each delivery as one
+  // parquet file with strictly increasing mtime (FileStreamSource orders
+  // by timestamp) so maxFilesPerTrigger=1 replays them as triggers.
+  private def deliverTriggers(in: String,
+                              batches: Seq[Seq[(Long, java.sql.Timestamp)]]): Unit = {
+    val seen = scala.collection.mutable.Set[String]()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + i * 60000L)
+          seen += f.getName
+        }
+      }
+    }
+  }
+
+  private def usTs(us: Long): java.sql.Timestamp = java.sql.Timestamp.from(
+    java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).plusNanos(us * 1000L))
+
+  test("ST22: sub-ms timestamps never flush a session before its true expiry") {
+    // Regression for the timeout floor-truncation (ADVICE r13): with
+    // lastUs=500 and gap=10s the session truly expires at 10_000_500us,
+    // but floor division set the timeout at 10_000ms — 500us early. A
+    // watermark landing in [10_000_000, 10_000_500) then fired the
+    // timeout, and an ON-TIME event at 10_000_400us in a later trigger
+    // found its session flushed and spuriously started a new one. With
+    // ceiling division the timeout is 10_001ms, the state survives, and
+    // the event merges — one session, the batch session_window answer.
+    import graft.io.TempDirs
+    val in = TempDirs.registered("graft-st22subms-in").toString
+    val out = TempDirs.registered("graft-st22subms-out").toString
+    val ckpt = TempDirs.registered("graft-st22subms-ckpt").toString
+    val day = 86400L * 1000000L
+    deliverTriggers(in, Seq(
+      Seq((1L, usTs(500L))),            // open [500, ·) timeout ceil -> 10_001ms
+      Seq((-1L, usTs(10000200L))),      // watermark -> 10_000ms after this batch
+      Seq((-2L, usTs(10000300L))),      // no data for u1: old code flushed HERE
+      Seq((1L, usTs(10000400L))),       // on-time (< 10_000_500): must merge
+      Seq((-3L, usTs(day))),            // advance watermark past u1 expiry
+      Seq((-4L, usTs(2 * day)))))       // flush stragglers
+    val schema = Seq((1L, usTs(0L))).toDF("user_id", "ts").schema
+    val src = Streaming.parquetSource(spark, in, schema, maxFilesPerTrigger = 1)
+    Streaming.runStreamingSessionize(src, "user_id", "ts",
+      gapMs = 10000L, watermarkDelay = "0 seconds", out, ckpt)
+    val base = usTs(0L).getTime * 1000L // epoch micros of the t=0 origin
+    val got = spark.read.parquet(out).filter(col("user_id") === 1L)
+      .select(col("user_id"),
+        unix_micros(col("session_start").cast("timestamp")) - base,
+        unix_micros(col("session_end").cast("timestamp")) - base,
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, 500L, 20000400L, 2L)), s"got $got")
+  }
+
+  test("ST22 property: random per-key-ordered delivery matches batch session_window") {
+    // The delivery contract (per-key time-ordered across triggers, any
+    // order within a trigger) is the operator's whole input space; this
+    // replays seeded-random corpora through randomized trigger cuts and
+    // per-trigger shuffles — microsecond-granular timestamps included,
+    // exactly what would have caught the floor-truncation — and asserts
+    // the drained result equals Spark's own batch session_window.
+    import graft.io.TempDirs
+    val gap = 10000L // ms
+    for (seed <- Seq(7L, 23L, 91L)) {
+      val rnd = new scala.util.Random(seed)
+      val events = (1 to 30).map { _ =>
+        val k = 1L + rnd.nextInt(3)
+        // 0-120s span, micro-granular: sessions merge, break, and sit
+        // near ms boundaries
+        val us = rnd.nextInt(120) * 1000000L + rnd.nextInt(1000000)
+        (k, us)
+      }
+      // per-key ascending, cross-key interleave random: sort each key's
+      // times, consume them in a shuffled key sequence
+      val perKey = events.groupBy(_._1).map { case (k, es) =>
+        k -> es.map(_._2).sorted.iterator
+      }
+      val delivered = rnd.shuffle(events.map(_._1)).map(k => (k, perKey(k).next()))
+      // 4 random contiguous trigger cuts + 2 far-future flush sentinels
+      val cuts = (Seq(0, delivered.size) ++ Seq.fill(3)(rnd.nextInt(delivered.size + 1)))
+        .sorted.distinct
+      val day = 86400L * 1000000L
+      val batches = cuts.sliding(2).map { case Seq(a, b) =>
+        delivered.slice(a, b).map { case (k, us) => (k, usTs(us)) }
+      }.filter(_.nonEmpty).toSeq ++
+        Seq(Seq((-1L, usTs(3 * day))), Seq((-2L, usTs(6 * day))))
+      val in = TempDirs.registered(s"graft-st22prop$seed-in").toString
+      val out = TempDirs.registered(s"graft-st22prop$seed-out").toString
+      val ckpt = TempDirs.registered(s"graft-st22prop$seed-ckpt").toString
+      deliverTriggers(in, batches)
+      val schema = Seq((1L, usTs(0L))).toDF("user_id", "ts").schema
+      val src = Streaming.parquetSource(spark, in, schema, maxFilesPerTrigger = 1)
+      // watermark delay covers the full corpus span: every event is
+      // on-time no matter which trigger its key's interleave landed in
+      Streaming.runStreamingSessionize(src, "user_id", "ts",
+        gapMs = gap, watermarkDelay = "1 day", out, ckpt)
+      val got = spark.read.parquet(out).filter(col("user_id") > 0)
+        .select(col("user_id"),
+          unix_micros(col("session_start").cast("timestamp")).as("s"),
+          unix_micros(col("session_end").cast("timestamp")).as("e"),
+          col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = delivered.map { case (k, us) => (k, usTs(us)) }
+        .toDF("user_id", "ts")
+        .groupBy(col("user_id"), session_window(col("ts"), s"$gap milliseconds"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s"),
+          unix_micros(col("session_window.end")).as("e"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want, s"seed=$seed got=$got want=$want")
+    }
+  }
+
   test("mergedSnapshot skips an uncommitted (crashed partial) version dir") {
     import graft.io.TempDirs
     val state = TempDirs.registered("graft-snap-partial").toString
