@@ -512,6 +512,60 @@ object ExtensionQueries {
     graft.streaming.Streaming.sgdWeights(spark, state)
   }
 
+  /** ST21 ↔ batch parity witness: the drained streaming model must
+    * EQUAL [[graft.operators.Learn]]'s batch trainer replayed over the
+    * same three deliveries in delivery order (one gdStep per batch,
+    * weights chained) — the runStreamingSgd contract ("a replayed
+    * trigger recomputes the same step from the same predecessor
+    * version") made checkable. Both sides are 6-decimal-quantized
+    * integer-gradient arithmetic, so parity is exact equality, not a
+    * tolerance; the oracle independently re-derives the weights in SQL
+    * and pins parity = true. */
+  private val qSt21BatchParity: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val in = graft.io.TempDirs.registered("graft-q-st21p-in").toString
+    val state = graft.io.TempDirs.registered("graft-q-st21p-state").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st21p-ckpt").toString
+    val seen = scala.collection.mutable.Set[String]()
+    Seq(0L, 1L, 2L).zipWithIndex.foreach { case (r, s) =>
+      docs.filter(pmod(col("doc_id"), lit(3L)) === r)
+        .coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + s * 60000L)
+          seen += f.getName
+        }
+      }
+    }
+    val src = graft.streaming.Streaming.parquetSource(spark, in, docs.schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runStreamingSgd(src, learnFeatures, learnLabel,
+      learnLr, state, ckpt)
+    val streamed = graft.streaming.Streaming.sgdWeights(spark, state)
+      .withColumnRenamed("weight", "weight_streamed")
+    // batch replay: identical deliveries, identical order, one gdStep
+    // each, weights chained through the driver exactly as the weight
+    // store chains them
+    val m = learnFeatures.size
+    var w = Array.fill(m + 1)(0.0)
+    Seq(0L, 1L, 2L).foreach { r =>
+      val feats = graft.operators.Learn.featurize(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === r),
+        learnFeatures, learnLabel)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = feats.count().toDouble
+      w = graft.operators.Learn.gdStep(feats, m, w, learnLr, n)
+      feats.unpersist(blocking = false)
+    }
+    val replayed = graft.operators.Learn.weightsDf(docs, learnFeatures, w)
+      .withColumnRenamed("weight", "weight_replayed")
+    streamed.join(replayed, Seq("feature"))
+      .select(col("feature"), col("weight_streamed"), col("weight_replayed"),
+        (col("weight_streamed") === col("weight_replayed")).as("parity"))
+  }
+
   /** Recall CURVE of the seed-quantizer IVF probe: recall@{1,5,10,50}
     * from ONE ranked-list join + one aggregation — the tune-nprobe
     * sweep without a query per k. */
@@ -671,6 +725,7 @@ object ExtensionQueries {
     "q_learn_score"     -> qLearnScore,
     "q_learn_holdout"   -> qLearnHoldout,
     "q_st21_stream_sgd" -> qSt21StreamSgd,
+    "q_st21_batch_parity" -> qSt21BatchParity,
     "q_learn_auc"       -> qLearnAuc,
     "q_learn_calibration" -> qLearnCalibration
   )
@@ -1324,6 +1379,15 @@ object ExtensionQueries {
           UNION ALL SELECT 'mtl', w1 FROM w3
           UNION ALL SELECT 'punct', w2 FROM w3
           UNION ALL SELECT '__bias', wb FROM w3""",
+    // both engine paths (streaming drain, chained batch replay) must
+    // land on the SQL re-derivation, and parity is pinned true
+    "q_st21_batch_parity" ->
+      s"""$sgdCtes
+          SELECT 'ntok' AS feature, w0 AS weight_streamed,
+                 w0 AS weight_replayed, TRUE AS parity FROM w3
+          UNION ALL SELECT 'mtl', w1, w1, TRUE FROM w3
+          UNION ALL SELECT 'punct', w2, w2, TRUE FROM w3
+          UNION ALL SELECT '__bias', wb, wb, TRUE FROM w3""",
     "q_learn_holdout" ->
       s"""WITH ${learnCtes("WHERE " + ScaleQueries.splitCaseSql + " = 'train'")},
           test AS (SELECT
