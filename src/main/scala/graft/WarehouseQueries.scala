@@ -172,11 +172,18 @@ object WarehouseQueries {
     * broadcasts back into the same reduced slice: the fact table is
     * scanned (pruned to 3 columns, gated map-side by the part
     * broadcast) and never shuffled — the only exchange is the tiny
-    * per-part aggregation. At 100 TB the filtered-part set stays
-    * broadcast-sized because the gate (one brand × small sizes) is
-    * ~1/1000 of part; loosening it past broadcast size would switch
-    * the limits join to a shuffle on l_partkey, which both sides
-    * already produce. */
+    * per-part aggregation.
+    *
+    * SELECTIVITY CONTRACT (the Q18 discipline): both broadcast hints
+    * ride the brand/size gate, which is ~1/1000 of part (one brand of
+    * 25 × sizes ≤5 of 50). `limits` is one row per gated part, so the
+    * broadcast breaks only when |part|/1000 rows × (key + double)
+    * outgrows the ~8 GB broadcast ceiling — ≈ 4×10⁸ gated parts, far
+    * beyond a 100 TB SF. Loosening the gate (multi-brand, all sizes)
+    * is what breaks it: past broadcast size, drop BOTH hints and let
+    * AQE pick — the limits join then shuffles on l_partkey, which both
+    * sides already produce, so the fallback plan is co-partitioned,
+    * not pathological. */
   private val qQ17SmallQty: Q = (spark, dir) => {
     val pp = Tables.part(spark, dir)
       .filter(col("p_brand") === "Brand#23" && col("p_size") <= 5)
@@ -647,7 +654,18 @@ object WarehouseQueries {
     * revenue relation. Revenue is DECIMAL(18,4)-quantized so the
     * max-equality tie test is exact on both engines — the whole query
     * hinges on an equality between two independently-computed sums,
-    * which raw doubles would make order-dependent. */
+    * which raw doubles would make order-dependent.
+    *
+    * SELECTIVITY CONTRACT (the Q18 discipline): the persisted `rev`
+    * relation is bounded by |supplier| (one row per quarter-active
+    * supplier), i.e. SF·10k rows of (long, decimal) — memory-and-disk
+    * persistence holds it distributed at any SF, so the PERSIST never
+    * breaks. What does have a ceiling is the broadcast of the supplier
+    * name dim (2 columns): past ~10⁸ suppliers (~SF 10k) it exceeds
+    * the ~8 GB broadcast budget — drop that one hint and the join
+    * shuffles on s_suppkey against the already-supplier-keyed tie set,
+    * co-partitioned by construction. The scalar-max broadcast is one
+    * row and unconditional at any scale. */
   private val qQ15TopSupplier: Q = (spark, dir) => {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val rev = Tables.lineitem(spark, dir)
