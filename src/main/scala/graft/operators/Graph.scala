@@ -281,7 +281,11 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    var done = false
+    // one count PER ROUND: the previous round's cardinality carries
+    // forward (the checkpoint is immutable), so the fixpoint test costs
+    // a single job on the new relation, not a recount of the old one
+    var before = e.count()
+    var done = before == 0
     while (!done) {
       val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -291,10 +295,11 @@ object Graph {
         .join(keep.select(col("x").as("v")), "v", "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint()
-      val (before, after) = (e.count(), next.count())
+      val after = next.count()
       Checkpoints.release(e) // the peeled round's blocks are superseded
       e = next
       done = after == before || after == 0
+      before = after
     }
     e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("core_degree"))
