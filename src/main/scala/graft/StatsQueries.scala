@@ -133,6 +133,16 @@ object StatsQueries {
       .select(col("doc_id"), Text.gopherRules(col("text")).as("r"))
       .select(col("doc_id"), col("r.*"))
 
+  /** Gopher WITHIN-document repetition signals per document — dup-line
+    * fractions, top-{2,3,4}-gram coverage, dup-{5..10}-gram coverage,
+    * and the threshold gate (see [[operators.Quality.repetitionReport]]).
+    * The synthetic corpus's small vocabulary makes the n-gram family
+    * bite hard; the line family is degenerate here (no newlines) and is
+    * exercised by the spec's multi-line fixtures. */
+  private val qRepetition: Q = (spark, dir) =>
+    Quality.repetitionReport(Tables.fanOut(Tables.documents(spark, dir)),
+      "doc_id", "text")
+
   /** Per-returnflag correlation + OLS of quantity vs extended price
     * from exact integer moments — the grouped relationship probe whose
     * result cannot drift with partitioning (see
@@ -256,6 +266,7 @@ object StatsQueries {
     "q_dsir_select"  -> qDsirSelect,
     "q_pmi"          -> qPmi,
     "q_gopher_rules" -> qGopherRules,
+    "q_repetition"   -> qRepetition,
     "q_corr_stats"   -> qCorrStats
   )
 
@@ -344,6 +355,69 @@ object StatsQueries {
     }.mkString(",\n         ")
 
   def oracleSql: Map[String, String] = Map(
+    // Gopher repetition: n-gram coverage terms are integers (count ×
+    // gram length incl. single-space separators) divided once by the
+    // integer char count; rounding precedes every threshold compare
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS nc,
+                      regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                      list_filter(list_transform(string_split(text, chr(10)),
+                        x -> trim(x)), x -> x <> '') AS ls
+                    FROM documents),
+         ln AS (SELECT doc_id, l, count(*) AS c
+                FROM (SELECT doc_id, unnest(ls) AS l FROM d) GROUP BY 1, 2),
+         lstat AS (SELECT doc_id,
+                     round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6) AS dlf,
+                     round(CAST(sum((c - 1) * length(l)) AS DOUBLE)
+                           / sum(c * length(l)), 6) AS dlcf
+                   FROM ln GROUP BY 1),
+         g AS (SELECT doc_id, n,
+                 unnest([array_to_string(w[i + 1:i + n], ' ')
+                         for i in range(0, greatest(len(w) - n + 1, 0))]) AS gm
+               FROM d, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) t(n)),
+         c AS (SELECT doc_id, n, gm, count(*) AS c FROM g GROUP BY 1, 2, 3),
+         m AS (SELECT doc_id, n, max(c) AS mx FROM c GROUP BY 1, 2),
+         p AS (SELECT c.doc_id, c.n,
+                 max(CASE WHEN c.c = m.mx AND c.c > 1
+                   THEN c.c * length(c.gm) END) AS topcov,
+                 sum(CASE WHEN c.c > 1 THEN c.c * length(c.gm) ELSE 0 END) AS dupcov
+               FROM c JOIN m ON c.doc_id = m.doc_id AND c.n = m.n GROUP BY 1, 2),
+         pv AS (SELECT doc_id,
+                  max(CASE WHEN n = 2 THEN topcov END) AS t2,
+                  max(CASE WHEN n = 3 THEN topcov END) AS t3,
+                  max(CASE WHEN n = 4 THEN topcov END) AS t4,
+                  max(CASE WHEN n = 5 THEN dupcov END) AS d5,
+                  max(CASE WHEN n = 6 THEN dupcov END) AS d6,
+                  max(CASE WHEN n = 7 THEN dupcov END) AS d7,
+                  max(CASE WHEN n = 8 THEN dupcov END) AS d8,
+                  max(CASE WHEN n = 9 THEN dupcov END) AS d9,
+                  max(CASE WHEN n = 10 THEN dupcov END) AS d10
+                FROM p GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(l.dlf, 0.0) AS dup_line_frac,
+           coalesce(l.dlcf, 0.0) AS dup_line_char_frac,
+           round(coalesce(CAST(pv.t2 AS DOUBLE) / d.nc, 0.0), 6) AS top_2gram_char_frac,
+           round(coalesce(CAST(pv.t3 AS DOUBLE) / d.nc, 0.0), 6) AS top_3gram_char_frac,
+           round(coalesce(CAST(pv.t4 AS DOUBLE) / d.nc, 0.0), 6) AS top_4gram_char_frac,
+           round(coalesce(CAST(pv.d5 AS DOUBLE) / d.nc, 0.0), 6) AS dup_5gram_char_frac,
+           round(coalesce(CAST(pv.d6 AS DOUBLE) / d.nc, 0.0), 6) AS dup_6gram_char_frac,
+           round(coalesce(CAST(pv.d7 AS DOUBLE) / d.nc, 0.0), 6) AS dup_7gram_char_frac,
+           round(coalesce(CAST(pv.d8 AS DOUBLE) / d.nc, 0.0), 6) AS dup_8gram_char_frac,
+           round(coalesce(CAST(pv.d9 AS DOUBLE) / d.nc, 0.0), 6) AS dup_9gram_char_frac,
+           round(coalesce(CAST(pv.d10 AS DOUBLE) / d.nc, 0.0), 6) AS dup_10gram_char_frac,
+           (coalesce(l.dlf, 0.0) <= 0.30 AND coalesce(l.dlcf, 0.0) <= 0.20
+            AND round(coalesce(CAST(pv.t2 AS DOUBLE) / d.nc, 0.0), 6) <= 0.20
+            AND round(coalesce(CAST(pv.t3 AS DOUBLE) / d.nc, 0.0), 6) <= 0.18
+            AND round(coalesce(CAST(pv.t4 AS DOUBLE) / d.nc, 0.0), 6) <= 0.16
+            AND round(coalesce(CAST(pv.d5 AS DOUBLE) / d.nc, 0.0), 6) <= 0.15
+            AND round(coalesce(CAST(pv.d6 AS DOUBLE) / d.nc, 0.0), 6) <= 0.14
+            AND round(coalesce(CAST(pv.d7 AS DOUBLE) / d.nc, 0.0), 6) <= 0.13
+            AND round(coalesce(CAST(pv.d8 AS DOUBLE) / d.nc, 0.0), 6) <= 0.12
+            AND round(coalesce(CAST(pv.d9 AS DOUBLE) / d.nc, 0.0), 6) <= 0.11
+            AND round(coalesce(CAST(pv.d10 AS DOUBLE) / d.nc, 0.0), 6) <= 0.10)
+             AS passed
+         FROM d LEFT JOIN lstat l ON d.doc_id = l.doc_id
+           LEFT JOIN pv ON d.doc_id = pv.doc_id""",
     "q_hits" ->
       s"""WITH e AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
                        CAST(count(*) AS DOUBLE) AS w

@@ -304,6 +304,108 @@ object Quality {
       corr.as("corr"), round(beta, 6).as("beta"), alpha.as("alpha"))
   }
 
+  /** Gopher WITHIN-document repetition signals (Rae et al. 2021 §A1.1)
+    * — the self-repetition family [[graft.functions.Text.gopherRules]]'
+    * surface rules do not cover, and the standard gate (Gopher /
+    * RefinedWeb / FineWeb lineage) against boilerplate-heavy and
+    * looping-generation documents. Per document:
+    *
+    *  - `dup_line_frac` / `dup_line_char_frac`: occurrences beyond the
+    *    first of each repeated line (split on \n, trimmed, empties
+    *    dropped), as a fraction of lines resp. line characters;
+    *  - `top_{2,3,4}gram_char_frac`: characters covered by ALL
+    *    occurrences of the most frequent word n-gram ÷ document chars
+    *    (0 when no n-gram repeats — one occurrence is not repetition);
+    *  - `dup_{5..10}gram_char_frac`: characters covered by all
+    *    occurrences of every n-gram appearing more than once ÷
+    *    document chars;
+    *  - `passed`: the conjunction at Gopher's published thresholds
+    *    (0.30/0.20 lines, 0.20/0.18/0.16 top, 0.15 down to 0.10 dup).
+    *
+    * Overlapping n-gram occurrences each contribute their full
+    * character span (a pure aggregation; Gopher's positional
+    * no-double-count mask needs per-document sequential state, which
+    * would serialize the hot path) — so dup fractions can exceed 1 on
+    * degenerate loops, which the ≤-threshold gate handles unchanged.
+    * Engine parity: every coverage term is an integer (count × gram
+    * length) divided once by the integer char count and rounded to 6
+    * decimals BEFORE the threshold comparison, so verdicts are exact
+    * in any engine and partitioning.
+    *
+    * Scale shape: three map-only derivations of (id, text) feed two
+    * aggregations keyed on (id[, n], item) — both map-side combinable,
+    * shuffles carry one row per distinct line/gram, never positions.
+    * The 9-way n-gram expansion happens array-side in one projection
+    * (no join against a sizes relation), ~9 rows per word. */
+  def repetitionReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val w = regexp_extract_all(lower(col("__t")),
+      lit(graft.functions.Text.wordPattern), lit(0))
+    // all (n, gram) pairs of one document in a single array projection:
+    // per position a length-n slice (short tails filtered), joined by
+    // single spaces so gram length counts separators exactly once
+    def gramsOf(n: Int): Column = transform(
+      filter(transform(w, (_, i) => slice(w, i + 1, lit(n))), a => size(a) === n),
+      a => struct(lit(n).as("n"), array_join(a, " ").as("g")))
+    val base = docs.select(col(idCol), col(textCol).as("__t"),
+      length(col(textCol)).cast(DoubleType).as("__nc"))
+    val lineStats = base.select(col(idCol),
+        explode(filter(transform(split(col("__t"), "\n"), l => trim(l)),
+          l => l =!= "")).as("__l"))
+      .groupBy(col(idCol), col("__l")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        round((sum(col("c")) - count(lit(1))).cast(DoubleType) / sum(col("c")), 6)
+          .as("dup_line_frac"),
+        round(sum((col("c") - 1L) * length(col("__l"))).cast(DoubleType) /
+          sum(col("c") * length(col("__l"))), 6).as("dup_line_char_frac"))
+    val counts = base.select(col(idCol),
+        explode(flatten(array((topNs ++ dupNs).map(gramsOf): _*))).as("__gr"))
+      .select(col(idCol), col("__gr.n").as("__n"), col("__gr.g").as("__g"))
+      .groupBy(col(idCol), col("__n"), col("__g")).agg(count(lit(1)).as("c"))
+    // ONE aggregation over the gram counts: the struct-max orders by
+    // count first, coverage second, so it lands on the most frequent
+    // gram with ties resolved to the widest coverage — deterministic
+    // under any partitioning, and the gram pipeline is never re-scanned
+    // for a separate max-count relation. A gram occurring once is not
+    // repetition: a count-1 maximum yields coverage 0, else the longest
+    // unique 2-gram of a SHORT clean doc would fail the gate.
+    val per = counts.groupBy(col(idCol), col("__n"))
+      .agg(
+        max(struct(col("c"),
+          (col("c") * length(col("__g"))).as("cov"))).as("__top"),
+        sum(when(col("c") > 1L, col("c") * length(col("__g"))).otherwise(0L))
+          .as("__dupcov"))
+      .select(col(idCol), col("__n"),
+        when(col("__top.c") > 1L, col("__top.cov")).otherwise(lit(0L))
+          .as("__topcov"),
+        col("__dupcov"))
+    val pivotAggs =
+      topNs.map(n => max(when(col("__n") === n, col("__topcov"))).as(s"__top$n")) ++
+      dupNs.map(n => max(when(col("__n") === n, col("__dupcov"))).as(s"__dup$n"))
+    val pivoted = per.groupBy(col(idCol)).agg(pivotAggs.head, pivotAggs.tail: _*)
+    val lf = coalesce(col("dup_line_frac"), lit(0.0))
+    val lcf = coalesce(col("dup_line_char_frac"), lit(0.0))
+    def frac(c: String) =
+      round(coalesce(col(c).cast(DoubleType) / col("__nc"), lit(0.0)), 6)
+    val topFracs = topNs.map(n => frac(s"__top$n"))
+    val dupFracs = dupNs.map(n => frac(s"__dup$n"))
+    val topThresholds = Seq(0.20, 0.18, 0.16)
+    val dupThresholds = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+    val passed = (Seq(lf <= 0.30, lcf <= 0.20) ++
+      topFracs.zip(topThresholds).map { case (f, t) => f <= t } ++
+      dupFracs.zip(dupThresholds).map { case (f, t) => f <= t }).reduce(_ && _)
+    base.select(col(idCol), col("__nc"))
+      .join(lineStats, Seq(idCol), "left")
+      .join(pivoted, Seq(idCol), "left")
+      .select(col(idCol) +: lf.as("dup_line_frac") +:
+        lcf.as("dup_line_char_frac") +:
+        (topNs.zip(topFracs).map { case (n, f) => f.as(s"top_${n}gram_char_frac") } ++
+         dupNs.zip(dupFracs).map { case (n, f) => f.as(s"dup_${n}gram_char_frac") } :+
+         passed.as("passed")): _*)
+  }
+
   /** Uniqueness expectation — not expressible as a row predicate:
     * violations = rows beyond the first per key (n - n_distinct over
     * the key tuple, nulls grouped like any other value — STRICTER than

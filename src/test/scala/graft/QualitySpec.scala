@@ -89,4 +89,43 @@ class QualitySpec extends SparkSpec {
     assert((bN, bQ, bC, bCr, bDr) == ((2L, 0.8, 1L, 0.5, 0.0)))
     assert(!bPass) // contamination rate 0.5 > 0.08 fails the gate
   }
+
+  test("repetitionReport: hand-computed line and n-gram coverage fractions") {
+    val docs = Seq(
+      // 4 lines, 'alpha' repeated: dup_line_frac 1/4; char frac
+      // (2-1)*5 / (2*5 + 4 + 5) = 5/19. All n-grams unique -> 0 top/dup
+      // coverage; the line CHAR fraction 0.263158 > 0.20 fails the gate
+      (1L, "alpha\nbeta\nalpha\ngamma"),
+      // pure loop, nc=29: top2 = 5*len("spam spam")=45 -> 1.551724 (>1:
+      // overlapping occurrences each count their full span, documented);
+      // dup5 = 2*24/29; single 6-gram -> dup6..10 = 0
+      (2L, "spam spam spam spam spam spam"),
+      // clean short doc: nothing repeats at any n -> all zeros, passes
+      // (the longest unique 2-gram must NOT count as repetition)
+      (3L, "one two three four five six seven"),
+      // empty text: no lines, no grams, all zeros, passes
+      (4L, "")).toDF("doc_id", "text")
+    val r = Quality.repetitionReport(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def d(id: Long, c: String) = r(id).getAs[Double](c)
+    assert(d(1L, "dup_line_frac") == 0.25)
+    assert(d(1L, "dup_line_char_frac") == 0.263158)
+    assert(d(1L, "top_2gram_char_frac") == 0.0)
+    assert(!r(1L).getAs[Boolean]("passed"))
+    assert(d(2L, "dup_line_frac") == 0.0)
+    assert(d(2L, "top_2gram_char_frac") == 1.551724) // 45/29
+    assert(d(2L, "top_3gram_char_frac") == 1.931034) // 4*14/29
+    assert(d(2L, "top_4gram_char_frac") == 1.965517) // 3*19/29
+    assert(d(2L, "dup_5gram_char_frac") == 1.655172) // 2*24/29
+    assert(d(2L, "dup_6gram_char_frac") == 0.0)
+    assert(!r(2L).getAs[Boolean]("passed"))
+    Seq(3L, 4L).foreach { id =>
+      Seq("dup_line_frac", "dup_line_char_frac", "top_2gram_char_frac",
+        "top_3gram_char_frac", "top_4gram_char_frac", "dup_5gram_char_frac",
+        "dup_10gram_char_frac").foreach { c =>
+        assert(d(id, c) == 0.0, s"doc $id col $c: ${d(id, c)}")
+      }
+      assert(r(id).getAs[Boolean]("passed"))
+    }
+  }
 }
