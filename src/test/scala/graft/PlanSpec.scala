@@ -229,6 +229,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"no shuffle join on the line relation:\n$plan")
   }
 
+  test("repetitionReport: one gram pass, struct-max folded, no Window, no corpus join shuffle") {
+    val docs = Seq((1L, "a b a b c"), (2L, "x y x y x")).toDF("doc_id", "text")
+    val plan = planOf(graft.operators.Quality.repetitionReport(docs, "doc_id", "text"))
+    // the 9-way n-gram expansion is ONE Generate (plus one for lines) —
+    // a separate max-count relation would re-scan the gram pipeline
+    val nGenerate = "(?i)generate".r.findAllIn(plan).length
+    assert(nGenerate == 2, s"expected 2 Generates (lines + grams), got $nGenerate:\n$plan")
+    assert(!plan.contains("Window"), s"repetition stats must never sort per doc:\n$plan")
+    // the per-doc join-back is hash-based at any scale (broadcast here;
+    // an id-keyed shuffle both sides already produce at cluster scale)
+    // — a sort-merge join would mean a per-doc SORT crept in
+    assert(!"(?i)sortmergejoin".r.findFirstIn(plan).isDefined,
+      s"report joins must be hash joins, not sort-merge:\n$plan")
+  }
+
   test("bloomKeepClean stays broadcast-only: bitmap probes + gated anti-join") {
     val corpus = (1L to 40L).map(i => (i, s"key$i")).toDF("id", "k")
     val dirty = (1L to 10L).map(i => s"key${i * 3}").toDF("dk")
