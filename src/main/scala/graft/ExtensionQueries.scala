@@ -218,6 +218,21 @@ object ExtensionQueries {
       "vec_id", 10)
   }
 
+  /** Semantic benchmark decontamination: every corpus vector scored by
+    * max cosine against the (broadcast) benchmark slice — the
+    * paraphrase-leakage companion to the n-gram `contaminationReport`
+    * (see [[graft.operators.Curation.semanticContamination]]). Bench =
+    * the same doc_id residue class the curation pipeline holds out. */
+  private val semDecontamThreshold = 0.32
+  private val qSemanticDecontam: Q = (spark, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    val isBench = pmod(col("vec_id"), lit(CurationQueries.benchMod.toLong)) ===
+      CurationQueries.benchRem.toLong
+    graft.operators.Curation.semanticContamination(
+      emb.filter(!isBench), "vec_id", "embedding",
+      emb.filter(isBench), semDecontamThreshold)
+  }
+
   /** Embedding-cosine near-dup pairs, bucket-blocked self-join. */
   private val qSimEmbedDedup: Q = (spark, dir) =>
     Similarity.embedNearDupPairs(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
@@ -707,6 +722,7 @@ object ExtensionQueries {
     "q_sim_ivf_kmeans"  -> qSimIvfKmeans,
     "q_ann_recall_kmeans" -> qAnnRecallKmeans,
     "q_sim_embed_dedup" -> qSimEmbedDedup,
+    "q_semantic_decontam" -> qSemanticDecontam,
     "q_sim_embed_probed" -> qSimEmbedProbed,
     "q_embed_project"   -> qEmbedProject,
     "q_ivf_cells"       -> qIvfCells,
@@ -1302,6 +1318,24 @@ object ExtensionQueries {
           FROM b a JOIN b b2
             ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
           WHERE ${cosine2Sql("a.embedding", "b2.embedding")} >= 0.4""",
+    // semantic decontamination: max cosine vs the bench residue class,
+    // argmax via the (cos DESC, bid ASC) window = the struct-max's
+    // (cos, -bid) ordering; threshold compares the ROUNDED cosine
+    "q_semantic_decontam" ->
+      s"""WITH bm AS (SELECT vec_id AS bid, embedding AS be FROM embeddings
+                      WHERE vec_id % ${CurationQueries.benchMod} = ${CurationQueries.benchRem}),
+          cm AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % ${CurationQueries.benchMod} <> ${CurationQueries.benchRem}),
+          s AS (SELECT cm.vec_id, bm.bid,
+                  ${cosine2Sql("cm.embedding", "bm.be")} AS cs
+                FROM cm CROSS JOIN bm),
+          r AS (SELECT vec_id, bid, cs,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cs DESC, bid ASC) AS rn
+                FROM s)
+          SELECT vec_id, bid AS top_bench_id, cs AS max_cos,
+                 cs >= $semDecontamThreshold AS contaminated
+          FROM r WHERE rn = 1""",
     "q_sim_embed_probed" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
           p AS (SELECT vec_id, embedding, unnest($probeListSql) AS probe FROM b)

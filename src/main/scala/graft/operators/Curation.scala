@@ -125,6 +125,46 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Semantic benchmark decontamination — the embedding-space companion
+  // to [[contaminationReport]]: n-gram overlap misses PARAPHRASED eval
+  // leakage (a reworded benchmark question shares no 5-grams with its
+  // source), so modern pipelines additionally flag corpus documents
+  // whose embedding sits within a cosine threshold of ANY benchmark
+  // embedding. Per corpus vector: the best-matching benchmark id, the
+  // (6-decimal-rounded) max cosine, and the threshold verdict.
+  //
+  // Scale shape mirrors the n-gram side: the benchmark set is tiny
+  // (eval suites), so its vectors — WITH precomputed norms — broadcast,
+  // the corpus side is one map-only probe (|bench| fused
+  // dot-products per row, corpus norm computed once per row), and the
+  // per-id argmax is a struct-max (cosine, -bench_id) partial
+  // aggregation: map-side combined, ties resolve to the smallest
+  // benchmark id, no window, no sort, no corpus shuffle before the
+  // |corpus|-row result. A benchmark too large to broadcast routes
+  // through the IVF probe (ivfAnnTopK per bench vector) instead; an
+  // EMPTY benchmark yields an empty report (nothing to leak).
+  // ---------------------------------------------------------------------
+  def semanticContamination(emb: DataFrame, idCol: String, vecCol: String,
+                            bench: DataFrame, threshold: Double): DataFrame = {
+    val b = broadcast(bench
+      .select(col(idCol).as("__bid"), col(vecCol).as("__bvec"))
+      .withColumn("__bn", Similarity.normOf(bench, col("__bvec"))))
+    val e = emb.select(col(idCol), col(vecCol).as("__evec"))
+      .withColumn("__en", Similarity.normOf(emb, col("__evec")))
+    val cos = when(col("__en") > 0.0 && col("__bn") > 0.0,
+      round(Similarity.dotOf(emb, col("__evec"), col("__bvec"))
+        / (col("__en") * col("__bn")), 6)).otherwise(lit(0.0))
+    e.crossJoin(b)
+      .select(col(idCol), col("__bid"), cos.as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__c").as("c"), (-col("__bid")).as("nb"))).as("__m"))
+      .select(col(idCol),
+        (-col("__m.nb")).as("top_bench_id"),
+        col("__m.c").as("max_cos"),
+        (col("__m.c") >= threshold).as("contaminated"))
+  }
+
+  // ---------------------------------------------------------------------
   // Deterministic stratified sampling — per-stratum Bernoulli keep with
   // a content-hash gate instead of an RNG: the decision for a row is a
   // pure function of (salt, stratum, key), so the sample is reproducible

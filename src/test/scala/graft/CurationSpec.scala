@@ -58,6 +58,27 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> 3L))
   }
 
+  test("semanticContamination: max cosine, smallest-id tiebreak, threshold verdict") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)),     // cos 1.0 with bench 100 AND 102 -> tie, top=100
+      (2L, Array(0.6f, 0.8f)), // cos .6 / .8 / .6 -> top=101, below threshold
+      (3L, Array(0f, 0f))      // zero vector: cosine defined as 0, passes
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Array(1f, 0f)), (101L, Array(0f, 1f)), (102L, Array(1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Curation.semanticContamination(emb, "vec_id", "embedding",
+        bench, threshold = 0.99)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((100L, 1.0, true)), out)  // tie -> smallest bench id
+    assert(out(2L) == ((101L, 0.8, false)), out)
+    assert(out(3L) == ((100L, 0.0, false)), out) // all-zero: max over 0.0s
+    // empty benchmark: nothing to leak against -> empty report
+    assert(Curation.semanticContamination(emb, "vec_id", "embedding",
+      bench.limit(0), 0.5).count() == 0)
+  }
+
   // -----------------------------------------------------------------
   // Stratified sampling
   // -----------------------------------------------------------------
