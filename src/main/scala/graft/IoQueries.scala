@@ -285,6 +285,28 @@ object IoQueries {
         col("ok"))
   }
 
+  /** PCM waveform statistics, the decode step itself under the oracle:
+    * non-WAV payloads take the SAME s16le sample arithmetic over their
+    * raw bytes that a 16-bit WAV's data chunk gets, so the DuckDB
+    * mirror re-derives every sample from hex and checks n/peak/RMS/
+    * zero-crossings exactly — not a byte-peek fake. The real-WAV
+    * header-skip path is witnessed on authored RIFF bytes in
+    * MultimodalSpec. */
+  private val qMmAudioStats: Q = (spark, dir) => {
+    val media = graft.operators.Multimodal.asMedia(
+      Tables.documents(spark, dir),
+      col("doc_id"), col("text"), lit("audio/wav"), col("source"),
+      col("n_chars").cast(LongType))
+    graft.operators.Multimodal.audioStats(spark, media,
+        spark.sparkContext.defaultParallelism)
+      .select(col("mediaId").as("media_id"),
+        col("nSamples").as("n_samples"),
+        col("peakAbs").as("peak_abs"),
+        col("rmsMilli").as("rms_milli"),
+        col("zeroCrossings").as("zero_crossings"),
+        col("ok"))
+  }
+
   /** Distributed video-container decode, same shape as [[qMmAudio]]:
     * MP4 payloads get REAL box-tree metadata (witnessed on authored
     * ISO-BMFF bytes in MultimodalSpec); the text corpus takes the
@@ -397,6 +419,7 @@ object IoQueries {
     "q_mm_decode"           -> qMmDecode,
     "q_mm_resize"           -> qMmResize,
     "q_mm_audio"            -> qMmAudio,
+    "q_mm_audio_stats"      -> qMmAudioStats,
     "q_mm_video"            -> qMmVideo,
     "q_dpp_prune"           -> qDppPrune)
 
@@ -442,6 +465,35 @@ object IoQueries {
            CAST(CASE WHEN n = 0 THEN 0 ELSE n END AS BIGINT) AS duration_ms,
            n > 0 AS ok
          FROM b""",
+    // the PCM decode arithmetic itself, re-derived sample-by-sample
+    // from hex: u = hi·256 + lo per byte pair, two's-complement s16,
+    // RMS quantized by the engine-exact floor(x·1000 + 0.5)
+    "q_mm_audio_stats" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+             coalesce(octet_length(encode(text)), 0) AS n FROM documents),
+         s AS (SELECT doc_id, i,
+                 CAST('0x' || substring(hx, 4 * i + 3, 2)
+                   || substring(hx, 4 * i + 1, 2) AS INT) AS u
+               FROM (SELECT doc_id, hx, unnest(range(0, n // 2)) AS i FROM b)),
+         w AS (SELECT doc_id, i,
+                 CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS sm,
+                 lag(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS pm
+               FROM s),
+         agg AS (SELECT doc_id, count(*) AS ns, max(abs(sm)) AS peak,
+                   CAST(sum(CAST(sm AS BIGINT) * sm) AS BIGINT) AS sq,
+                   CAST(sum(CASE WHEN pm IS NOT NULL AND ((sm < 0) <> (pm < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zc
+                 FROM w GROUP BY 1)
+         SELECT b.doc_id AS media_id,
+           CAST(coalesce(a.ns, 0) AS BIGINT) AS n_samples,
+           CAST(coalesce(a.peak, 0) AS BIGINT) AS peak_abs,
+           CAST(CASE WHEN coalesce(a.ns, 0) > 0
+                THEN floor(sqrt(CAST(a.sq AS DOUBLE) / a.ns) * 1000 + 0.5)
+                ELSE 0 END AS BIGINT) AS rms_milli,
+           coalesce(a.zc, 0) AS zero_crossings,
+           b.n > 0 AS ok
+         FROM b LEFT JOIN agg a ON b.doc_id = a.doc_id""",
     "q_mm_audio" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
            coalesce(octet_length(encode(text)), 0) AS n FROM documents)

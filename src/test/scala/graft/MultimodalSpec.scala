@@ -147,6 +147,44 @@ class MultimodalSpec extends SparkSpec {
       out(2).getLong(3) > 0L)
   }
 
+  test("audioStats: real PCM samples decode from the WAV data chunk only") {
+    // author a 16-bit mono WAV around KNOWN samples via the JDK encoder
+    def wavOf(samples: Seq[Int]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      // alternating wave: n=4, peak=1000, rms=1000 -> 1_000_000 milli,
+      // 3 sign changes. Counting any HEADER byte would break n_samples.
+      (1L, wavOf(Seq(1000, -1000, 1000, -1000))),
+      // constant positive: zc=0, rms=peak=7
+      (2L, wavOf(Seq(7, 7, 7))),
+      // raw (non-WAV) payload takes the SAME s16le arithmetic over its
+      // bytes: "ab" -> u = 0x62*256 + 0x61 = 25185, one sample
+      (3L, "ab".getBytes("UTF-8")),
+      (4L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val m = Multimodal.asMedia(rows, col("id"), col("payload"),
+      lit("audio/mixed"), lit("unit"), lit(0L))
+    val out = Multimodal.audioStats(spark, m, 2).orderBy("mediaId")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(out(0) == ((1L, 4L, 1000L, 1000000L, 3L, true)), out(0))
+    assert(out(1) == ((2L, 3L, 7L, 7000L, 0L, true)), out(1))
+    assert(out(2) == ((3L, 1L, 25185L, 25185000L, 0L, true)), out(2))
+    assert(out(3) == ((4L, 0L, 0L, 0L, 0L, false)), out(3))
+  }
+
   test("decodeVideo: real MP4 container headers yield size and duration") {
     // author real ISO-BMFF bytes by the box grammar — no fixtures
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
