@@ -59,11 +59,14 @@ object Bench {
     println(line)
     // The driver tail-truncates long stdout lines; persist the complete
     // per-query map as a file artifact too so no timing is ever lost.
-    // A BENCH_ONLY subset defaults to its own file: the committed
-    // best-of-N baseline must never be silently replaced by a partial
-    // pass (merge subsets in via tools/merge_bench.py instead).
+    // NEVER default onto bench_full.json: that file is the CURATED
+    // best-of-N idle baseline, only ever written via
+    // tools/merge_bench.py — a raw (possibly contended) sweep landing
+    // on it destroys the 2x-gate's provenance, which is exactly how
+    // rounds 13/14 lost theirs. Raw passes land on untracked files;
+    // fold the keepers in explicitly.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined) "bench_subset.json" else "bench_full.json")
+      if (only.isDefined) "bench_subset.json" else "bench_last_run.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
