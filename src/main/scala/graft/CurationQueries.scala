@@ -29,6 +29,7 @@ object CurationQueries {
   private val curveFloor = 0.5             // loosest dedup cut for the curve
   private val curveBps = Seq(5000L, 7000L, 9000L)
   private[graft] val shardBudget = 2000L   // tokens per training shard
+  private[graft] val packWindowTokens = 512L // tokens per training window
   private val nTiers = 4
   private val srcMinMeanQ = 0.68    // source gate: mean-quality floor...
   private val srcMinDocs = 5L       // ...and minimum corpus presence
@@ -127,6 +128,16 @@ object CurationQueries {
     Curation.packShards(Tables.fanOut(Tables.documents(spark, dir)),
         "source", "doc_id", Text.tokenCount(col("text")), shardBudget)
       .select(col("doc_id"), col("source"), col("n_tok"), col("shard"))
+
+  /** Context-window sequence packing: per-source 512-token training
+    * windows with documents splitting across boundaries — the pack
+    * manifest a loader assembles windows from (see
+    * [[graft.operators.Curation.packWindows]]). */
+  private val qPackWindows: Q = (spark, dir) =>
+    Curation.packWindows(Tables.fanOut(Tables.documents(spark, dir)),
+        "source", "doc_id", Text.tokenCount(col("text")), packWindowTokens)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("window"),
+        col("doc_tok_start"), col("win_tok_start"), col("seg_tokens"))
 
   /** Per-source quality quartiles (equal-depth, deterministic ties). */
   private val qQualityTiers: Q = (spark, dir) =>
@@ -854,6 +865,7 @@ object CurationQueries {
     "q_decontaminate"  -> qDecontaminate,
     "q_strat_sample"   -> qStratSample,
     "q_shard_pack"     -> qShardPack,
+    "q_pack_windows"   -> qPackWindows,
     "q_quality_tiers"  -> qQualityTiers,
     "q_source_filter"  -> qSourceFilter,
     "q_source_wilson"  -> qSourceWilson,
@@ -1030,6 +1042,29 @@ object CurationQueries {
             CAST(floor(CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / $shardBudget) AS BIGINT) AS shard
           FROM t""",
+    // window-boundary arithmetic mirrored integer-for-integer: prev =
+    // exclusive running total, windows prev//L .. (prev+n-1)//L, each
+    // segment's doc/window offsets and length from max/min clamps
+    "q_pack_windows" ->
+      s"""WITH t AS (SELECT doc_id, source,
+            CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+          FROM documents),
+          p AS (SELECT doc_id, source, n_tok,
+            CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prev
+          FROM t WHERE n_tok > 0),
+          e AS (SELECT doc_id, source, n_tok, prev,
+            unnest(range(prev // $packWindowTokens,
+              (prev + n_tok - 1) // $packWindowTokens + 1)) AS win
+          FROM p)
+          SELECT source, doc_id, n_tok, win AS window,
+            greatest(0, win * $packWindowTokens - prev) AS doc_tok_start,
+            greatest(prev, win * $packWindowTokens)
+              - win * $packWindowTokens AS win_tok_start,
+            least(n_tok, (win + 1) * $packWindowTokens - prev)
+              - greatest(0, win * $packWindowTokens - prev) AS seg_tokens
+          FROM e""",
     "q_quality_tiers" ->
       s"""WITH $qualityCte
           SELECT doc_id, source, q,

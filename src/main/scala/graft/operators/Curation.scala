@@ -263,6 +263,47 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Context-window sequence packing — the step BETWEEN shard packing
+  // and the training loop: documents concatenate in deterministic id
+  // order (per group) and slice into fixed `windowTokens`-token
+  // training windows, documents SPLITTING across window boundaries
+  // exactly as pretraining sample-packing does (no padding waste). The
+  // output is the pack manifest: one row per (document × window)
+  // overlap segment, carrying where the segment starts inside the
+  // document, where it lands inside the window, and its length — what
+  // a loader needs to assemble any window from raw documents, and what
+  // an attention-masking pipeline needs to mark document boundaries.
+  //
+  // Scale shape: one prefix-sum window per group (the packShards
+  // pattern — groups pack in parallel, a global sequence would
+  // serialize), then a pure-projection explode of each document's
+  // [firstWin, lastWin] span — a document emits
+  // ceil(n/windowTokens)+1 segments at most, so the output is
+  // O(corpus tokens / windowTokens + docs) rows. All boundary
+  // arithmetic is integer (exact in any engine); zero-token documents
+  // emit nothing (they occupy no window space).
+  // ---------------------------------------------------------------------
+  def packWindows(df: DataFrame, groupCol: String, idCol: String,
+                  tokCol: Column, windowTokens: Long): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val L = lit(windowTokens)
+    df.withColumn("n_tok", tokCol.cast(LongType))
+      .filter(col("n_tok") > 0L)
+      .withColumn("__prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("window",
+        explode(sequence(floor(col("__prev") / L),
+          floor((col("__prev") + col("n_tok") - 1L) / L))))
+      .select(col(groupCol), col(idCol), col("n_tok"), col("window"),
+        greatest(lit(0L), col("window") * L - col("__prev")).as("doc_tok_start"),
+        (greatest(col("__prev"), col("window") * L) - col("window") * L)
+          .as("win_tok_start"),
+        (least(col("n_tok"), (col("window") + 1L) * L - col("__prev"))
+          - greatest(lit(0L), col("window") * L - col("__prev"))).as("seg_tokens"))
+  }
+
+  // ---------------------------------------------------------------------
   // Source-level gate — drop WHOLE sources whose aggregate quality is
   // bad (the C4/Gopher move: a spam domain is cheaper to reject once,
   // at the domain level, than doc-by-doc). Input rows carry a per-doc

@@ -117,6 +117,34 @@ class CurationSpec extends SparkSpec {
     assert(out(("h", 1L)) == 0L && out(("h", 2L)) == 2L)
   }
 
+  test("packWindows splits documents across fixed context windows exactly") {
+    // L=10, docs of 4/8/10/3 tokens at prev offsets 0/4/12/22:
+    //   doc1 [0,4)   -> w0 seg(doc 0, win 0, len 4)
+    //   doc2 [4,12)  -> w0 seg(0, 4, 6) + w1 seg(6, 0, 2)
+    //   doc3 [12,22) -> w1 seg(0, 2, 8) + w2 seg(8, 0, 2)
+    //   doc4 [22,25) -> w2 seg(0, 2, 3)
+    val df = Seq(("g", 1L, 4L), ("g", 2L, 8L), ("g", 3L, 10L), ("g", 4L, 3L),
+      ("g", 5L, 0L) // zero-token doc occupies no window space
+    ).toDF("grp", "id", "tok")
+    val out = Curation.packWindows(df, "grp", "id", col("tok"), 10L)
+      .select(col("id"), col("window"), col("doc_tok_start"),
+        col("win_tok_start"), col("seg_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set(
+      (1L, 0L, 0L, 0L, 4L),
+      (2L, 0L, 0L, 4L, 6L), (2L, 1L, 6L, 0L, 2L),
+      (3L, 1L, 0L, 2L, 8L), (3L, 2L, 8L, 0L, 2L),
+      (4L, 2L, 0L, 2L, 3L)), out)
+    // invariants: every window holds exactly L tokens except the last,
+    // and each document's segments cover it exactly once
+    val segs = out.toSeq
+    val perWin = segs.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    assert(perWin == Map(0L -> 10L, 1L -> 10L, 2L -> 5L), perWin)
+    val perDoc = segs.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(perDoc == Map(1L -> 4L, 2L -> 8L, 3L -> 10L, 4L -> 3L), perDoc)
+  }
+
   // -----------------------------------------------------------------
   // Quality tiers
   // -----------------------------------------------------------------
