@@ -293,8 +293,11 @@ object Curation {
       .filter(col("n_tok") > 0L)
       .withColumn("__prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("window",
-        explode(sequence(floor(col("__prev") / L),
-          floor((col("__prev") + col("n_tok") - 1L) / L))))
+        // True integer division (`div`), not floor(double /): the
+        // double path silently loses exactness past 2^53 cumulative
+        // tokens, and the oracle's `//` is integer at any magnitude.
+        explode(sequence(expr(s"__prev div ${windowTokens}L"),
+          expr(s"(__prev + n_tok - 1) div ${windowTokens}L"))))
       .select(col(groupCol), col(idCol), col("n_tok"), col("window"),
         greatest(lit(0L), col("window") * L - col("__prev")).as("doc_tok_start"),
         (greatest(col("__prev"), col("window") * L) - col("window") * L)

@@ -242,16 +242,25 @@ object Multimodal {
   private def wavMeta(b: Array[Byte]): Option[(Int, Int, Long)] = {
     var i = 12
     var channels = -1; var rate = -1L; var bits = -1; var dataLen = -1L
-    while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+    var corrupt = false
+    while (!corrupt && i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
       val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val sz = u32le(b, i + 4)
-      if (id == "fmt " && i + 8 + 16 <= b.length) {
-        channels = u16le(b, i + 10)
-        rate = u32le(b, i + 12)
-        bits = u16le(b, i + 22)
-      } else if (id == "data") dataLen = sz
-      i += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      // A declared size >= 2^31 cannot fit in this payload and would
+      // wrap negative as an Int: treat the walk as corrupt rather than
+      // stepping backwards (index crash) or by zero (infinite loop).
+      if (sz > Int.MaxValue - 16) corrupt = true
+      else {
+        if (id == "fmt " && i + 8 + 16 <= b.length) {
+          channels = u16le(b, i + 10)
+          rate = u32le(b, i + 12)
+          bits = u16le(b, i + 22)
+        } else if (id == "data") dataLen = sz
+        val next = i + 8 + sz.toInt + (sz.toInt & 1) // word-aligned chunks
+        if (next <= i) corrupt = true else i = next
+      }
     }
+    if (corrupt) return None
     if (channels > 0 && rate > 0 && bits >= 8 && dataLen >= 0) {
       val byteRate = rate * channels * (bits / 8)
       if (byteRate > 0) Some((channels, rate.toInt, dataLen * 1000L / byteRate))
@@ -304,14 +313,25 @@ object Multimodal {
     if (!looksLikeWav(b)) return None
     var i = 12
     var bits = -1; var dataOff = -1; var dataLen = -1
-    while (i + 8 <= b.length && (bits < 0 || dataOff < 0)) {
+    var corrupt = false
+    while (!corrupt && i + 8 <= b.length && (bits < 0 || dataOff < 0)) {
       val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val sz = u32le(b, i + 4).toInt
-      if (id == "fmt " && i + 8 + 16 <= b.length) bits = u16le(b, i + 22)
-      else if (id == "data") { dataOff = i + 8; dataLen = sz }
-      i += 8 + sz + (sz & 1)
+      val szL = u32le(b, i + 4)
+      // Same corruption guard as wavMeta: a size that wraps negative as
+      // an Int would make the step non-advancing (executor-task hang)
+      // or negative (index crash), and a negative dataLen would pass the
+      // bounds check below. Bail to the raw-bytes fallback instead.
+      if (szL > Int.MaxValue - 16) corrupt = true
+      else {
+        val sz = szL.toInt
+        if (id == "fmt " && i + 8 + 16 <= b.length) bits = u16le(b, i + 22)
+        else if (id == "data") { dataOff = i + 8; dataLen = sz }
+        val next = i + 8 + sz + (sz & 1)
+        if (next <= i) corrupt = true else i = next
+      }
     }
-    if (bits == 16 && dataOff >= 0 && dataOff + dataLen <= b.length)
+    if (!corrupt && bits == 16 && dataOff >= 0 && dataLen >= 0 &&
+        dataOff + dataLen <= b.length)
       Some((dataOff, dataLen))
     else None
   }

@@ -1165,13 +1165,22 @@ object Streaming {
         Option(new java.io.File(indexRoot).listFiles())
           .exists(_.exists(_.getName.startsWith("batch=")))) {
       val spark = src.sparkSession
-      // superseded rows attributed to the cell HOLDING the stale copy —
-      // exactly the rows a probe of only that cell would wrongly serve
+      // Superseded rows attributed to the cell HOLDING the stale copy —
+      // exactly the rows a probe of only that cell would wrongly serve.
+      // Same-cell re-deliveries are excluded: annIndexTopK already
+      // resolves those latest-batch-wins inside the probed partition,
+      // so they carry zero staleness hazard and must not trigger a
+      // full-store rewrite. Only a row whose id has MOVED to a
+      // different cell since (old cell probed alone → stale code
+      // served) counts toward the threshold.
       val store = spark.read.parquet(indexRoot)
         .select(col("id"), col("batch"), col("cell"))
-      val latest = store.groupBy(col("id")).agg(max(col("batch")).as("__maxb"))
+      val latest = store.groupBy(col("id"))
+        .agg(max(struct(col("batch"), col("cell"))).as("__l"))
+        .select(col("id"), col("__l.batch").as("__maxb"),
+          col("__l.cell").as("__lcell"))
       val worstCell = store.join(latest, Seq("id"))
-        .filter(col("batch") < col("__maxb"))
+        .filter(col("batch") < col("__maxb") && col("cell") =!= col("__lcell"))
         .groupBy(col("cell")).agg(count(lit(1)).as("__n"))
         .agg(coalesce(max(col("__n")), lit(0L)).as("__w"))
         .head.getLong(0)

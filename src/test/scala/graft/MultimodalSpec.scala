@@ -185,6 +185,42 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3) == ((4L, 0L, 0L, 0L, 0L, false)), out(3))
   }
 
+  test("audioStats/decodeAudio: corrupt RIFF chunk sizes fall back, never hang") {
+    // Hand-author RIFF/WAVE payloads whose declared chunk size wraps
+    // negative as an Int (0xFFFFFFF7 = -9 -> zero-advance infinite
+    // loop pre-fix; 0xFFFFFFF8 = -8 -> backwards step) or declares a
+    // size beyond the payload. The walk must bail to the raw-bytes
+    // fallback instead of hanging an executor task or crashing.
+    def riff(chunkId: String, declaredSize: Long, tail: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes("US-ASCII"))
+      bos.write(Array[Byte](0, 1, 0, 0)) // riff size, unchecked
+      bos.write("WAVE".getBytes("US-ASCII"))
+      bos.write(chunkId.getBytes("US-ASCII"))
+      val le = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(declaredSize.toInt)
+      bos.write(le.array())
+      bos.write(tail)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, riff("fmt ", 0xFFFFFFF7L, Array.fill[Byte](32)(3))), // sz=-9: step 0
+      (2L, riff("data", 0xFFFFFFF8L, Array.fill[Byte](32)(5))), // sz=-8: step<0
+      (3L, riff("data", 1L << 30, Array.fill[Byte](16)(9))))    // sz >> payload
+      .toDF("id", "payload")
+    val m = Multimodal.asMedia(rows, col("id"), col("payload"),
+      lit("audio/bad"), lit("unit"), lit(0L))
+    // must complete (no hang), taking the raw-bytes s16le path: sample
+    // count = floor(payload len / 2) over the WHOLE payload
+    val stats = Multimodal.audioStats(spark, m, 2).orderBy("mediaId").collect()
+    assert(stats.length == 3)
+    assert(stats.forall(_.getBoolean(5)))                 // ok via fallback
+    assert(stats.forall(_.getLong(1) > 0L))               // nSamples > 0
+    assert(stats.forall(r => r.getLong(1) >= 0L))         // never negative
+    val meta = Multimodal.decodeAudio(spark, m, 2).orderBy("mediaId").collect()
+    assert(meta.length == 3 && meta.forall(_.getBoolean(4)))
+  }
+
   test("decodeVideo: real MP4 container headers yield size and duration") {
     // author real ISO-BMFF bytes by the box grammar — no fixtures
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
