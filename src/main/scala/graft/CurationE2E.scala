@@ -13,8 +13,10 @@ import graft.operators.{Curation, Index, Similarity}
   *
   *   Gopher rule gate → exact dedup → LSH near-dup dedup (connected
   *   components) → semantic dedup (trained quantizer) →
-  *   benchmark decontamination → DSIR importance selection →
-  *   deterministic 90/5/5 split → split-leakage check → shard packing.
+  *   n-gram benchmark decontamination → SEMANTIC benchmark
+  *   decontamination (broadcast bench vectors, map-only cosine probe) →
+  *   DSIR importance selection → deterministic 90/5/5 split →
+  *   split-leakage check → shard packing.
   *
   * The point beyond "the stages compose": shared relations are
   * computed ONCE. The LSH near-dup pair relation feeds both the
@@ -95,7 +97,24 @@ object CurationE2E {
     // distinct 5-grams with the (broadcast) benchmark slice
     val contam = Curation.contaminationReport(semKept, bench,
       "doc_id", "text", decontamN, decontamMinShared)
-    val clean = semKept.join(contam.select("doc_id"), Seq("doc_id"), "left_anti")
+    val clean0 = semKept.join(contam.select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // 5b — SEMANTIC benchmark decontamination: the embedding-space
+    // companion (paraphrased eval leakage shares no 5-grams). The
+    // benchmark slice's vectors broadcast; the survivors' vectors take
+    // one map-only probe, and anything within the cosine threshold of
+    // ANY bench vector is dropped. Every stage-4 survivor has a vector
+    // by construction (semanticDedup keeps only embedded docs), so the
+    // gate covers the whole relation.
+    val benchEmb = emb.join(bench.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val cleanEmb = emb.join(clean0.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val semContam = Curation.semanticContamination(cleanEmb, "vec_id",
+        "embedding", benchEmb, ExtensionQueries.semDecontamThreshold)
+      .filter(col("contaminated"))
+    val clean = clean0.join(semContam.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
       .localCheckpoint()
     // 6 — DSIR selection: one persisted tokenization feeds both LM
     // scoring passes (target = the clean English slice, raw = all clean)
@@ -233,9 +252,20 @@ object CurationE2E {
                    WHERE array_to_string(t[i:i+$n1], ' ') <> ''),
            contam AS (SELECT s.doc_id FROM sh5c s JOIN bsh b ON s.shingle = b.shingle
                       GROUP BY s.doc_id HAVING count(*) >= $decontamMinShared),
-           clean AS MATERIALIZED (SELECT k.doc_id, k.text, k.lang, k.source
+           clean0 AS MATERIALIZED (SELECT k.doc_id, k.text, k.lang, k.source
                      FROM semkept k LEFT JOIN contam c ON k.doc_id = c.doc_id
                      WHERE c.doc_id IS NULL),
+           sc_b AS (SELECT em.vec_id AS bid, em.embedding AS be
+                    FROM embeddings em JOIN bench_d b ON em.vec_id = b.doc_id),
+           sc_m AS (SELECT cm.vec_id,
+                      max(${ExtensionQueries.cosine2Sql("cm.embedding", "sc_b.be")}) AS mc
+                    FROM (SELECT em.vec_id, em.embedding
+                          FROM embeddings em JOIN clean0 c ON em.vec_id = c.doc_id) cm
+                    CROSS JOIN sc_b GROUP BY 1),
+           clean AS MATERIALIZED (SELECT c.doc_id, c.text, c.lang, c.source
+                     FROM clean0 c LEFT JOIN sc_m s ON c.doc_id = s.vec_id
+                     WHERE s.vec_id IS NULL
+                        OR s.mc < ${ExtensionQueries.semDecontamThreshold}),
            d_t AS (SELECT doc_id, lang,
                      regexp_extract_all(lower(text), '[a-z0-9]+') AS wl
                    FROM clean),

@@ -323,6 +323,30 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_orders"), sum(col("o_price")).as("revenue"))
   }
 
+  /** Aggregate-reuse over the SAME saved bucketed layout as
+    * [[qJBucketed]]: a groupBy on the bucket key consumes the bucketed
+    * scan's hash clustering directly — zero Exchange, pinned in
+    * BucketedJoinSpec. Together the pair proves the one-time bucketed
+    * write pays off for BOTH workload shapes a stable key carries at
+    * 100 TB: co-located joins and shuffle-free aggregations. */
+  private val qJBucketedAgg: Q = (spark, dir) => {
+    val buckets = 8
+    val t = "graft_bkt_orders_agg"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+      .write.mode("overwrite").bucketBy(buckets, "o_custkey")
+      .saveAsTable(t)
+    spark.table(t)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_price")).as("revenue"))
+  }
+
   /** Sessionization: 30-minute inactivity gap splits each user's event
     * stream; session ids are running break counts in (ts, event_id)
     * order. */
@@ -876,7 +900,8 @@ object CurationQueries {
     "q_asof_join"      -> qAsofJoin,
     "q_t_redact"       -> qTRedact,
     "q_profile"        -> qProfile,
-    "q_j_bucketed"     -> qJBucketed
+    "q_j_bucketed"     -> qJBucketed,
+    "q_j_bucketed_agg" -> qJBucketedAgg
   )
 
   // =====================================================================
@@ -1500,6 +1525,10 @@ object CurationQueries {
          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    "q_j_bucketed_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+         FROM orders GROUP BY o_custkey""",
     "q_asof_join" ->
       s"""WITH l AS (SELECT event_id, user_id, ts, value AS purchase_value
             FROM events WHERE event_type = 'purchase'),

@@ -223,7 +223,7 @@ object ExtensionQueries {
     * paraphrase-leakage companion to the n-gram `contaminationReport`
     * (see [[graft.operators.Curation.semanticContamination]]). Bench =
     * the same doc_id residue class the curation pipeline holds out. */
-  private val semDecontamThreshold = 0.32
+  private[graft] val semDecontamThreshold = 0.32
   private val qSemanticDecontam: Q = (spark, dir) => {
     val emb = Tables.fanOut(Tables.embeddings(spark, dir))
     val isBench = pmod(col("vec_id"), lit(CurationQueries.benchMod.toLong)) ===
@@ -375,6 +375,63 @@ object ExtensionQueries {
     graft.streaming.Streaming.annIndexTopK(spark, idx, coarse, books,
       subLen = queryVec.length / pqM, queryVec, nprobe = 3, k = 10)
       .select(col("id").as("vec_id"), col("adc_dist"))
+  }
+
+  /** ST19b — recall across a compaction boundary: vectors are delivered
+    * in two batches where the SECOND re-delivers a subset of ids with
+    * NEGATED embeddings (a cosine-space antipode — a guaranteed
+    * cross-cell move under any non-degenerate coarse quantizer), so the
+    * store holds genuinely stale rows in the movers' old cells. The
+    * full-probe top-k is computed immediately BEFORE compaction
+    * (latest-batch-wins resolution over live + stale rows) and again
+    * AFTER [[graft.streaming.Streaming.compactAnnIndex]] rewrites the
+    * store to latest-only — and both must equal the batch IVF-PQ over
+    * the post-update corpus: compaction is a layout change, never a
+    * semantic one. The before-side result is eagerly materialized
+    * (localCheckpoint) so its scan can't lazily observe the compacted
+    * files. Quantizers train on the post-update corpus (the oracle's
+    * training chain reads the same modified set). */
+  private val qSt19bCompactRecall: Q = (spark, dir) => {
+    val embRaw = Tables.fanOut(Tables.embeddings(spark, dir))
+    val movedCond = pmod(col("vec_id"), lit(37L)) === 3L
+    val latest = embRaw.withColumn("embedding",
+      when(movedCond, transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")))
+    val coarse = Similarity.kmeansCentroids(latest, "vec_id", "embedding",
+      centroidStep = 50, iters = 2)
+    val books = graft.operators.Pq.codebooks(latest, "vec_id", "embedding",
+      m = pqM, dims = queryVec.length, centroidStep = 50, iters = 2)
+    val in = graft.io.TempDirs.registered("graft-q-st19b-in").toString
+    val idx = graft.io.TempDirs.registered("graft-q-st19b-idx").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st19b-ckpt").toString
+    val seen = scala.collection.mutable.Set[String]()
+    Seq(embRaw, latest.filter(movedCond)).zipWithIndex.foreach { case (d, s) =>
+      d.coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + s * 60000L)
+          seen += f.getName
+        }
+      }
+    }
+    val src = graft.streaming.Streaming.parquetSource(spark, in, embRaw.schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runStreamingAnnIndex(src, "vec_id", "embedding",
+      coarse, books, subLen = queryVec.length / pqM, idx, ckpt)
+    // full probe: every trained cell — the narrow-probe staleness window
+    // is annIndexTopK's documented contract, not what this witnesses
+    val nprobe = coarse.count().toInt
+    val before = graft.streaming.Streaming.annIndexTopK(spark, idx, coarse,
+        books, subLen = queryVec.length / pqM, queryVec, nprobe, k = 10)
+      .select(col("id"), col("adc_dist").as("adc_before"))
+      .localCheckpoint()
+    graft.streaming.Streaming.compactAnnIndex(spark, idx)
+    val after = graft.streaming.Streaming.annIndexTopK(spark, idx, coarse,
+        books, subLen = queryVec.length / pqM, queryVec, nprobe, k = 10)
+      .select(col("id"), col("adc_dist").as("adc_after"))
+    before.join(after, Seq("id"))
+      .select(col("id").as("vec_id"), col("adc_before"), col("adc_after"))
   }
 
   /** Recall@10 of PQ-ADC against exact squared-L2 ground truth — the
@@ -735,6 +792,7 @@ object ExtensionQueries {
     "q_sim_pq_adc"      -> qSimPqAdc,
     "q_sim_ivf_pq"      -> qSimIvfPq,
     "q_st19_stream_ann" -> qSt19StreamAnn,
+    "q_st19b_compact_recall" -> qSt19bCompactRecall,
     "q_pq_recall"       -> qPqRecall,
     "q_pq_distortion"   -> qPqDistortion,
     "q_learn_logreg"    -> qLearnLogreg,
@@ -815,7 +873,7 @@ object ExtensionQueries {
 
   /** Cosine between two list COLUMNS (both sides cast per element, the
     * same fold as Similarity.cosine on two columns). */
-  private def cosine2Sql(a: String, b: String): String = {
+  private[graft] def cosine2Sql(a: String, b: String): String = {
     val dot = s"list_reduce(list_transform(list_zip($a, $b), " +
       "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)"
     s"round($dot / (${normSql(a)} * ${normSql(b)}), 6)"
@@ -1458,6 +1516,30 @@ object ExtensionQueries {
     // the streamed index must converge to the batch computation — the
     // oracle IS q_sim_ivf_pq's, shared by construction
     "q_st19_stream_ann" -> ivfPqOracleSql,
+    // compaction is layout-only: before AND after must equal the batch
+    // IVF-PQ over the post-update corpus. The shared training/coding
+    // CTEs are re-pointed (FROM embeddings -> FROM emb_mod) at the
+    // corpus with the movers' vectors negated — the same latest-wins
+    // set the store resolves to — and the probe join is dropped (the
+    // Spark side probes every cell). Emitting the one ADC sum under
+    // both column names pins before == after == batch by construction.
+    "q_st19b_compact_recall" -> {
+      val mod = """emb_mod AS (SELECT vec_id,
+             CASE WHEN vec_id % 37 = 3
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding, label
+           FROM embeddings)"""
+      val ctes = (ivfKmeansCtes + ",\n        " + pqCtes)
+        .replace("FROM embeddings", "FROM emb_mod")
+      s"""WITH $mod,
+          $ctes
+          SELECT c.vec_id,
+                 sum(CAST(round(d2q * 1e6) AS BIGINT)) / 1e6 AS adc_before,
+                 sum(CAST(round(d2q * 1e6) AS BIGINT)) / 1e6 AS adc_after
+          FROM codes c
+            JOIN dt ON c.sub = dt.sub AND c.cell = dt.cid
+          GROUP BY 1 ORDER BY adc_before ASC, c.vec_id ASC LIMIT 10"""
+    },
     "q_ann_recall_kmeans" ->
       s"""WITH $ivfKmeansCtes,
           ann AS (SELECT af.vec_id FROM af JOIN probe p ON af.cell = p.cell

@@ -325,6 +325,27 @@ object IoQueries {
         col("ok"))
   }
 
+  /** MJPEG frame statistics, the byte-level decode itself under the
+    * oracle ([[graft.operators.Multimodal.videoStats]]): frame starts
+    * (FF D8 FF positional scan), largest encoded-frame segment, and the
+    * SAD motion proxy are ONE format-free arithmetic over every
+    * payload, so DuckDB re-derives every byte from hex and recomputes
+    * all three exactly. The real-MJPEG path (authored JPEG frames) is
+    * witnessed in MultimodalSpec. */
+  private val qMmVideoStats: Q = (spark, dir) => {
+    val media = graft.operators.Multimodal.asMedia(
+      Tables.documents(spark, dir),
+      col("doc_id"), col("text"), lit("video/mjpeg"), col("source"),
+      col("n_chars").cast(LongType))
+    graft.operators.Multimodal.videoStats(spark, media,
+        spark.sparkContext.defaultParallelism)
+      .select(col("mediaId").as("media_id"),
+        col("nFrames").as("n_frames"),
+        col("maxSegBytes").as("max_seg_bytes"),
+        col("motionSad").as("motion_sad"),
+        col("ok"))
+  }
+
   /** Dynamic partition pruning witness: the fact lands partitioned by
     * event_type; the dim carries a derived category the fact doesn't
     * have, so the only route to pruning is DYNAMIC — Catalyst turns the
@@ -421,6 +442,7 @@ object IoQueries {
     "q_mm_audio"            -> qMmAudio,
     "q_mm_audio_stats"      -> qMmAudioStats,
     "q_mm_video"            -> qMmVideo,
+    "q_mm_video_stats"      -> qMmVideoStats,
     "q_dpp_prune"           -> qDppPrune)
 
   private val homeSectionsCase: String =
@@ -468,6 +490,39 @@ object IoQueries {
     // the PCM decode arithmetic itself, re-derived sample-by-sample
     // from hex: u = hi·256 + lo per byte pair, two's-complement s16,
     // RMS quantized by the engine-exact floor(x·1000 + 0.5)
+    "q_mm_video_stats" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+             coalesce(octet_length(encode(text)), 0) AS n FROM documents),
+         u AS (SELECT doc_id, i, n,
+                 CAST('0x' || substring(hx, 2 * i + 1, 2) AS INT) AS v
+               FROM (SELECT doc_id, hx, n, unnest(range(0, n)) AS i FROM b)),
+         w AS (SELECT doc_id, i, v, n,
+                 lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
+                 lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv1,
+                 lead(v, 2) OVER (PARTITION BY doc_id ORDER BY i) AS nv2
+               FROM u),
+         soi AS (SELECT doc_id, i, n FROM w
+                 WHERE v = 255 AND nv1 = 216 AND nv2 = 255),
+         sad AS (SELECT doc_id, CAST(sum(abs(v - pv)) AS BIGINT) AS sad
+                 FROM w WHERE pv IS NOT NULL GROUP BY 1),
+         fr AS (SELECT doc_id, count(*) AS nf, min(i) AS first_i FROM soi GROUP BY 1),
+         segl AS (SELECT doc_id,
+                    coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i), n) - i
+                      AS len
+                  FROM soi
+                  UNION ALL
+                  SELECT doc_id, first_i AS len FROM fr WHERE first_i > 0),
+         mx AS (SELECT doc_id, max(len) AS mseg FROM segl GROUP BY 1)
+         SELECT b.doc_id AS media_id,
+           CAST(coalesce(fr.nf, 0) AS BIGINT) AS n_frames,
+           CAST(CASE WHEN b.n = 0 THEN 0
+                     WHEN mx.mseg IS NULL THEN b.n
+                     ELSE mx.mseg END AS BIGINT) AS max_seg_bytes,
+           coalesce(sad.sad, 0) AS motion_sad,
+           b.n > 0 AS ok
+         FROM b LEFT JOIN fr ON b.doc_id = fr.doc_id
+                LEFT JOIN sad ON b.doc_id = sad.doc_id
+                LEFT JOIN mx ON b.doc_id = mx.doc_id""",
     "q_mm_audio_stats" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
              coalesce(octet_length(encode(text)), 0) AS n FROM documents),

@@ -507,6 +507,65 @@ object Multimodal {
       .toDF()
   }
 
+  // ------------------------------------------------------------------
+  // Video FRAME statistics — the audio-stats companion ([[audioStats]]):
+  // real per-byte arithmetic over the payload, not just container
+  // headers. MJPEG (concatenated JPEG images — the codec-free motion
+  // format) delimits frames with the JPEG SOI marker; the scan is pure
+  // byte arithmetic and needs no codec library. The SAME arithmetic
+  // runs over EVERY payload (no format branch at all), so the whole
+  // decode path sits under the value-level oracle: DuckDB re-derives
+  // every byte from hex and recomputes frames/segments/SAD exactly.
+  // ------------------------------------------------------------------
+  final case class VideoStats(mediaId: Long, nFrames: Long, maxSegBytes: Long,
+                              motionSad: Long, ok: Boolean)
+
+  /** Per-payload frame statistics, one pass over the bytes:
+    *  - `nFrames`: positions i with b(i..i+2) = FF D8 FF — the JPEG
+    *    SOI-then-marker prefix, i.e. MJPEG frame starts. The test is
+    *    per-position (overlaps count), which keeps the oracle an exact
+    *    positional mirror with no non-overlap bookkeeping.
+    *  - `maxSegBytes`: longest segment when the payload is split
+    *    BEFORE each frame start (any pre-first-frame prefix is a
+    *    segment; a frameless payload is one segment) — the largest
+    *    encoded frame, the stat a frame-budgeted loader needs.
+    *  - `motionSad`: Σ |b(i) − b(i−1)| over unsigned bytes — the
+    *    sum-of-absolute-differences motion proxy, genuinely non-trivial
+    *    on any payload. */
+  def videoStatsPartition(rows: Iterator[Row]): Iterator[VideoStats] =
+    rows.map { r =>
+      val id = r.getAs[Long]("media_id")
+      val b = r.getAs[Array[Byte]]("content")
+      if (b == null || b.isEmpty) VideoStats(id, 0L, 0L, 0L, ok = false)
+      else {
+        var i = 0; var frames = 0L; var sad = 0L
+        var maxSeg = 0L; var segStart = 0
+        while (i < b.length) {
+          if (i + 2 < b.length && b(i) == 0xff.toByte &&
+              b(i + 1) == 0xd8.toByte && b(i + 2) == 0xff.toByte) {
+            if (i > segStart) maxSeg = math.max(maxSeg, (i - segStart).toLong)
+            frames += 1
+            segStart = i
+          }
+          if (i >= 1) sad += math.abs((b(i) & 0xff) - (b(i - 1) & 0xff))
+          i += 1
+        }
+        maxSeg = math.max(maxSeg, (b.length - segStart).toLong)
+        VideoStats(id, frames, maxSeg, sad, ok = true)
+      }
+    }
+
+  /** Distributed video frame stats — same spread-then-batch shape as
+    * [[decode]]; metadata consumers never read the payload. */
+  def videoStats(spark: SparkSession, media: DataFrame,
+                 partitions: Int): DataFrame = {
+    import spark.implicits._
+    repartitionForDecode(media, partitions)
+      .select(col("media_id"), col("content"))
+      .mapPartitions(videoStatsPartition)(Encoders.product[VideoStats])
+      .toDF()
+  }
+
   private object Encoders {
     def product[T <: Product : scala.reflect.runtime.universe.TypeTag]
       : org.apache.spark.sql.Encoder[T] = org.apache.spark.sql.Encoders.product[T]

@@ -86,7 +86,13 @@ object Pq {
                 m: Int, dims: Int, centroidStep: Int, iters: Int): DataFrame = {
     val subLen = dims / m
     require(subLen * m == dims, s"Pq: m=$m must divide dims=$dims")
-    var books = emb.filter(pmod(col(idCol), lit(centroidStep)) === 0)
+    // Bounded codebook: every-step-th seeding alone grows codewords as
+    // n/step (quadratic training, caught by the 10× scale probe —
+    // SCALE.md); classic PQ uses 256 codewords per subspace (byte
+    // codes). The id-range cap is deterministic and binds only past
+    // `step · 256` vectors — oracle scales (≤2000 vectors) unaffected.
+    var books = emb.filter(pmod(col(idCol), lit(centroidStep)) === 0 &&
+        col(idCol) < centroidStep.toLong * 256L)
       .select(explode(array((0 until m).map(lit): _*)).as("sub"),
         col(idCol).as("cid"), col(vecCol).as("__v"))
       .select(col("sub"), col("cid"),

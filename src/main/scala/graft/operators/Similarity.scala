@@ -537,9 +537,21 @@ object Similarity {
   // then reads nprobe partitions instead of the corpus — this is the
   // standard IVF layout, expressed as plain relational ops.
   // ---------------------------------------------------------------------
+  /** Ceiling on trained coarse cells. Every-`step`-th seeding alone
+    * grows the cell count as n/step, which makes Lloyd training
+    * O(n²/step) — measured super-linear by the 10× scale probe
+    * (SCALE.md). Real IVF deployments train a FIXED-size coarse
+    * quantizer from a bounded sample; the id-range cap keeps seeding
+    * deterministic (no limit-without-order nondeterminism) and binds
+    * only for corpora larger than `step · 64` vectors — the oracle
+    * scales (sf0.01: 4 cells, sf0.1: 40) are bit-identical with or
+    * without it. */
+  val maxTrainedCells = 64
+
   private def centroids(emb: DataFrame, idCol: String, vecCol: String,
                         centroidStep: Int): DataFrame =
-    emb.filter(col(idCol) % centroidStep === 0)
+    emb.filter(col(idCol) % centroidStep === 0 &&
+        col(idCol) < centroidStep.toLong * maxTrainedCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
 
   /** Assign every vector to its max-cosine cell (ties -> lowest cid).

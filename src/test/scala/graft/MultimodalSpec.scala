@@ -221,6 +221,43 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.length == 3 && meta.forall(_.getBoolean(4)))
   }
 
+  test("videoStats: real MJPEG frames count by SOI scan; segments and SAD are exact") {
+    // author a REAL MJPEG stream: concatenated JDK-encoded JPEG frames
+    // (JPEG escapes 0xFF in entropy data as FF 00, so FF D8 FF appears
+    // exactly once per frame — at its SOI)
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(jpeg(8, 8, 0xff0000), jpeg(16, 8, 0x00ff00), jpeg(8, 16, 0x0000ff))
+    val mjpeg = frames.flatten.toArray
+    val rows = Seq(
+      (1L, mjpeg),
+      (2L, "plain text payload".getBytes("UTF-8")),
+      (3L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val m = Multimodal.asMedia(rows, col("id"), col("payload"),
+      lit("video/mjpeg"), lit("unit"), lit(0L))
+    val out = Multimodal.videoStats(spark, m, 2).orderBy("mediaId")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    // real MJPEG: one SOI per authored frame; the largest segment is the
+    // largest encoded frame; adjacent-byte SAD is positive
+    assert(out(0)._2 == 3L, s"expected 3 frames, got ${out(0)}")
+    assert(out(0)._3 == frames.map(_.length).max.toLong, out(0))
+    assert(out(0)._4 > 0L)
+    assert(out(0)._5)
+    // text payload: zero frames, one whole-payload segment, exact SAD
+    val tb = "plain text payload".getBytes("UTF-8")
+    val wantSad = tb.sliding(2).map(p => math.abs((p(1) & 0xff) - (p(0) & 0xff)).toLong).sum
+    assert(out(1) == ((2L, 0L, tb.length.toLong, wantSad, true)), out(1))
+    assert(out(2) == ((3L, 0L, 0L, 0L, false)), out(2))
+  }
+
   test("decodeVideo: real MP4 container headers yield size and duration") {
     // author real ISO-BMFF bytes by the box grammar — no fixtures
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {

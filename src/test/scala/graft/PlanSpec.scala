@@ -662,6 +662,54 @@ class PlanSpec extends SparkSpec {
       s"scan must read only (k, c): $readSchema")
   }
 
+  test("semanticContamination: bench broadcasts, corpus never shuffles before the argmax") {
+    val dims = 8
+    val emb = (1L to 100L).map(i =>
+      (i, Array.tabulate(dims)(d => ((i * 31 + d * 7) % 13 - 6).toDouble)))
+      .toDF("vec_id", "embedding")
+    val bench = (1L to 3L).map(i =>
+      (i, Array.tabulate(dims)(d => ((i * 17 + d * 5) % 11 - 5).toDouble)))
+      .toDF("vec_id", "embedding")
+    val plan = planOf(Curation.semanticContamination(
+      emb, "vec_id", "embedding", bench, 0.8))
+    // the probe is a broadcast nested-loop over the TINY bench side —
+    // never a cartesian product and never a corpus shuffle join
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bench side must broadcast into the probe:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the probe:\n$plan")
+    // the per-id argmax is a struct-max AGGREGATION (map-side combined),
+    // not a window/sort over the corpus
+    assert(!plan.contains("Window"), s"argmax must not plan as a window:\n$plan")
+    assert("partial_max".r.findAllIn(plan).nonEmpty,
+      s"the argmax must partial-aggregate map-side before any exchange:\n$plan")
+    // the ONLY corpus exchange is the one carrying partial argmax rows
+    // (one per id per map partition), after the probe
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"expected at most the final-aggregate exchange, got $exchanges:\n$plan")
+  }
+
+  test("media metadata consumers never read the binary payload column") {
+    val dir = graft.io.TempDirs.registered("graft-media-meta").toString
+    val media = graft.operators.Multimodal.asMedia(
+      (1L to 20L).map(i => (i, s"payload-bytes-$i", s"src${i % 3}"))
+        .toDF("id", "body", "src"),
+      col("id"), col("body"), lit("audio/wav"), col("src"), lit(1000L))
+    media.write.mode("overwrite").parquet(dir)
+    // a metadata-only projection (ids + typed meta struct) must prune
+    // the binary `content` column out of the parquet scan entirely —
+    // the cost model the multimodal stack's header-only paths depend on
+    val q = spark.read.parquet(dir)
+      .select(col("media_id"), col("meta.mime"), col("meta.duration_ms"))
+    val plan = planOf(q)
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("media_id") && readSchema.contains("meta"),
+      s"scan must read the metadata columns: $readSchema")
+    assert(!readSchema.contains("content"),
+      s"metadata-only scan must NOT read the payload column: $readSchema")
+  }
+
   test("scd2Timeline is one shuffle: both windows share the key partitioning") {
     val df = (1 to 200).map(i => (i % 10L, i.toLong, i * 5L, s"s${i % 3}"))
       .toDF("key", "eid", "t", "st")

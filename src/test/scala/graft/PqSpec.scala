@@ -248,6 +248,37 @@ class PqSpec extends SparkSpec {
       s"the auto-compacted store must serve the updated code: ${full(a)} vs ${full(b)}")
   }
 
+  test("ST19: same-cell re-delivery never fires auto-compaction (zero staleness hazard)") {
+    // Same-cell updates are already resolved latest-batch-wins inside
+    // the probed partition, so they carry no staleness hazard — a
+    // same-cell-update-heavy stream must NOT pay a full-store rewrite
+    // even at threshold 1 (the trigger counts only rows whose id MOVED
+    // to a different cell).
+    val coarse = Pq.codebooks(corpus, "vec_id", "embedding", 1, dims, 6, 1)
+      .select(col("cid"), col("cvec"))
+    val books = Pq.codebooks(corpus, "vec_id", "embedding", m, dims, 4, 1)
+    val in = graft.io.TempDirs.registered("graft-st19same-in").toString
+    val idx = graft.io.TempDirs.registered("graft-st19same-idx").toString
+    val ckpt = graft.io.TempDirs.registered("graft-st19same-ckpt").toString
+    def drain(threshold: Long): Unit = graft.streaming.Streaming.runStreamingAnnIndex(
+      graft.streaming.Streaming.parquetSource(spark, in, corpus.schema, 1),
+      "vec_id", "embedding", coarse, books, subLen, idx, ckpt,
+      autoCompactSupersededPerCell = threshold)
+    corpus.coalesce(1).write.mode("append").parquet(in)
+    drain(Long.MaxValue)
+    // re-deliver an id with its OWN embedding: same vector -> same cell
+    val a = corpus.select(min(col("vec_id"))).head.getLong(0)
+    corpus.filter(col("vec_id") === a)
+      .coalesce(1).write.mode("append").parquet(in)
+    drain(1L) // threshold 1, but the superseded row is same-cell -> no-op
+    assert(spark.read.parquet(idx).count() == 25,
+      "same-cell supersession must not trigger a full-store rewrite")
+    // and the store still serves the latest batch's code for the id
+    val topk = graft.streaming.Streaming.annIndexTopK(
+      spark, idx, coarse, books, subLen, query, nprobe = 100, k = 24)
+    assert(topk.filter(col("id") === a).count() == 1)
+  }
+
   test("distortion: Lloyd training never increases a subspace's MSE; exact-codebook MSE is zero") {
     def mse(iters: Int): Map[Int, Double] =
       Pq.distortion(corpus, "vec_id", "embedding",

@@ -619,6 +619,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ST10/ST15 property: any delivery order and trigger cut yields snapshot == batch keep-last") {
+    // The merge's whole input space: updates may arrive in ANY order
+    // (versions out of order across and within triggers) and under any
+    // trigger partitioning, with or without compaction. Keep-last by
+    // the explicit version column is order-independent (max per key),
+    // so every replay must converge to the same snapshot as a plain
+    // batch keep-last over everything delivered — the ST22 sessionizer
+    // got this property in r15; this is the ST10/ST15 counterpart.
+    import graft.io.TempDirs
+    for (seed <- Seq(5L, 41L, 77L)) {
+      val rnd = new scala.util.Random(seed)
+      // 8 keys × 1-6 versions each; (key, version) unique so keep-last
+      // has no ties to break
+      val rows: Seq[(Long, Double, Long)] = (1L to 8L).flatMap { k =>
+        val nv = 1 + rnd.nextInt(6)
+        (1 to nv).map(v => (k, k * 100.0 + v * 7 + rnd.nextInt(5), v.toLong))
+      }
+      val delivered = rnd.shuffle(rows)
+      val cuts = (Seq(0, delivered.size) ++ Seq.fill(3)(rnd.nextInt(delivered.size + 1)))
+        .sorted.distinct
+      val batches = cuts.sliding(2).map { case Seq(a, b) =>
+        delivered.slice(a, b)
+      }.filter(_.nonEmpty).toSeq
+      val in = TempDirs.registered(s"graft-st10prop$seed-in").toString
+      val state = TempDirs.registered(s"graft-st10prop$seed-state").toString
+      val ckpt = TempDirs.registered(s"graft-st10prop$seed-ckpt").toString
+      val seen = scala.collection.mutable.Set[String]()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        b.toDF("k", "price", "version").coalesce(1).write.mode("append").parquet(in)
+        new java.io.File(in).listFiles().foreach { f =>
+          if (!seen.contains(f.getName)) {
+            if (f.getName.startsWith("part-"))
+              f.setLastModified(1700000000000L + i * 60000L)
+            seen += f.getName
+          }
+        }
+      }
+      val schema = Seq((1L, 1.0, 1L)).toDF("k", "price", "version").schema
+      val src = Streaming.parquetSource(spark, in, schema, maxFilesPerTrigger = 1)
+      // odd seeds exercise the compacting variant (ST15), even the plain
+      val compactEvery = if (seed % 2 == 1) 2 else 0
+      Streaming.runIncrementalMerge(src, Seq("k"), "version", buckets = 4,
+        state, ckpt, compactEvery)
+      val got = Streaming.mergedSnapshot(spark, state)
+        .select(col("k"), col("price"), col("version"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val want = rows.groupBy(_._1).map { case (_, vs) => vs.maxBy(_._3) }.toSet
+      assert(got == want, s"seed=$seed got=$got want=$want")
+    }
+  }
+
   test("mergedSnapshot skips an uncommitted (crashed partial) version dir") {
     import graft.io.TempDirs
     val state = TempDirs.registered("graft-snap-partial").toString
