@@ -1,20 +1,34 @@
 #!/usr/bin/env python3
 """Merge N bench pass JSONs into one best-of artifact.
 
-Usage: merge_bench.py OUT PASS1 [PASS2 ...]
+Usage: merge_bench.py OUT [--replace q1,q2] PASS1 [PASS2 ...]
 
 Takes the per-query minimum across passes (steady-state estimate; the
 noop-sink harness has no cross-query caching, so min is the least-noise
 statistic on a shared box), recomputes the total, and preserves the sf
 field of the first pass.
+
+--replace names queries whose WORKLOAD changed (a query that grew a
+stage, or was re-specified): their values from the FIRST input (the
+prior baseline being refreshed) are discarded, so the new minimum
+reflects the new workload instead of min-folding against a number the
+query can no longer achieve.
 """
 import json
 import sys
 
 
 def main() -> None:
-    out, passes = sys.argv[1], sys.argv[2:]
+    args = sys.argv[1:]
+    replace = set()
+    if "--replace" in args:
+        i = args.index("--replace")
+        replace = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    out, passes = args[0], args[1:]
     loaded = [json.load(open(p)) for p in passes]
+    for name in replace:
+        loaded[0]["queries"].pop(name, None)
     # mixed-sf passes would merge incomparable timings into one total
     sfs = {str(d.get("sf", "")) for d in loaded}
     assert len(sfs) == 1, f"sf mismatch across passes: {sorted(sfs)}"
