@@ -25,10 +25,17 @@ object Tables {
     * of a few MB buys full-width execution of the regex/date/cleaning
     * stages downstream; on a real 100 TB table the scan already yields
     * thousands of splits, the predicate is false, and no shuffle is
-    * added. */
+    * added.
+    *
+    * The parallelism probe counts the scan's leaf FILES (`inputFiles` —
+    * pure catalog listing) rather than touching `df.rdd`, which would
+    * eagerly force logical→physical→RDD conversion per load. Files
+    * under-count partitions only when a file is large enough to split,
+    * in which case the scan already has the parallelism the fan-out
+    * exists to provide. */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
