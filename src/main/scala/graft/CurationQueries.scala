@@ -631,6 +631,25 @@ object CurationQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Temperature-scaled mixture plan: per-source sqrt-weighted (tau=0.5)
+    * basis-point weights, largest-remainder normalized, over a 1M-token
+    * budget — the multilingual temperature-sampling rule as a table. */
+  private val qTempMixture: Q = (spark, dir) =>
+    Curation.temperatureTargets(Tables.fanOut(Tables.documents(spark, dir)),
+      "source", Text.tokenCount(col("text")), 0.5, 1000000L)
+
+  /** Epochized materialization: even sources target 8000 tokens (>
+    * available, so docs repeat across ~5 epochs), odd 500 (a fractional
+    * epoch — only hash-gated rows survive). One row per (doc, epoch). */
+  private val qEpochize: Q = (spark, dir) => {
+    val targets = spark.createDataFrame(
+      (0 until 20).map(i => (s"src$i", if (i % 2 == 0) 8000L else 500L)))
+      .toDF("source", "target_tokens")
+    Curation.epochize(Tables.fanOut(Tables.documents(spark, dir)),
+        "source", col("doc_id"), Text.tokenCount(col("text")), targets, "ep7")
+      .select(col("doc_id"), col("source"), col("epoch"))
+  }
+
   /** Context-window chunking: 8-token chunks, 4-token overlap, one row
     * per chunk (md5 + length pin the exact chunk text). */
   private val qTChunk: Q = (spark, dir) =>
@@ -869,6 +888,8 @@ object CurationQueries {
     "q_dup_canonical"  -> qDupCanonical,
     "q_t_chunk"        -> qTChunk,
     "q_mix_sample"     -> qMixSample,
+    "q_temp_mixture"   -> qTempMixture,
+    "q_epochize"       -> qEpochize,
     "q_range_join"     -> qRangeJoin,
     "q_st8_running_state" -> qStRunningState,
     "q_topk_udaf"      -> qTopkUdaf,
@@ -1274,6 +1295,43 @@ object CurationQueries {
            md5(array_to_string(t[s+1:s+8], ' ')) AS chunk_md5,
            CAST(length(array_to_string(t[s+1:s+8], ' ')) AS BIGINT) AS chunk_len
          FROM st""",
+    "q_temp_mixture" ->
+      """WITH avail AS (SELECT source,
+           CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS avail_tokens
+           FROM documents GROUP BY source),
+         q AS (SELECT source, avail_tokens,
+           CAST(round(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS rawq
+           FROM avail),
+         tot AS (SELECT CAST(sum(rawq) AS BIGINT) AS totq FROM q),
+         scaled AS (SELECT source, avail_tokens,
+             (rawq * 10000) // totq AS floor_bp,
+             (rawq * 10000) % totq AS rem
+           FROM q, tot),
+         ranked AS (SELECT source, avail_tokens, floor_bp,
+             row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+             (SELECT CAST(10000 - sum(floor_bp) AS BIGINT) FROM scaled) AS short
+           FROM scaled)
+         SELECT source, avail_tokens,
+           floor_bp + CASE WHEN rk <= short THEN 1 ELSE 0 END AS weight_bp,
+           ((floor_bp + CASE WHEN rk <= short THEN 1 ELSE 0 END) * 1000000) // 10000
+             AS target_tokens
+         FROM ranked""",
+    "q_epochize" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         avail AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS a FROM t GROUP BY source),
+         pl AS (SELECT source,
+             tgt // a AS full_copies,
+             ((tgt % a) * 10000) // a AS frac_bp
+           FROM (SELECT source, a,
+             CAST(CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 8000 ELSE 500 END AS BIGINT) AS tgt
+             FROM avail))
+         SELECT d.doc_id, d.source,
+           unnest(range(full_copies + CASE WHEN
+             CAST('0x' || substring(md5('ep7' || ':' || d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < frac_bp
+             THEN 1 ELSE 0 END)) AS epoch
+         FROM t d JOIN pl ON d.source = pl.source""",
     "q_mix_sample" ->
       """WITH avail AS (SELECT source,
            CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS a

@@ -245,6 +245,101 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Temperature-scaled mixture targets — per-stratum token targets
+  // proportional to avail^tau, renormalized over the token budget (the
+  // multilingual/temperature-sampling rule: tau = 1 keeps natural
+  // proportions, tau -> 0 flattens toward uniform, so low-resource
+  // strata are up-weighted without hand-set ratios). One aggregation
+  // over the corpus; everything after it runs on the |strata|-row plan
+  // table.
+  //
+  // Exactness discipline: the raw temperature weight is the single
+  // floating-point step, and it is QUANTIZED to integer micro-units
+  // per stratum BEFORE any cross-stratum arithmetic — a double sum's
+  // value depends on reduction order (non-associative), so summing raw
+  // doubles would make the result run- and engine-dependent. From the
+  // quantized weights onward everything is integer: shares via `div`,
+  // largest-remainder top-up ranked by the integer remainder (ties by
+  // stratum), so weight_bp sums to exactly 10000 and targets are
+  // engine-exact. tau = 0.5 goes through IEEE sqrt (correctly rounded,
+  // bit-identical in any engine); other tau use pow, which is faithful
+  // but not correctly rounded — cross-engine oracles should pin 0.5.
+  // ---------------------------------------------------------------------
+  /** Per `stratumCol`: `avail_tokens`, `weight_bp` (temperature weight
+    * in basis points, largest-remainder normalized to sum to 10000) and
+    * `target_tokens` (integer share of `budgetTokens`). */
+  def temperatureTargets(df: DataFrame, stratumCol: String, tokCol: Column,
+                         tau: Double, budgetTokens: Long): DataFrame = {
+    val avail = df.groupBy(col(stratumCol))
+      .agg(sum(tokCol.cast(LongType)).as("avail_tokens"))
+    val raw =
+      if (tau == 0.5) sqrt(col("avail_tokens").cast(DoubleType))
+      else pow(col("avail_tokens").cast(DoubleType), lit(tau))
+    val q = avail.withColumn("__rawq", round(raw * 1e6).cast(LongType))
+    val tot = q.agg(sum(col("__rawq")).as("__totq"))
+    // the global window below runs over the |strata|-row plan table
+    // (already driver-scale), never the corpus — single-partition is fine
+    val scaled = q.crossJoin(broadcast(tot))
+      .withColumn("__floor_bp", expr("__rawq * 10000 div __totq"))
+      .withColumn("__rem", expr("(__rawq * 10000) % __totq"))
+    val deficitW = Window.orderBy(col("__rem").desc, col(stratumCol).asc)
+    val shortfall = scaled.agg((lit(10000L) - sum(col("__floor_bp"))).as("__short"))
+    scaled.crossJoin(broadcast(shortfall))
+      .withColumn("__rank", row_number().over(deficitW))
+      .withColumn("weight_bp",
+        col("__floor_bp") + when(col("__rank") <= col("__short"), 1L).otherwise(0L))
+      .select(col(stratumCol), col("avail_tokens"), col("weight_bp"),
+        expr(s"weight_bp * ${budgetTokens}L div 10000").as("target_tokens"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Epochized materialization — the UP-sampling half of data mixing.
+  // mixtureSample can only discard (rate <= 1); when a small high-value
+  // stratum's target EXCEEDS its available tokens, training pipelines
+  // repeat it (multi-epoch data, the data-constrained regime). Per
+  // stratum: epochs = target/avail as an integer part plus a fractional
+  // tail — every row is emitted floor(epochs) times with an `epoch`
+  // index, and rows whose salted content-hash gate falls under the
+  // fractional tail (in basis points) get one extra copy. So emitted
+  // tokens per stratum land within bp-resolution of the target, the
+  // copy decision is per-row deterministic (a row never flips when
+  // unrelated strata change), and every copy is tagged with the epoch
+  // it belongs to — loaders shuffle epochs, not this operator.
+  //
+  // Shape at 100 TB: one aggregate for availability (map-side combine),
+  // a broadcast of the |strata|-row plan, then a map-side explode whose
+  // output size is exactly the training budget — there is no shuffle of
+  // the corpus and no skew hazard (the explode factor is per-stratum
+  // uniform). Fractional arithmetic is integer end-to-end:
+  // rem * 10000 stays in Long for strata under ~9e14 tokens (a 100 TB
+  // corpus totals ~2.5e13 — headroom of 36x on the worst single
+  // stratum).
+  // ---------------------------------------------------------------------
+  /** Rows of `df` repeated per the stratum's `target_tokens` /
+    * available-tokens ratio (from `targets`: stratumCol,
+    * target_tokens), each copy tagged with `epoch` (0-based). */
+  def epochize(df: DataFrame, stratumCol: String, keyCol: Column,
+               tokCol: Column, targets: DataFrame, salt: String): DataFrame = {
+    val avail = df.groupBy(col(stratumCol))
+      .agg(sum(tokCol.cast(LongType)).as("__avail"))
+    // `div`/`%` keep the epoch split integer-exact at any magnitude —
+    // double-rounding via `/` would diverge from the oracle past 2^53
+    val plan = avail.join(targets, Seq(stratumCol)).select(
+      col(stratumCol),
+      expr("CAST(target_tokens AS BIGINT) div __avail").as("__full"),
+      expr("(CAST(target_tokens AS BIGINT) % __avail) * 10000 div __avail")
+        .as("__frac_bp"))
+    val gate = pmod(
+      hex60(md5(concat_ws(":", lit(salt), col(stratumCol), keyCol))), lit(10000L))
+    df.join(broadcast(plan), Seq(stratumCol))
+      .withColumn("__copies",
+        col("__full") + when(gate < col("__frac_bp"), 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__full", "__frac_bp", "__copies")
+  }
+
+  // ---------------------------------------------------------------------
   // Token-budget shard packing — assign documents to training shards so
   // each shard carries ~`budgetTokens` tokens: shard = floor(exclusive
   // running token total / budget) per group, in deterministic id order.

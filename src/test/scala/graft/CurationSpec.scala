@@ -499,4 +499,68 @@ class CurationSpec extends SparkSpec {
     assert(tLow > 0.0 && bLow > 0.0 && tLow < 1.0 && bLow < 1.0)
     assert((tn, tp) == ((3L, 3L)) && (bn, bp) == ((100L, 95L)))
   }
+
+  test("temperatureTargets: weights sum to exactly 10000, tau flattens the mix") {
+    val docs = (Seq.fill(90)("big") ++ Seq.fill(10)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s, 100L) }
+      .toDF("id", "source", "n_tok")
+    def weights(tau: Double): Map[String, Long] =
+      Curation.temperatureTargets(docs, "source", col("n_tok"), tau, 1000000L)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val w1 = weights(1.0) // natural proportions: 9000 / 1000
+    val wHalf = weights(0.5) // sqrt: 3:1 -> 7500 / 2500
+    assert(w1.values.sum == 10000L && wHalf.values.sum == 10000L)
+    assert(w1("big") == 9000L && w1("small") == 1000L)
+    assert(wHalf("big") == 7500L && wHalf("small") == 2500L)
+    assert(wHalf("small") > w1("small"), "lower tau must up-weight the small stratum")
+  }
+
+  test("temperatureTargets: largest-remainder top-up lands targets on the budget") {
+    // three equal strata: 10000 bp doesn't divide by 3 — exactly one
+    // stratum (first by the deterministic tie order) gets the +1
+    val docs = Seq((1L, "a", 50L), (2L, "b", 50L), (3L, "c", 50L))
+      .toDF("id", "source", "n_tok")
+    val out = Curation.temperatureTargets(docs, "source", col("n_tok"), 1.0, 30000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out.values.map(_._1).sum == 10000L)
+    assert(out("a") == ((3334L, 10002L)) && out("b") == ((3333L, 9999L)) &&
+      out("c") == ((3333L, 9999L)))
+  }
+
+  test("epochize: emitted tokens per stratum land within bp-resolution of the target") {
+    val docs = (0 until 40).map(i => (i.toLong, "s", 25L)).toDF("id", "source", "n_tok")
+    val targets = Seq(("s", 3600L)).toDF("source", "target_tokens") // 3.6 epochs of 1000
+    val out = Curation.epochize(docs, "source", col("id"), col("n_tok"), targets, "t")
+    val emitted = out.agg(sum(col("n_tok"))).head().getLong(0)
+    // full copies contribute exactly 3000; the hash-gated fractional
+    // epoch approximates the remaining 600 at bp resolution over 40 docs
+    assert(emitted >= 3000L && emitted <= 4000L)
+    assert(math.abs(emitted - 3600L) <= 25L * 4,
+      s"fractional epoch too far off target: $emitted vs 3600")
+    // every full epoch contains every doc exactly once
+    val perEpoch = out.groupBy(col("epoch")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perEpoch(0L) == 40L && perEpoch(1L) == 40L && perEpoch(2L) == 40L)
+    assert(perEpoch.getOrElse(3L, 0L) < 40L && !perEpoch.contains(4L))
+  }
+
+  test("epochize: sub-epoch target keeps a hash-gated subset tagged epoch 0") {
+    val docs = (0 until 100).map(i => (i.toLong, "s", 10L)).toDF("id", "source", "n_tok")
+    val targets = Seq(("s", 300L)).toDF("source", "target_tokens") // 0.3 epochs
+    val out = Curation.epochize(docs, "source", col("id"), col("n_tok"), targets, "t")
+    val n = out.count()
+    assert(out.agg(max(col("epoch"))).head().getLong(0) == 0L)
+    assert(n > 10 && n < 60, s"~30 of 100 docs expected, got $n")
+  }
+
+  test("epochize: a row's copy count never flips when other strata change") {
+    val base = Seq((1L, "a", 10L), (2L, "a", 10L)).toDF("id", "source", "n_tok")
+    val more = base.union(Seq((3L, "b", 10L), (4L, "b", 10L)).toDF("id", "source", "n_tok"))
+    val targets = Seq(("a", 50L), ("b", 15L)).toDF("source", "target_tokens")
+    def aRows(df: org.apache.spark.sql.DataFrame) =
+      Curation.epochize(df, "source", col("id"), col("n_tok"), targets, "t")
+        .filter(col("source") === "a").select("id", "epoch")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aRows(base) == aRows(more))
+  }
 }
