@@ -66,6 +66,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
   }
 
+  test("epochize broadcasts the |strata|-row plan; the emitted corpus never shuffle-joins") {
+    val df = (1L to 50L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L))
+      .toDF("id", "s", "n_tok")
+    val targets = Seq(("a", 900L), ("b", 50L)).toDF("s", "target_tokens")
+    val plan = planOf(Curation.epochize(df, "s", col("id"), col("n_tok"), targets, "x"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the epoch plan table must broadcast onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus must never be shuffled for the plan join:\n$plan")
+    assert(plan.contains("Generate"),
+      s"the copy fan-out must be a map-side explode, not a join:\n$plan")
+  }
+
   test("packShards plans exactly one Window (one shuffle + sort per group key)") {
     val df = (1L to 50L).map(i => ("g" + i % 3, i, 10L)).toDF("grp", "id", "tok")
     val plan = planOf(Curation.packShards(df, "grp", "id", col("tok"), 100L))
