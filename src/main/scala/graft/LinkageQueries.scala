@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Text
-import graft.operators.{Index, Relational, Similarity, Sketch}
+import graft.operators.{Index, Learn, Relational, Similarity, Sketch}
 
 /** Round-6 additions: corpus indexing, statistical LM scoring,
   * cross-corpus dedup, record linkage, funnel analytics, sketch
@@ -57,6 +57,18 @@ object LinkageQueries {
     * probability per document, trained on the corpus itself. */
   private val qLmScore: Q = (spark, dir) =>
     Index.lmScore(Tables.fanOut(Tables.documents(spark, dir)), "doc_id", "text")
+
+  /** Naive Bayes language classifier (fastText-filter shape): trained
+    * on the 80% slice doc_id % 5 != 0 with weak label lang = 'en',
+    * scored over ALL documents — held-out docs carry tokens the model
+    * never saw, exercising the smoothed-unseen constant. */
+  private val qNbLangid: Q = (spark, dir) => {
+    val toks = Index.docTokens(Tables.fanOut(Tables.documents(spark, dir)),
+      "doc_id", "text", Seq("lang"))
+    val (llr, consts) = Learn.nbTrain(toks.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "w", col("lang") === "en")
+    Learn.nbScore(toks, "doc_id", "w", llr, consts)
+  }
 
   /** BM25 retrieval: top-10 documents for each of three fixed queries —
     * the index-backed search surface over the corpus. */
@@ -189,6 +201,7 @@ object LinkageQueries {
   def queries: Map[String, Q] = Map(
     "q_inv_index"     -> qInvIndex,
     "q_lm_score"      -> qLmScore,
+    "q_nb_langid"     -> qNbLangid,
     "q_bm25"          -> qBm25,
     "q_top_docs_lm"   -> qTopDocsLm,
     "q_rrf_fusion"    -> qRrfFusion,

@@ -138,4 +138,73 @@ object Learn {
     }.reduceOption(_ + _).getOrElse(lit(0.0)) + lit(weights("__bias"))
     round(greatest(lit(0.0), least(lit(1.0), margin * lit(0.25) + lit(0.5))), 6)
   }
+
+  // ---------------------------------------------------------------------
+  // Multinomial Naive Bayes over tokens — the OTHER classic corpus
+  // quality/language filter (fastText-style): where logisticTrain
+  // learns weights for a handful of surface features, NB learns one
+  // log-likelihood ratio PER TOKEN, so the model is the vocabulary
+  // itself. Training is two aggregations (per-token class counts, then
+  // the scalar totals); scoring is one vocabulary-bounded join + one
+  // per-doc sum — no iteration, no driver-side state beyond nothing.
+  //
+  // Engine-parity discipline (the lmScore idiom): every log is
+  // quantized to integer micro-units the moment it is computed —
+  // qllr(w) = q(ln p(w|pos)) − q(ln p(w|neg)) with q(x) =
+  // floor(x·1e6 + 0.5) — so all cross-token arithmetic is integer and
+  // addition-order-free; the displayed score divides back once at the
+  // end. Laplace add-one smoothing gives unseen tokens the CONSTANT
+  // ratio q(ln 1/(totPos+V)) − q(ln 1/(totNeg+V)), which ships in the
+  // 1-row consts relation instead of materializing the open vocabulary.
+  //
+  // Shape at 100 TB: the model table is vocabulary-bounded (same state
+  // bound as BM25's term table) and joins the scoring corpus on the
+  // token key — no broadcast forced, no skew hazard beyond what the
+  // corpus' own token distribution carries; the consts scalar
+  // broadcasts. Training's per-token aggregate combines map-side.
+  // ---------------------------------------------------------------------
+  /** Train NB from a token relation carrying the weak label: returns
+    * (tokenLlr: w, qllr) and (consts: q_prior, q_unseen — 1 row).
+    * `labelCol` must be boolean and constant within a document. */
+  def nbTrain(toks: DataFrame, idCol: String, wCol: String,
+              labelCol: Column): (DataFrame, DataFrame) = {
+    def qlog(c: Column): Column =
+      floor(log(c.cast(DoubleType)) * 1000000.0 + 0.5).cast(LongType)
+    val perW = toks.groupBy(col(wCol)).agg(
+      sum(when(labelCol, 1L).otherwise(0L)).as("__cp"),
+      sum(when(labelCol, 0L).otherwise(1L)).as("__cn"))
+    val consts = toks.agg(
+        sum(when(labelCol, 1L).otherwise(0L)).as("__totp"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("__totn"),
+        countDistinct(col(wCol)).as("__v"),
+        countDistinct(when(labelCol, col(idCol))).as("__dp"),
+        countDistinct(when(!labelCol, col(idCol))).as("__dn"))
+      .select(col("__totp"), col("__totn"), col("__v"),
+        (qlog(col("__dp")) - qlog(col("__dn"))).as("q_prior"),
+        (qlog(lit(1L).cast(DoubleType) / (col("__totp") + col("__v"))) -
+          qlog(lit(1L).cast(DoubleType) / (col("__totn") + col("__v"))))
+          .as("q_unseen"))
+    val tokenLlr = perW.crossJoin(broadcast(consts))
+      .select(col(wCol),
+        (qlog((col("__cp") + 1).cast(DoubleType) / (col("__totp") + col("__v"))) -
+          qlog((col("__cn") + 1).cast(DoubleType) / (col("__totn") + col("__v"))))
+          .as("qllr"))
+    (tokenLlr, consts.select("q_prior", "q_unseen"))
+  }
+
+  /** Score a token relation under a trained model: per document the
+    * token count, the quantized-sum NB log-odds (rounded to 4) and the
+    * sign decision. Unseen tokens take the consts' smoothed ratio. */
+  def nbScore(toks: DataFrame, idCol: String, wCol: String,
+              tokenLlr: DataFrame, consts: DataFrame): DataFrame =
+    toks.join(tokenLlr, Seq(wCol), "left")
+      .crossJoin(broadcast(consts))
+      .select(col(idCol),
+        coalesce(col("qllr"), col("q_unseen")).as("__q"),
+        col("q_prior"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        round((first(col("q_prior")) + sum(col("__q"))).cast(DoubleType)
+          / 1000000.0, 4).as("nb_llr"),
+        (first(col("q_prior")) + sum(col("__q")) > 0L).as("nb_positive"))
 }
