@@ -320,7 +320,11 @@ object CurationQueries {
       .join(spark.table("graft_bkt_customer").hint("merge"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_orders"), sum(col("o_price")).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"),
+        // Spark widens sum(DECIMAL(18,2)) to (28,2), DuckDB to (38,2):
+        // byte-identical values, different hash class at the driver.
+        // Emit the proven double convention instead (WarehouseQueries).
+        round(sum(col("o_price")).cast(DoubleType), 2).as("revenue"))
   }
 
   /** Aggregate-reuse over the SAME saved bucketed layout as
@@ -344,7 +348,8 @@ object CurationQueries {
       .saveAsTable(t)
     spark.table(t)
       .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n_orders"), sum(col("o_price")).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_price")).cast(DoubleType), 2).as("revenue"))
   }
 
   /** Sessionization: 30-minute inactivity gap splits each user's event
@@ -1580,12 +1585,12 @@ object CurationQueries {
            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""",
     "q_j_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
     "q_j_bucketed_agg" ->
       """SELECT o_custkey, count(*) AS n_orders,
-         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
          FROM orders GROUP BY o_custkey""",
     "q_asof_join" ->
       s"""WITH l AS (SELECT event_id, user_id, ts, value AS purchase_value

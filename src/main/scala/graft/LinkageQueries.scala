@@ -274,6 +274,44 @@ object LinkageQueries {
     "q_lm_score" ->
       s"""WITH $lmCtes
           SELECT doc_id, n_bigrams, lm_score FROM lm""",
+    // Mirrors Learn.nbTrain/nbScore exactly: train on doc_id % 5 <> 0
+    // with weak label lang='en'; every log is quantized to integer
+    // micro-units q(x) = floor(ln(x)*1e6 + 0.5) the moment it is
+    // computed, so the cross-token sum is integer and order-free on
+    // both engines. Document counts carry the same add-one smoothing
+    // as token counts (degenerate single-class labels stay finite).
+    "q_nb_langid" ->
+      """WITH tok AS (SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             FROM documents),
+         tr AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+         perw AS (SELECT w,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cn
+           FROM tr GROUP BY w),
+         cst AS (SELECT
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS totp,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS totn,
+             count(DISTINCT w) AS v,
+             count(DISTINCT CASE WHEN lang = 'en' THEN doc_id END) AS dp,
+             count(DISTINCT CASE WHEN NOT (lang = 'en') THEN doc_id END) AS dn
+           FROM tr),
+         cq AS (SELECT totp, totn, v,
+             CAST(floor(ln(CAST(dp + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+               - CAST(floor(ln(CAST(dn + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q_prior,
+             CAST(floor(ln(1.0 / (totp + v)) * 1000000.0 + 0.5) AS BIGINT)
+               - CAST(floor(ln(1.0 / (totn + v)) * 1000000.0 + 0.5) AS BIGINT) AS q_unseen
+           FROM cst),
+         llr AS (SELECT w,
+             CAST(floor(ln(CAST(cp + 1 AS DOUBLE) / (totp + v)) * 1000000.0 + 0.5) AS BIGINT)
+               - CAST(floor(ln(CAST(cn + 1 AS DOUBLE) / (totn + v)) * 1000000.0 + 0.5) AS BIGINT) AS qllr
+           FROM perw, cq),
+         sc AS (SELECT t.doc_id, coalesce(l.qllr, cq.q_unseen) AS q, cq.q_prior
+           FROM tok t LEFT JOIN llr l ON t.w = l.w, cq)
+         SELECT doc_id, count(*) AS n_toks,
+           CAST(max(q_prior) + sum(q) AS BIGINT) / 1000000.0 AS nb_llr,
+           (max(q_prior) + sum(q)) > 0 AS nb_positive
+         FROM sc GROUP BY doc_id""",
     "q_bm25" ->
       s"""WITH $bm25Ctes
           SELECT query_id, doc_id, score, rank FROM brank WHERE rank <= $bm25K""",

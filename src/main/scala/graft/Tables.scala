@@ -30,12 +30,30 @@ object Tables {
     * The parallelism probe counts the scan's leaf FILES (`inputFiles` —
     * pure catalog listing) rather than touching `df.rdd`, which would
     * eagerly force logical→physical→RDD conversion per load. Files
-    * under-count partitions only when a file is large enough to split,
-    * in which case the scan already has the parallelism the fan-out
-    * exists to provide. */
+    * under-count partitions when a file is large enough to split, so a
+    * second (still listing-only, ≤ target-1 getFileStatus calls) probe
+    * estimates the splits the scan will actually produce at
+    * `spark.sql.files.maxPartitionBytes` — a few huge splittable files
+    * already carry the parallelism and are left alone. Non-file-backed
+    * plans (`inputFiles` empty: in-memory relations, streaming sources)
+    * are returned unchanged rather than force-shuffled: the heuristic
+    * can only reason about file scans. */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    val sc = df.sparkSession.sparkContext
+    val target = sc.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= target) df
+    else {
+      val maxPart = math.max(1L,
+        org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+      val fs = new org.apache.hadoop.fs.Path(files.head)
+        .getFileSystem(sc.hadoopConfiguration)
+      val estSplits = files.map { f =>
+        val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+        math.max(1L, (len + maxPart - 1) / maxPart)
+      }.sum
+      if (estSplits >= target) df else df.repartition(target)
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")

@@ -180,7 +180,12 @@ object Learn {
         countDistinct(when(labelCol, col(idCol))).as("__dp"),
         countDistinct(when(!labelCol, col(idCol))).as("__dn"))
       .select(col("__totp"), col("__totn"), col("__v"),
-        (qlog(col("__dp")) - qlog(col("__dn"))).as("q_prior"),
+        // Add-one smoothing on the DOCUMENT counts too: a weak label
+        // that degenerates to a single class (dp or dn = 0) must not
+        // turn ln(0) into a silent null prior that nulls every score —
+        // with the +1 the prior is finite and the classifier still
+        // leans the right way, exactly like the token-count smoothing.
+        (qlog(col("__dp") + 1) - qlog(col("__dn") + 1)).as("q_prior"),
         (qlog(lit(1L).cast(DoubleType) / (col("__totp") + col("__v"))) -
           qlog(lit(1L).cast(DoubleType) / (col("__totn") + col("__v"))))
           .as("q_unseen"))
@@ -204,7 +209,12 @@ object Learn {
         col("q_prior"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_toks"),
-        round((first(col("q_prior")) + sum(col("__q"))).cast(DoubleType)
-          / 1000000.0, 4).as("nb_llr"),
+        // No round(): the numerator is an exact integer (micro-units),
+        // so integer/1e6 is ONE deterministic IEEE division both
+        // engines reproduce bit-exactly — a round(x, 4) would instead
+        // expose half-way doubles where Spark (HALF_UP on BigDecimal)
+        // and DuckDB disagree (hit at sf0.01: -0.35305).
+        ((first(col("q_prior")) + sum(col("__q"))).cast(DoubleType)
+          / 1000000.0).as("nb_llr"),
         (first(col("q_prior")) + sum(col("__q")) > 0L).as("nb_positive"))
 }

@@ -91,8 +91,13 @@ object Pq {
     // SCALE.md); classic PQ uses 256 codewords per subspace (byte
     // codes). The id-range cap is deterministic and binds only past
     // `step · 256` vectors — oracle scales (≤2000 vectors) unaffected.
-    var books = emb.filter(pmod(col(idCol), lit(centroidStep)) === 0 &&
-        col(idCol) < centroidStep.toLong * 256L)
+    // Like Similarity.centroids, the lattice anchors at min(id) so a
+    // filtered/offset id space still trains a full codebook instead of
+    // silently seeding zero codewords (dense-from-0: identical seeds).
+    val minId = emb.agg(min(col(idCol)).cast(LongType).as("__min_id"))
+    var books = emb.crossJoin(broadcast(minId))
+      .filter(pmod(col(idCol) - col("__min_id"), lit(centroidStep)) === 0 &&
+        col(idCol) - col("__min_id") < centroidStep.toLong * 256L)
       .select(explode(array((0 until m).map(lit): _*)).as("sub"),
         col(idCol).as("cid"), col(vecCol).as("__v"))
       .select(col("sub"), col("cid"),

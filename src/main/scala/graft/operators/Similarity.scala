@@ -549,10 +549,19 @@ object Similarity {
   val maxTrainedCells = 64
 
   private def centroids(emb: DataFrame, idCol: String, vecCol: String,
-                        centroidStep: Int): DataFrame =
-    emb.filter(col(idCol) % centroidStep === 0 &&
-        col(idCol) < centroidStep.toLong * maxTrainedCells)
+                        centroidStep: Int): DataFrame = {
+    // Seed lattice anchored at the corpus' MIN id: raw `id % step`
+    // assumes ids dense from 0, so a filtered or offset id space would
+    // train zero centroids and silently empty every downstream ANN
+    // result. The anchor is a 1-row map-combined scalar attached by
+    // broadcast; dense-from-0 corpora (minId = 0) keep bit-identical
+    // seeds, so the DuckDB oracles are unchanged.
+    val minId = emb.agg(min(col(idCol)).cast(LongType).as("__min_id"))
+    emb.crossJoin(broadcast(minId))
+      .filter((col(idCol) - col("__min_id")) % centroidStep === 0 &&
+        col(idCol) - col("__min_id") < centroidStep.toLong * maxTrainedCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+  }
 
   /** Assign every vector to its max-cosine cell (ties -> lowest cid).
     * Norms are precomputed per row / per centroid (one fold each)

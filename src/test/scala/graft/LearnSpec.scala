@@ -105,6 +105,39 @@ class LearnSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("NB langid: seen tokens score by class evidence, unseen by the constant") {
+    val toks = Seq(
+      (1L, "the", true), (1L, "cat", true), (2L, "the", true), (2L, "dog", true),
+      (3L, "le", false), (3L, "chat", false), (4L, "le", false), (4L, "chien", false)
+    ).toDF("doc_id", "w", "en")
+    val (llr, consts) = Learn.nbTrain(toks, "doc_id", "w", col("en"))
+    val out = Learn.nbScore(toks, "doc_id", "w", llr, consts)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    // symmetric corpus: en docs positive, fr docs negative, 2 toks each
+    assert(out.toSeq == Seq((1L, 2L, true), (2L, 2L, true),
+      (3L, 2L, false), (4L, 2L, false)), s"got ${out.toSeq}")
+    // quantized integer arithmetic: scores of symmetric docs are exact
+    // negations of each other (same counts, classes swapped)
+    val llrs = Learn.nbScore(toks, "doc_id", "w", llr, consts)
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    assert(llrs(0) == -llrs(2) && llrs(1) == -llrs(3), s"got ${llrs.toSeq}")
+  }
+
+  test("NB train: a single-class weak label yields finite scores, not nulls") {
+    // ADVICE r16: log(0) on the empty class must not null the prior
+    val toks = Seq((1L, "a", true), (1L, "b", true), (2L, "a", true))
+      .toDF("doc_id", "w", "en")
+    val (llr, consts) = Learn.nbTrain(toks, "doc_id", "w", col("en"))
+    val rows = Learn.nbScore(toks, "doc_id", "w", llr, consts).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(!r.isNullAt(2) && !r.isNullAt(3),
+        s"degenerate label must stay finite via add-one doc smoothing: $r")
+      assert(r.getBoolean(3), "all-positive evidence must classify positive")
+    }
+  }
+
   test("scoring is a pure projection: no joins, no exchanges") {
     val w = Map("x" -> 1.0, "__bias" -> -0.5)
     val plan = separable.select(Learn.logisticScore(fx, w).as("p"))

@@ -30,6 +30,19 @@ class PqSpec extends SparkSpec {
       "trained codebooks must be bit-identical under any input partitioning")
   }
 
+  test("codebooks train on an offset id space (min-anchored seed lattice)") {
+    val offset = (0L until 24L).map { i =>
+      (500000L + 3 * i,
+        Array.tabulate(dims)(d => (((i * 7 + d * 3) % 17) - 8).toFloat / 8f))
+    }.toDF("vec_id", "embedding")
+    val books = Pq.codebooks(offset, "vec_id", "embedding", m, dims,
+      centroidStep = 6, iters = 1)
+    assert(books.select("cid").distinct().count() > 1,
+      "offset ids must seed a real codebook, not zero/one codewords")
+    assert(books.groupBy("sub").count().count() == m,
+      "every subspace must carry codewords")
+  }
+
   test("codes: one entry per subspace, codeword ids from the codebook") {
     val books = Pq.codebooks(corpus, "vec_id", "embedding", m, dims, 6, 1)
     val cds = Pq.codes(corpus, "vec_id", "embedding", books, subLen).collect()

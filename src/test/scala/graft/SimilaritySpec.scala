@@ -153,6 +153,24 @@ class SimilaritySpec extends SparkSpec {
     assert(top.nonEmpty && top.head.getLong(0) % 2 == 1)
   }
 
+  test("ivfAssign on an offset/sparse id space still trains centroids") {
+    // ADVICE r16: raw `id % step` seeding assumes ids dense from 0 — a
+    // filtered corpus whose ids start at 1M trained ZERO centroids and
+    // silently emptied downstream ANN. The min-anchored lattice must
+    // assign every vector, and on dense-from-0 ids stay bit-identical.
+    val dense = (0L to 9L).map(i => (i, Seq(1.0f + i, 2.0f, 3.0f))).toDF("id", "vec")
+    val offset = (0L to 9L).map(i => (1000000L + 2 * i, Seq(1.0f + i, 2.0f, 3.0f)))
+      .toDF("id", "vec")
+    val offAssigned = Similarity.ivfAssign(offset, "id", "vec", centroidStep = 3)
+    assert(offAssigned.count() == 10, "offset ids must still assign all vectors")
+    assert(offAssigned.select("cell").distinct().count() > 1,
+      "offset ids must train more than a single fallback cell")
+    // dense-from-0: anchored seeds == raw-modulo seeds (minId = 0)
+    val denseCells = Similarity.ivfAssign(dense, "id", "vec", centroidStep = 3)
+      .select("cell").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(denseCells == Seq(0L, 3L, 6L, 9L), s"got $denseCells")
+  }
+
   test("ivfAssign plan is HashAggregate-only — no Window, no sorts") {
     val vecs = (0L to 9L).map(i => (i, Seq(1.0f + i, 2.0f, 3.0f)))
     val df = vecs.toDF("id", "vec")

@@ -97,6 +97,20 @@ def lint(sf_dir, oracle, out_dir=None):
                             violations.append(
                                 f"{name}: column `{c}` hash class differs "
                                 f"— spark {gcols[c]} vs oracle {ocols[c]}")
+                        elif (category(gcols[c]) == "decimal"
+                              and gcols[c] != ocols[c]):
+                            # r16's q_j_bucketed_agg: Spark sum(DECIMAL(
+                            # 18,2)) widens to (28,2), DuckDB to (38,2) —
+                            # values byte-identical, driver hash reddens
+                            # anyway (pandas materializes the two widths
+                            # differently). ANY precision/scale drift in
+                            # an output decimal is a violation: emit
+                            # round(CAST(... AS DOUBLE), k) on both sides
+                            # or cast both to one explicit decimal type.
+                            violations.append(
+                                f"{name}: column `{c}` decimal width "
+                                f"drifts — spark {gcols[c]} vs oracle "
+                                f"{ocols[c]}; align types explicitly")
     return violations
 
 
