@@ -643,6 +643,38 @@ object CurationQueries {
     Curation.temperatureTargets(Tables.fanOut(Tables.documents(spark, dir)),
       "source", Text.tokenCount(col("text")), 0.5, 1000000L)
 
+  /** Terminal-stage E2E — the pipeline AFTER curation selects a corpus,
+    * ending where the training loader takes over: deterministic 90/5/5
+    * split → temperature-scaled mixture targets over the TRAIN slice
+    * (tau = 0.5, 1M-token budget) → epochized up-sampling (every copy
+    * tagged with its epoch) → context-window packing of the epochized
+    * stream, per source, in (epoch, doc) order. The pack id packs
+    * (epoch, doc_id) into one long (doc_id < 2^40) so windows fill
+    * epoch-by-epoch — the order a multi-epoch run consumes data.
+    * Composition cost on top of the proven stages: one broadcast of
+    * the |sources|-row plan; the corpus shuffles exactly once (the
+    * per-source pack window). Output = the full window-pack manifest. */
+  private val qMixtureE2e: Q = (spark, dir) => {
+    val packB = 1L << 40
+    val train = Tables.fanOut(Tables.documents(spark, dir))
+      .filter(ScaleQueries.splitColumn === "train")
+      .select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).as("toks"))
+    val targets = Curation.temperatureTargets(train, "source", col("toks"),
+        0.5, 1000000L)
+      .select("source", "target_tokens")
+    val epoched = Curation.epochize(train, "source", col("doc_id"),
+        col("toks"), targets, "mixe2e")
+      .withColumn("pack_id", col("epoch") * lit(packB) + col("doc_id"))
+    Curation.packWindows(epoched, "source", "pack_id", col("toks"),
+        packWindowTokens)
+      .select(col("source"),
+        expr(s"pack_id div ${packB}L").as("epoch"),
+        pmod(col("pack_id"), lit(packB)).as("doc_id"),
+        col("n_tok"), col("window"),
+        col("doc_tok_start"), col("win_tok_start"), col("seg_tokens"))
+  }
+
   /** Epochized materialization: even sources target 8000 tokens (>
     * available, so docs repeat across ~5 epochs), odd 500 (a fractional
     * epoch — only hash-gated rows survive). One row per (doc, epoch). */
@@ -894,6 +926,7 @@ object CurationQueries {
     "q_t_chunk"        -> qTChunk,
     "q_mix_sample"     -> qMixSample,
     "q_temp_mixture"   -> qTempMixture,
+    "q_mixture_e2e"    -> qMixtureE2e,
     "q_epochize"       -> qEpochize,
     "q_range_join"     -> qRangeJoin,
     "q_st8_running_state" -> qStRunningState,
@@ -1321,6 +1354,62 @@ object CurationQueries {
            ((floor_bp + CASE WHEN rk <= short THEN 1 ELSE 0 END) * 1000000) // 10000
              AS target_tokens
          FROM ranked""",
+    // split → temperature targets (sqrt path, quantized micro-units,
+    // largest-remainder to 10000 bp) → epochize (md5-gated fractional
+    // tail) → window pack over pack_id = epoch·2^40 + doc_id: each CTE
+    // mirrors its standalone proven oracle, composed over the train
+    // slice only.
+    "q_mixture_e2e" ->
+      s"""WITH tr AS (SELECT doc_id, source,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+           FROM documents
+           WHERE (${ScaleQueries.splitCaseSql}) = 'train'),
+         avail AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS a
+           FROM tr GROUP BY source),
+         q AS (SELECT source, a,
+           CAST(round(sqrt(CAST(a AS DOUBLE)) * 1000000) AS BIGINT) AS rawq
+           FROM avail),
+         tot AS (SELECT CAST(sum(rawq) AS BIGINT) AS totq FROM q),
+         scaled AS (SELECT source, a,
+             (rawq * 10000) // totq AS floor_bp,
+             (rawq * 10000) % totq AS rem
+           FROM q, tot),
+         ranked AS (SELECT source, a, floor_bp,
+             row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+             (SELECT CAST(10000 - sum(floor_bp) AS BIGINT) FROM scaled) AS short
+           FROM scaled),
+         tgt AS (SELECT source, a,
+             ((floor_bp + CASE WHEN rk <= short THEN 1 ELSE 0 END) * 1000000) // 10000
+               AS tgt
+           FROM ranked),
+         pl AS (SELECT source,
+             tgt // a AS full_copies,
+             ((tgt % a) * 10000) // a AS frac_bp
+           FROM tgt),
+         ep AS (SELECT d.doc_id, d.source, d.n_tok,
+             unnest(range(full_copies + CASE WHEN
+               CAST('0x' || substring(md5('mixe2e' || ':' || d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < frac_bp
+               THEN 1 ELSE 0 END)) AS epoch
+           FROM tr d JOIN pl ON d.source = pl.source),
+         pk AS (SELECT doc_id, source, epoch, n_tok,
+             epoch * 1099511627776 + doc_id AS pack_id
+           FROM ep WHERE n_tok > 0),
+         p AS (SELECT doc_id, source, epoch, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY pack_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prev
+           FROM pk),
+         e AS (SELECT doc_id, source, epoch, n_tok, prev,
+             unnest(range(prev // $packWindowTokens,
+               (prev + n_tok - 1) // $packWindowTokens + 1)) AS win
+           FROM p)
+         SELECT source, epoch, doc_id, n_tok, win AS window,
+           greatest(0, win * $packWindowTokens - prev) AS doc_tok_start,
+           greatest(prev, win * $packWindowTokens)
+             - win * $packWindowTokens AS win_tok_start,
+           least(n_tok, (win + 1) * $packWindowTokens - prev)
+             - greatest(0, win * $packWindowTokens - prev) AS seg_tokens
+         FROM e""",
     "q_epochize" ->
       """WITH t AS (SELECT doc_id, source,
            CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok

@@ -339,6 +339,29 @@ object ExtensionQueries {
       nprobe = 3, m = pqM, dims = queryVec.length, pqStep = 50, pqIters = 2,
       k = 10)
 
+  /** IVF-PQ over a PERSISTED index — the build-once/query-many
+    * deployment shape of [[qSimIvfPq]]: the first invocation per (JVM,
+    * data dir) trains the quantizers and writes the codes relation
+    * partitioned by coarse cell; every query after that reads the tiny
+    * centroid/codebook relations plus exactly `nprobe` cell
+    * directories (partition pruning, no corpus scan, no re-coding).
+    * Same oracle as q_sim_ivf_pq by construction — routing and coding
+    * are per-row deterministic, so build-time codes equal query-time
+    * codes. In a probe/bench run the untimed warmup pays the build and
+    * the timed passes measure the query path alone, which is the
+    * number that matters at 100 TB (a production index is built once
+    * per corpus version, probed millions of times). */
+  private val qIvfPqIndexed: Q = (spark, dir) => {
+    val idx = graft.io.TempDirs.keyed("graft-ivfpq-idx", dir).toString
+    if (!new java.io.File(s"$idx/codes/_SUCCESS").exists())
+      graft.operators.Pq.buildIvfPqIndex(
+        Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
+        coarseStep = 50, coarseIters = 2, m = pqM, dims = queryVec.length,
+        pqStep = 50, pqIters = 2, indexRoot = idx)
+    graft.operators.Pq.ivfPqTopKIndexed(spark, idx, "vec_id", queryVec,
+      subLen = queryVec.length / pqM, nprobe = 3, k = 10)
+  }
+
   /** ST19 — streaming ANN index maintenance: the embedding corpus
     * arrives in three out-of-order micro-batches (residues 2, 0, 1);
     * each trigger routes + PQ-codes its vectors against quantizers
@@ -791,6 +814,7 @@ object ExtensionQueries {
     "q_recall_curve"    -> qRecallCurve,
     "q_sim_pq_adc"      -> qSimPqAdc,
     "q_sim_ivf_pq"      -> qSimIvfPq,
+    "q_ivfpq_indexed"   -> qIvfPqIndexed,
     "q_st19_stream_ann" -> qSt19StreamAnn,
     "q_st19b_compact_recall" -> qSt19bCompactRecall,
     "q_pq_recall"       -> qPqRecall,
@@ -1413,6 +1437,8 @@ object ExtensionQueries {
           FROM codes c JOIN dt ON c.sub = dt.sub AND c.cell = dt.cid
           GROUP BY 1 ORDER BY adc_dist ASC, c.vec_id ASC LIMIT 10""",
     "q_sim_ivf_pq" -> ivfPqOracleSql,
+    // the indexed variant IS q_sim_ivf_pq's ranking by construction
+    "q_ivfpq_indexed" -> ivfPqOracleSql,
     "q_pq_distortion" ->
       s"""WITH $pqCtes,
           dist AS (${(0 until pqM).map(su =>

@@ -17,6 +17,18 @@ object TempDirs {
     p
   }
 
+  private val keyedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  /** Stable scratch directory per (prefix, key) WITHIN this JVM — the
+    * build-once/query-many surface: a bench or probe run's untimed
+    * warmup pays an index build into the keyed dir and every timed
+    * pass (and every other query keyed the same way) reuses it. Still
+    * registered for deletion at JVM exit. Key by the INPUT data dir so
+    * a probe running 1× and 10× datasets in one JVM gets two dirs. */
+  def keyed(prefix: String, key: String): Path =
+    keyedDirs.computeIfAbsent(s"$prefix|$key", _ => registered(prefix))
+
   private def deleteRecursively(f: File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete()

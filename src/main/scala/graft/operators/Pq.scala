@@ -241,4 +241,71 @@ object Pq {
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** One-time IVF-PQ index build — the deployment shape of
+    * [[ivfPqTopK]], which re-trains and re-codes the corpus per query.
+    * The coarse quantizer and per-subspace codebooks are trained once
+    * and persisted (tiny: ≤64 cells, ≤256·m codewords), and every
+    * vector's PQ codes land in a codes relation written PARTITIONED BY
+    * coarse cell. [[ivfPqTopKIndexed]] then lists `nprobe` cell
+    * directories instead of scanning and re-coding the corpus — at
+    * 100 TB the per-query read is (nprobe/cells)·|codes| with all
+    * training amortized into this build. Trained relations are read
+    * back from parquet before coding so the corpus-coding plan carries
+    * no Lloyd-iteration lineage. */
+  def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                      coarseStep: Int, coarseIters: Int, m: Int, dims: Int,
+                      pqStep: Int, pqIters: Int, indexRoot: String): Unit = {
+    val subLen = dims / m
+    val spark = emb.sparkSession
+    Similarity.kmeansCentroids(emb, idCol, vecCol, coarseStep, coarseIters)
+      .write.mode("overwrite").parquet(s"$indexRoot/centroids")
+    codebooks(emb, idCol, vecCol, m, dims, pqStep, pqIters)
+      .write.mode("overwrite").parquet(s"$indexRoot/codebooks")
+    val cent = spark.read.parquet(s"$indexRoot/centroids")
+    val books = spark.read.parquet(s"$indexRoot/codebooks")
+    val routed = Similarity.ivfAssignTo(emb, idCol, vecCol, cent)
+      .withColumnRenamed("cell", "ivf_cell")
+    assign(routed, idCol, vecCol, books, subLen, carry = Seq("ivf_cell"))
+      .groupBy(col(idCol), col("ivf_cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cell")))),
+        e => e.getField("cell")).as("codes"))
+      .select(col(idCol), col("ivf_cell").as("cell"), col("codes"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexRoot/codes")
+  }
+
+  /** ADC top-k off a [[buildIvfPqIndex]] index: resolve the nprobe
+    * nearest coarse cells from the persisted centroids (bounded
+    * driver-side collect, ≤64 ids like the streaming store's probe),
+    * then scan ONLY those cell directories of the codes relation — the
+    * isin on the partition column prunes at file-listing time
+    * (PartitionFilters in the scan), never a full scan + filter.
+    * Produces the same ranking as [[ivfPqTopK]] with equal parameters:
+    * routing and coding are per-row deterministic, so codes computed
+    * at build time equal codes computed at query time. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       indexRoot: String, idCol: String,
+                       query: Seq[Double], subLen: Int, nprobe: Int,
+                       k: Int): DataFrame = {
+    val probes = spark.read.parquet(s"$indexRoot/centroids")
+      .withColumn("__qcos",
+        round(Similarity.cosine(col("cvec"), Similarity.vecLit(query)), 6))
+      .orderBy(col("__qcos").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid")).collect().map(_.getLong(0)).toSeq
+    val dt = spark.read.parquet(s"$indexRoot/codebooks")
+      .select(col("sub").as("__dtsub"), col("cid").as("__dtcid"),
+        round(distanceTable(query, subLen), 6).as("d2q"))
+    spark.read.parquet(s"$indexRoot/codes")
+      .filter(col("cell").isin(probes: _*))
+      .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(dt),
+        col("sub") === col("__dtsub") && col("code") === col("__dtcid"))
+      .groupBy(col(idCol))
+      .agg((sum(round(col("d2q") * 1e6).cast(LongType)) / 1e6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -79,6 +79,29 @@ class PlanSpec extends SparkSpec {
       s"the copy fan-out must be a map-side explode, not a join:\n$plan")
   }
 
+  test("mixture terminal stage: plan tables broadcast, corpus never shuffle-joins") {
+    // the q_mixture_e2e composition — targets → epochize → packWindows:
+    // every join in the chain must be a broadcast of a |sources|-row
+    // plan table; the only full-width corpus exchange is the pack
+    // window's per-group partitioning.
+    val df = (1L to 60L).map(i => (i, "s" + i % 3, 10L)).toDF("id", "s", "toks")
+    val targets = graft.operators.Curation
+      .temperatureTargets(df, "s", col("toks"), 0.5, 5000L)
+      .select("s", "target_tokens")
+    val epoched = graft.operators.Curation
+      .epochize(df, "s", col("id"), col("toks"), targets, "x")
+      .withColumn("pack_id", col("epoch") * lit(1L << 40) + col("id"))
+    val packed = graft.operators.Curation
+      .packWindows(epoched, "s", "pack_id", col("toks"), 64L)
+    val plan = planOf(packed)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus must never shuffle for a plan-table join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the mixture plan tables must broadcast:\n$plan")
+    assert(plan.contains("Generate"),
+      s"epoch fan-out must be a map-side explode:\n$plan")
+  }
+
   test("packShards plans exactly one Window (one shuffle + sort per group key)") {
     val df = (1L to 50L).map(i => ("g" + i % 3, i, 10L)).toDF("grp", "id", "tok")
     val plan = planOf(Curation.packShards(df, "grp", "id", col("tok"), 100L))

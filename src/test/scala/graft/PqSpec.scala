@@ -292,6 +292,28 @@ class PqSpec extends SparkSpec {
     assert(topk.filter(col("id") === a).count() == 1)
   }
 
+  test("indexed IVF-PQ equals the inline composition and partition-prunes the probe") {
+    val idx = graft.io.TempDirs.registered("pqspec-idx").toString
+    Pq.buildIvfPqIndex(corpus, "vec_id", "embedding",
+      coarseStep = 6, coarseIters = 1, m = m, dims = dims,
+      pqStep = 6, pqIters = 1, indexRoot = idx)
+    val indexed = Pq.ivfPqTopKIndexed(spark, idx, "vec_id", query,
+      subLen = subLen, nprobe = 2, k = 5)
+    val inline = Pq.ivfPqTopK(corpus, "vec_id", "embedding", query,
+      coarseStep = 6, coarseIters = 1, nprobe = 2, m = m, dims = dims,
+      pqStep = 6, pqIters = 1, k = 5)
+    val a = indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = inline.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, s"indexed $a != inline $b")
+    // the codes scan must prune to the probed cells at file-listing
+    // time — the cell predicate belongs in PartitionFilters, and the
+    // scan must NOT carry a post-scan Filter on the partition column
+    val scan = indexed.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("cell") && !scan.contains("PartitionFilters: []"),
+      s"probe should prune by cell partition, got scan line: $scan")
+  }
+
   test("distortion: Lloyd training never increases a subspace's MSE; exact-codebook MSE is zero") {
     def mse(iters: Int): Map[Int, Double] =
       Pq.distortion(corpus, "vec_id", "embedding",
