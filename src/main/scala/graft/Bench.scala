@@ -53,17 +53,46 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) => runOnce(name, fn) } // warmup
+    // Fixed-work calibration sentinel — the same data-independent query
+    // (a pure-CPU hash-sum over spark.range, one task per core, no IO)
+    // timed at sweep start / middle / end. On an idle box the three
+    // timings agree; on a contended one they inflate, so the artifact
+    // CARRIES ITS OWN CONTENTION EVIDENCE instead of needing a manual
+    // re-measure to adjudicate (round 17 shipped a 1.69x sweep a healthy
+    // engine could only disprove by hand). Warmed once like every query.
+    def sentinel(): Double = {
+      import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+      val t0 = System.nanoTime()
+      // pmod bounds each term so the 64M-row ANSI sum can't overflow
+      spark.range(0L, 64000000L, 1L, cpus.toInt)
+        .select(sum(pmod(xxhash64(col("id")), lit(1000000L))))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sel = selected.toSeq
+    sel.foreach { case (name, fn) => runOnce(name, fn) } // warmup
+    sentinel() // warmup (JIT/codegen)
     spark.catalog.clearCache()
-    val results = selected.map { case (name, fn) =>
+    val sweepStartMs = System.currentTimeMillis
+    val sentStart = sentinel()
+    var sentMiddle = -1.0 // -1 = not run (subset sweeps of <2 queries)
+    val startMs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val results = sel.zipWithIndex.map { case ((name, fn), i) =>
+      if (sel.size > 1 && i == sel.size / 2) sentMiddle = sentinel()
+      startMs(name) = System.currentTimeMillis - sweepStartMs
       val t0 = System.nanoTime()
       runOnce(name, fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val sentEnd = sentinel()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val starts = startMs.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","sweep_start_epoch_ms":$sweepStartMs,"query_start_offset_ms":$starts""" +
+      s""","sentinel_sec":{"start":$sentStart,"middle":$sentMiddle,"end":$sentEnd}}"""
     println(line)
     // The driver tail-truncates long stdout lines; persist the complete
     // per-query map as a file artifact too so no timing is ever lost.

@@ -352,12 +352,21 @@ object ExtensionQueries {
     * number that matters at 100 TB (a production index is built once
     * per corpus version, probed millions of times). */
   private val qIvfPqIndexed: Q = (spark, dir) => {
-    val idx = graft.io.TempDirs.keyed("graft-ivfpq-idx", dir).toString
-    if (!new java.io.File(s"$idx/codes/_SUCCESS").exists())
-      graft.operators.Pq.buildIvfPqIndex(
-        Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
-        coarseStep = 50, coarseIters = 2, m = pqM, dims = queryVec.length,
-        pqStep = 50, pqIters = 2, indexRoot = idx)
+    // Keyed on a listing fingerprint, not just the path: a dataset
+    // regenerated at the same dir within this JVM maps to a FRESH index
+    // dir (no stale serves). The build is synchronized on the keyed Path
+    // (one instance per key) so concurrent first-queries can't race the
+    // _SUCCESS check-then-build.
+    val idxPath = graft.io.TempDirs.keyed("graft-ivfpq-idx",
+      s"$dir|${graft.io.TempDirs.listingFingerprint(s"$dir/embeddings.parquet")}")
+    val idx = idxPath.toString
+    idxPath.synchronized {
+      if (!new java.io.File(s"$idx/codes/_SUCCESS").exists())
+        graft.operators.Pq.buildIvfPqIndex(
+          Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
+          coarseStep = 50, coarseIters = 2, m = pqM, dims = queryVec.length,
+          pqStep = 50, pqIters = 2, indexRoot = idx)
+    }
     graft.operators.Pq.ivfPqTopKIndexed(spark, idx, "vec_id", queryVec,
       subLen = queryVec.length / pqM, nprobe = 3, k = 10)
   }

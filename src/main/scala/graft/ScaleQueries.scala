@@ -507,9 +507,37 @@ object ScaleQueries {
         md5(array_join(col("__toks"), " ")).as("tokens_md5"))
   }
 
+  /** Tokenizer-TRUE window packing — the terminal LM-data composition:
+    * BPE-encode every document under the corpus' own learned merges,
+    * then pack the RESULTING token counts into fixed 512-token training
+    * windows per source (the mixture E2E packs whitespace counts; a
+    * real loader packs tokenizer output). Glue between two
+    * oracle-proven stages ([[qTBpeEncode]], `q_pack_windows`): the
+    * merge table collects to literals (bounded — one row per learned
+    * merge), encode is a codegen'd projection, so the ONLY corpus
+    * exchange in the final plan is the pack window's per-source
+    * partitioning (plan-pinned in PlanSpec). */
+  private val qTokenizePack: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val words = docs
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val merges = operators.Bpe.learnMerges(spark, words, "word", "n", bpeRounds)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    Curation.packWindows(
+      docs.select(col("source"), col("doc_id"),
+        size(operators.Bpe.encode(col("text"), merges)).cast(LongType).as("__n_bpe")),
+      "source", "doc_id", col("__n_bpe"), CurationQueries.packWindowTokens)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("window"),
+        col("doc_tok_start"), col("win_tok_start"), col("seg_tokens"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_t_bpe"          -> qTBpe,
     "q_t_bpe_encode"   -> qTBpeEncode,
+    "q_tokenize_pack"  -> qTokenizePack,
     "q_cm_freq"        -> qCmFreq,
     "q_drift_psi"      -> qDriftPsi,
     "q_dq_report"      -> qDqReport,
@@ -595,6 +623,26 @@ object ScaleQueries {
     s"WITH $w0,\n${perRound.mkString(",\n")}"
   }
 
+  /** The nested-replace chain applying merges m1..mR (in rank order,
+    * innermost first — the same left-greedy order the trainer used) to
+    * SQL expression `inner` — the DuckDB mirror of
+    * [[operators.Bpe.encode]]'s merge loop. */
+  private def bpeApplySql(rounds: Int, inner: String): String =
+    (1 to rounds).foldLeft(inner)((acc, r) =>
+      s"replace($acc, '<' || (SELECT x FROM m$r) || '><' || (SELECT y FROM m$r) || '>', " +
+        s"'<' || (SELECT x FROM m$r) || (SELECT y FROM m$r) || '>')")
+
+  /** CTEs wrapping each document's words (`<c><h><a><r>`-encoded,
+    * '|'-joined so merges never cross word boundaries) and applying the
+    * learned merges — shared by the encode and tokenize-pack oracles. */
+  private def bpeDocCtesSql(rounds: Int): String =
+    s"""${bpeCtesSql(rounds)},
+       docw AS (SELECT doc_id, source, array_to_string(list_transform(
+           regexp_extract_all(lower(text), '[a-z]+'),
+           w -> '<' || array_to_string(regexp_extract_all(w, '.'), '><') || '>'),
+           '|') AS s FROM documents),
+       applied AS (SELECT doc_id, source, ${bpeApplySql(rounds, "s")} AS s FROM docw)"""
+
   // =====================================================================
   // Oracle SQL (DuckDB 1.0)
   // =====================================================================
@@ -602,16 +650,31 @@ object ScaleQueries {
   def oracleSql: Map[String, String] = Map(
     "q_t_bpe" -> bpeSql(bpeRounds),
     "q_t_bpe_encode" ->
-      s"""${bpeCtesSql(bpeRounds)},
-         docw AS (SELECT doc_id, array_to_string(list_transform(
-             regexp_extract_all(lower(text), '[a-z]+'),
-             w -> '<' || array_to_string(regexp_extract_all(w, '.'), '><') || '>'),
-             '|') AS s FROM documents),
-         applied AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(s, '<' || (SELECT x FROM m1) || '><' || (SELECT y FROM m1) || '>', '<' || (SELECT x FROM m1) || (SELECT y FROM m1) || '>'), '<' || (SELECT x FROM m2) || '><' || (SELECT y FROM m2) || '>', '<' || (SELECT x FROM m2) || (SELECT y FROM m2) || '>'), '<' || (SELECT x FROM m3) || '><' || (SELECT y FROM m3) || '>', '<' || (SELECT x FROM m3) || (SELECT y FROM m3) || '>'), '<' || (SELECT x FROM m4) || '><' || (SELECT y FROM m4) || '>', '<' || (SELECT x FROM m4) || (SELECT y FROM m4) || '>'), '<' || (SELECT x FROM m5) || '><' || (SELECT y FROM m5) || '>', '<' || (SELECT x FROM m5) || (SELECT y FROM m5) || '>'), '<' || (SELECT x FROM m6) || '><' || (SELECT y FROM m6) || '>', '<' || (SELECT x FROM m6) || (SELECT y FROM m6) || '>') AS s FROM docw)
+      s"""${bpeDocCtesSql(bpeRounds)}
          SELECT doc_id,
            CAST(len(regexp_extract_all(s, '<([^>]*)>', 1)) AS BIGINT) AS n_bpe_tokens,
            md5(array_to_string(regexp_extract_all(s, '<([^>]*)>', 1), ' ')) AS tokens_md5
          FROM applied""",
+    "q_tokenize_pack" -> {
+      val L = CurationQueries.packWindowTokens
+      s"""${bpeDocCtesSql(bpeRounds)},
+         t AS (SELECT doc_id, source,
+             CAST(len(regexp_extract_all(s, '<([^>]*)>', 1)) AS BIGINT) AS n_tok
+           FROM applied),
+         p AS (SELECT doc_id, source, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+           FROM t WHERE n_tok > 0),
+         e AS (SELECT doc_id, source, n_tok, prev,
+             unnest(range(prev // $L, (prev + n_tok - 1) // $L + 1)) AS win
+           FROM p)
+         SELECT source, doc_id, n_tok, win AS window,
+           greatest(0, win * $L - prev) AS doc_tok_start,
+           greatest(prev, win * $L) - win * $L AS win_tok_start,
+           least(n_tok, (win + 1) * $L - prev)
+             - greatest(0, win * $L - prev) AS seg_tokens
+         FROM e"""
+    },
     "q_embed_quantize" ->
       """WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),

@@ -34,10 +34,17 @@ object Tables {
     * second (still listing-only, ≤ target-1 getFileStatus calls) probe
     * estimates the splits the scan will actually produce at
     * `spark.sql.files.maxPartitionBytes` — a few huge splittable files
-    * already carry the parallelism and are left alone. Non-file-backed
-    * plans (`inputFiles` empty: in-memory relations, streaming sources)
-    * are returned unchanged rather than force-shuffled: the heuristic
-    * can only reason about file scans. */
+    * already carry the parallelism and are left alone. The estimate
+    * deliberately ignores Spark's openCostInBytes/bytesPerCore refinement
+    * and ASSUMES A SPLITTABLE FORMAT: a large gzip'd text file would be
+    * credited with splits it can't deliver. All call sites load parquet
+    * (splittable), where over-crediting only skips an optional shuffle.
+    *
+    * CONTRACT: non-file-backed plans (`inputFiles` empty — in-memory
+    * relations, streaming sources) are returned UNCHANGED, never
+    * force-shuffled: the heuristic can only reason about file scans. A
+    * caller holding an in-memory corpus (e.g. a localCheckpointed frame)
+    * that needs fan-out must `repartition` explicitly. */
   def fanOut(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val target = sc.defaultParallelism

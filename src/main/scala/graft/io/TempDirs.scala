@@ -29,6 +29,22 @@ object TempDirs {
   def keyed(prefix: String, key: String): Path =
     keyedDirs.computeIfAbsent(s"$prefix|$key", _ => registered(prefix))
 
+  /** Listing fingerprint of the file tree at `path` — per-file (name,
+    * length, mtime) hashes combined order-independently; never reads
+    * file contents. Fold it into a [[keyed]] key so a dataset that is
+    * REGENERATED at the same path within one JVM maps to a fresh
+    * scratch dir instead of silently serving artifacts built from the
+    * old bytes. */
+  def listingFingerprint(path: String): String = {
+    def walk(f: File): Iterator[File] =
+      if (f.isDirectory) Option(f.listFiles).iterator.flatMap(_.iterator).flatMap(walk)
+      else Iterator.single(f)
+    val h = walk(new File(path))
+      .map(f => s"${f.getName}|${f.length}|${f.lastModified}".hashCode.toLong)
+      .sum
+    java.lang.Long.toHexString(h)
+  }
+
   private def deleteRecursively(f: File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete()

@@ -103,7 +103,12 @@ object Pq {
       .select(col("sub"), col("cid"),
         transform(slice(col("__v"), col("sub") * subLen + 1, lit(subLen)),
           x => round(x.cast(DoubleType), 6)).as("cvec"))
-    var booksCk = false // round-0 seeds carry the caller's lineage
+      // Eager lineage cut: the seed relation is ≤ m·256 rows but drags a
+      // corpus agg + filter; uncheckpointed, iteration-0 assignment's
+      // broadcast side re-runs that scan per action (same reasoning as
+      // Similarity.centroids).
+      .localCheckpoint()
+    var booksCk = true // round-0 seeds are checkpointed above
     for (_ <- 0 until iters) {
       val (prev, prevCk) = (books, booksCk)
       books = assign(emb, idCol, vecCol, books, subLen)

@@ -556,11 +556,19 @@ object Similarity {
     // result. The anchor is a 1-row map-combined scalar attached by
     // broadcast; dense-from-0 corpora (minId = 0) keep bit-identical
     // seeds, so the DuckDB oracles are unchanged.
+    // Eager localCheckpoint: the seed relation is ≤ maxTrainedCells rows
+    // but its LINEAGE is a corpus agg + filter — without the cut, every
+    // consumer (iteration-0 assignment's broadcast side, each probe) would
+    // re-run that corpus scan per action. Materializing here makes the
+    // broadcast side a flat ≤64-row block scan; blocks this small are
+    // never released (same lifetime policy as kmeansCentroids' final
+    // round).
     val minId = emb.agg(min(col(idCol)).cast(LongType).as("__min_id"))
     emb.crossJoin(broadcast(minId))
       .filter((col(idCol) - col("__min_id")) % centroidStep === 0 &&
         col(idCol) - col("__min_id") < centroidStep.toLong * maxTrainedCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .localCheckpoint()
   }
 
   /** Assign every vector to its max-cosine cell (ties -> lowest cid).
@@ -737,7 +745,7 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
                       centroidStep: Int, iters: Int): DataFrame = {
     var cent = centroids(emb, idCol, vecCol, centroidStep)
-    var centCk = false // cent_0 is NOT ours to release (caller's lineage)
+    var centCk = true // cent_0 is checkpointed inside centroids()
     for (_ <- 0 until iters) {
       val (prev, prevCk) = (cent, centCk)
       val assigned = ivfAssignTo(emb, idCol, vecCol, cent)

@@ -102,6 +102,30 @@ class PlanSpec extends SparkSpec {
       s"epoch fan-out must be a map-side explode:\n$plan")
   }
 
+  test("tokenize-pack: merges apply as literals (no join); only the pack window keys an exchange") {
+    // q_tokenize_pack = BPE-encode under collected merges → packWindows:
+    // the merge table must reach the corpus as codegen'd literals, so the
+    // final plan has NO join and exactly one keyed exchange (the pack
+    // window's per-source partitioning; fanOut's round-robin is allowed).
+    val plan = planOf(
+      SparkEntry.queries("q_tokenize_pack")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("Join"),
+      s"learned merges must be literals in the encode projection, never a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"only the pack window's per-source exchange may key-shuffle:\n$plan")
+    assert(plan.contains("Generate"),
+      s"window spans must explode map-side:\n$plan")
+  }
+
+  test("fanOut contract: non-file-backed plans are returned unchanged, never force-shuffled") {
+    // the scaladoc'd boundary (Tables.scala): fanOut reasons about file
+    // scans only — an in-memory (e.g. localCheckpointed) corpus passes
+    // through untouched and a caller needing fan-out repartitions itself
+    val mem = (1L to 100L).toDF("id").localCheckpoint()
+    assert(Tables.fanOut(mem) eq mem,
+      "fanOut must be an identity for in-memory relations")
+  }
+
   test("packShards plans exactly one Window (one shuffle + sort per group key)") {
     val df = (1L to 50L).map(i => ("g" + i % 3, i, 10L)).toDF("grp", "id", "tok")
     val plan = planOf(Curation.packShards(df, "grp", "id", col("tok"), 100L))
