@@ -17,6 +17,10 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match Bench/ScaleProbe: a codegen-heavy chain can span >100
+      // codegen units, so the default cache evicts the warmup's compiled
+      // classes and the "timed" runs measure Janino, not the query
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
     val spark = (if (vanilla) b else b.config("spark.sql.extensions", "graft.GraftExtensions"))
       .getOrCreate()

@@ -35,13 +35,26 @@ def main() -> None:
     names = set()
     for d in loaded:
         names |= set(d["queries"])
+    # An input that is itself a prior merge carries its accumulated pass
+    # count; folding it must ADD that history, not collapse it to 1 —
+    # otherwise every refresh resets the artifact's stated depth. A prior
+    # merge's own per-query pass_counts (queries added mid-history have
+    # seen fewer passes than the file) take precedence over its global.
+    weights = [int(d.get("passes", 1)) for d in loaded]
+
+    def seen(d, w, n):
+        if n not in d["queries"]:
+            return 0
+        return int(d.get("pass_counts", {}).get(n, w))
+
     merged = {}
     pass_counts = {}
     for n in sorted(names):
         vals = [d["queries"][n] for d in loaded if n in d["queries"]]
         merged[n] = min(vals)
-        pass_counts[n] = len(vals)
-    partial = sorted(n for n, c in pass_counts.items() if c < len(loaded))
+        pass_counts[n] = sum(seen(d, w, n) for d, w in zip(loaded, weights))
+    partial = sorted(
+        n for n in names if any(n not in d["queries"] for d in loaded))
     if partial:
         # legitimate under the per-query refresh protocol (carrying old
         # minima forward for unchanged queries), but make it visible so
@@ -54,13 +67,14 @@ def main() -> None:
         "unit": "sec",
         "queries": merged,
         "sf": loaded[0].get("sf", ""),
-        "passes": len(loaded),
+        "passes": sum(weights),
         "pass_counts": pass_counts,
     }
     with open(out, "w") as f:
         json.dump(doc, f)
     print(f"{out}: {len(merged)} queries, total {doc['value']:.1f}s "
-          f"(best of {len(loaded)})")
+          f"(best of {doc['passes']} accumulated passes, "
+          f"{len(loaded)} inputs this fold)")
 
 
 if __name__ == "__main__":
