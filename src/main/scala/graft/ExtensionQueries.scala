@@ -195,6 +195,30 @@ object ExtensionQueries {
     Similarity.bruteForceTopK(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
       Similarity.vecLit(queryVec), 10)
 
+  private val matryoshkaDims = Seq(8, 16, 32, 64)
+
+  /** Matryoshka recall curve: recall@10 of prefix-dim cosine top-10
+    * (dims 8/16/32/64) against the full-dim ground truth — the
+    * memory/quality trade-off eval for truncatable embeddings
+    * (Kusupati et al., MRL). A 100 TB ANN deployment that can serve at
+    * dim 16 stores and shuffles 4× less than dim 64; this query
+    * measures what that truncation costs in recall. Each dim is one
+    * map-side `slice` + TakeOrderedAndProject over the corpus — no
+    * per-dim shuffle, and the bounded top-10 lists join broadcast. */
+  private val qEmbedMatryoshka: Q = (spark, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      Similarity.vecLit(queryVec), 10)
+    matryoshkaDims.map { d =>
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      val cand = Similarity.bruteForceTopK(trunc, "vec_id", "embedding",
+        Similarity.vecLit(queryVec.take(d)), 10)
+      Similarity.recallAtK(cand, truth, "vec_id", 10)
+        .select(lit(d.toLong).as("dim"), col("n_hits"), col("recall"))
+    }.reduce(_ union _)
+  }
+
   /** Hyperplane-LSH ANN top-10 with Hamming-radius-1 multi-probe. */
   private val qSimAnnLsh: Q = (spark, dir) =>
     Similarity.lshAnnTopK(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
@@ -805,6 +829,7 @@ object ExtensionQueries {
     "q_sim_lsh_jaccard" -> qSimLshJaccard,
     "q_curate"          -> qCurate,
     "q_sim_cosine_topk" -> qSimCosineTopk,
+    "q_embed_matryoshka" -> qEmbedMatryoshka,
     "q_sim_ann_lsh"     -> qSimAnnLsh,
     "q_sim_ivf_ann"     -> qSimIvfAnn,
     "q_ann_recall"      -> qAnnRecall,
@@ -903,6 +928,14 @@ object ExtensionQueries {
 
   private def cosineSql(vecExpr: String): String =
     s"round(${dotSql(vecExpr, qvecSql)} / (${normSql(vecExpr)} * ${normSql(qvecSql)}), 6)"
+
+  /** Cosine of the first `d` dims vs the truncated query vector —
+    * the oracle mirror of the matryoshka slice. */
+  private def cosDimSql(d: Int): String = {
+    val e = s"embedding[1:$d]"
+    val qv = sqlList(queryVec.take(d))
+    s"round(${dotSql(e, qv)} / (${normSql(e)} * ${normSql(qv)}), 6)"
+  }
 
   /** Cosine between two list COLUMNS (both sides cast per element, the
     * same fold as Similarity.cosine on two columns). */
@@ -1381,6 +1414,17 @@ object ExtensionQueries {
       s"""SELECT vec_id, ${cosineSql("embedding")} AS cosine_sim
           FROM embeddings
           ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10""",
+    "q_embed_matryoshka" ->
+      s"""WITH truth AS (SELECT vec_id FROM embeddings
+            ORDER BY ${cosineSql("embedding")} DESC, vec_id ASC LIMIT 10),
+          ${matryoshkaDims.map(d =>
+            s"""c$d AS (SELECT vec_id FROM embeddings
+            ORDER BY ${cosDimSql(d)} DESC, vec_id ASC LIMIT 10)""").mkString(",\n          ")}
+          ${matryoshkaDims.map(d =>
+            s"""SELECT CAST($d AS BIGINT) AS dim, count(*) AS n_hits,
+              round(count(*) / 10.0, 4) AS recall
+            FROM c$d WHERE vec_id IN (SELECT vec_id FROM truth)""")
+            .mkString("\n          UNION ALL\n          ")}""",
     "q_sim_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
           SELECT vec_id, bucket, ${cosineSql("embedding")} AS cosine_sim

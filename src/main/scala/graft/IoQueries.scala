@@ -346,6 +346,33 @@ object IoQueries {
         col("ok"))
   }
 
+  /** Perceptual-hash fingerprint (average-hash) per media payload: 64
+    * taps NN-downsampled from the byte signal, mean-thresholded, packed
+    * into 8 band values — the image-dedup signature, as one codegen'd
+    * map-side projection (no UDF, no shuffle). The oracle re-derives
+    * every bit from hex with the same exact-integer threshold. */
+  private val qMmPhash: Q = (spark, dir) => {
+    val media = graft.operators.Multimodal.asMedia(
+      Tables.fanOut(Tables.documents(spark, dir)),
+      col("doc_id"), col("text"), lit("image/png"), col("source"),
+      col("n_chars").cast(LongType))
+    graft.operators.Multimodal.aHash(media)
+  }
+
+  /** Perceptual near-duplicate pairs at Hamming ≤ 7 over the aHash:
+    * banded blocking (8 bands × 8 bits, pigeonhole-complete at this
+    * threshold) + bucket cap + exact popcount(xor) verify — the
+    * multimodal twin of `q_sim_simhash_pairs`, one hash-shuffle at any
+    * corpus size. */
+  private val qMmPhashDedup: Q = (spark, dir) => {
+    val media = graft.operators.Multimodal.asMedia(
+      Tables.fanOut(Tables.documents(spark, dir)),
+      col("doc_id"), col("text"), lit("image/png"), col("source"),
+      col("n_chars").cast(LongType))
+    graft.operators.Multimodal.phashNearDupPairs(media,
+      maxHamming = 7, maxBucketSize = 100)
+  }
+
   /** Dynamic partition pruning witness: the fact lands partitioned by
     * event_type; the dim carries a derived category the fact doesn't
     * have, so the only route to pruning is DYNAMIC — Catalyst turns the
@@ -443,7 +470,24 @@ object IoQueries {
     "q_mm_audio_stats"      -> qMmAudioStats,
     "q_mm_video"            -> qMmVideo,
     "q_mm_video_stats"      -> qMmVideoStats,
+    "q_mm_phash"            -> qMmPhash,
+    "q_mm_phash_dedup"      -> qMmPhashDedup,
     "q_dpp_prune"           -> qDppPrune)
+
+  /** DuckDB mirror of [[graft.operators.Multimodal.aHashBandCols]]:
+    * the same 64 NN taps over hex(payload), the same exact-integer
+    * mean threshold (tap·64 > Σtaps), the same 8×8-bit LE band pack. */
+  private val aHashBandsCte: String =
+    """b AS (SELECT doc_id, hex(encode(text)) AS hx,
+           coalesce(octet_length(encode(text)), 0) AS n FROM documents),
+       taps AS (SELECT doc_id, i,
+           CASE WHEN n = 0 THEN 0
+                ELSE CAST('0x' || substring(hx, 2 * ((i * n) // 64) + 1, 2) AS INT) END AS tap
+         FROM b, unnest(range(0, 64)) AS u(i)),
+       tsum AS (SELECT doc_id, sum(tap) AS st FROM taps GROUP BY 1),
+       bands AS (SELECT t.doc_id, t.i // 8 AS band,
+           CAST(sum(CASE WHEN t.tap * 64 > s.st THEN 1 << (t.i % 8) ELSE 0 END) AS BIGINT) AS bval
+         FROM taps t JOIN tsum s ON t.doc_id = s.doc_id GROUP BY 1, 2)"""
 
   private val homeSectionsCase: String =
     graft.functions.Cleaning.homeSections.map { case (label, pat) =>
@@ -573,6 +617,27 @@ object IoQueries {
            CAST(CASE WHEN n = 0 THEN 0 ELSE 96 * 64 END AS BIGINT) AS out_bytes,
            n > 0 AS ok
          FROM b""",
+    "q_mm_phash" ->
+      s"""WITH $aHashBandsCte
+          SELECT doc_id AS media_id,
+            ${(0 until 8).map(b =>
+              s"max(CASE WHEN band = $b THEN bval END) AS band$b").mkString(",\n            ")}
+          FROM bands GROUP BY doc_id""",
+    "q_mm_phash_dedup" ->
+      s"""WITH $aHashBandsCte,
+          capped AS (SELECT doc_id, band, bval FROM (
+              SELECT *, count(*) OVER (PARTITION BY band, bval) AS bsz FROM bands)
+            WHERE bsz <= 100),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM capped a JOIN capped b
+                     ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+          ham AS (SELECT c.id_a, c.id_b,
+                    CAST(sum(bit_count(xor(ba.bval, bb.bval))) AS BIGINT) AS hamming
+                  FROM cand c
+                  JOIN bands ba ON ba.doc_id = c.id_a
+                  JOIN bands bb ON bb.doc_id = c.id_b AND bb.band = ba.band
+                  GROUP BY 1, 2)
+          SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 7""",
     "q_mm_decode" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
            coalesce(octet_length(encode(text)), 0) AS n FROM documents)

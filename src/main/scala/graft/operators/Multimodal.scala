@@ -566,6 +566,95 @@ object Multimodal {
       .toDF()
   }
 
+  // ------------------------------------------------------------------
+  // Perceptual hash (average-hash) + near-duplicate pairing — the
+  // image-dedup stage of a multimodal curation pipeline (reference
+  // surface: RealEstateImages.py's duplicate-photo screening; the
+  // classic aHash construction from the pHash family).
+  //
+  // The raster stand-in follows the module's codec policy: without
+  // image libraries the payload bytes ARE the 1-D luminance signal, so
+  // the hash is a REAL average-hash over a real nearest-neighbor
+  // downsample — 64 taps at byte offset floor(i·n/64), thresholded at
+  // the signal mean — not a fake. Every step is exact integer
+  // arithmetic (`tap·64 > Σtaps` instead of an FP mean) expressed as
+  // codegen'd Catalyst expressions: no UDF, no mapPartitions, and the
+  // oracle re-derives identical bits from hex. Swapping in a real
+  // decoder only changes the tap source (decoded 8×8 luma instead of
+  // raw bytes); hashing, banding and pairing are unchanged.
+  // ------------------------------------------------------------------
+
+  /** Bands in the 64-bit aHash: 8 bands × 8 bits. Hamming-≤-7 pairs are
+    * GUARANTEED to share a band (pigeonhole), so banding finds them in
+    * one hash-shuffle — the Manku/Das/Sarma blocking, same as
+    * [[Similarity.simhashNearDupPairs]]. */
+  val aHashBands = 8
+  val aHashBits = 64
+
+  /** Per-media aHash fingerprint: (media_id, band0..band7). Columnar
+    * and shuffle-free — the fingerprint of a 100 TB media corpus is a
+    * map-side projection chain over the payload column.
+    *
+    * Deliberately CHAINED projections, not one expression: each of the
+    * 64 threshold bits compares its tap against the 64-tap sum, so an
+    * inline formulation embeds the whole sum tree per bit (~60k
+    * Catalyst nodes — optimizer time and driver memory blow up before
+    * a single row moves). Materializing taps then the sum as named
+    * attributes keeps every subtree single-copy; CollapseProject won't
+    * re-inline an alias referenced more than once unless it's cheap,
+    * so the shape survives optimization. */
+  def aHash(media: DataFrame): DataFrame = {
+    val framed = media.select(col("media_id"), col("content"),
+      coalesce(octet_length(col("content")), lit(0)).cast(LongType).as("__n"))
+    val tapCols = (0 until aHashBits).map { i =>
+      val pos = (floor(lit(i.toLong) * col("__n") / lit(aHashBits)) + 1).cast(IntegerType)
+      when(col("__n") === 0, lit(0L)).otherwise(
+        coalesce(conv(hex(col("content").substr(pos, lit(1))), 16, 10).cast(LongType), lit(0L)))
+        .as(s"__t$i")
+    }
+    val taps = framed.select(col("media_id") +: tapCols: _*)
+    val withSum = taps.withColumn("__sum",
+      (0 until aHashBits).map(i => col(s"__t$i")).reduce(_ + _))
+    val bitsPerBand = aHashBits / aHashBands
+    val bands = (0 until aHashBands).map { b =>
+      (0 until bitsPerBand).map { j =>
+        when(col(s"__t${b * bitsPerBand + j}") * aHashBits > col("__sum"),
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"band$b")
+    }
+    withSum.select(col("media_id") +: bands: _*)
+  }
+
+  /** Perceptual near-duplicate pairs at Hamming distance ≤ `maxHamming`
+    * over the 64-bit aHash. Blocking on (band index, band value) finds
+    * every such pair with ONE hash-shuffle instead of an n² scan
+    * (pigeonhole needs maxHamming < [[aHashBands]]); `maxBucketSize`
+    * drops degenerate band buckets before the self-join, the same
+    * hygiene as LSH banding. Exact Hamming verifies inside each block
+    * as Σ popcount(xor) over the band values — codegen'd, no HOFs. */
+  def phashNearDupPairs(media: DataFrame, maxHamming: Int = 7,
+                        maxBucketSize: Int = 100): DataFrame = {
+    require(maxHamming < aHashBands, "pigeonhole needs maxHamming < aHashBands")
+    val fp = aHash(media)
+    val bandCols = (0 until aHashBands).map(b => col(s"band$b"))
+    val blocked = fp
+      .select(col("media_id"), array(bandCols: _*).as("__bands"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bval")))
+    val capped = Similarity.dropOversizedBuckets(blocked, Seq("band", "bval"), maxBucketSize)
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.__bands").as("__fa"), col("b.__bands").as("__fb"))
+      .distinct()
+    val ham = (0 until aHashBands).map { b =>
+      bit_count(element_at(col("__fa"), b + 1).bitwiseXOR(element_at(col("__fb"), b + 1)))
+    }.reduce(_ + _).cast(LongType)
+    cand.withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   private object Encoders {
     def product[T <: Product : scala.reflect.runtime.universe.TypeTag]
       : org.apache.spark.sql.Encoder[T] = org.apache.spark.sql.Encoders.product[T]

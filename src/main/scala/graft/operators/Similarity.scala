@@ -90,7 +90,7 @@ object Similarity {
     * (at most n/cap keys), so AQE turns the anti-join into a broadcast;
     * no hint, so a pathological run that exceeds the broadcast threshold
     * degrades to a shuffled anti-join instead of an OOM. */
-  private def dropOversizedBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+  private[operators] def dropOversizedBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val oversized = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > cap)

@@ -319,4 +319,52 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema") && !plan.split("ReadSchema")(1).contains("content"))
   }
+
+  test("aHash: deterministic bands, hand-checked on a uniform payload") {
+    // 64 'a' bytes: every tap = 97, so tap·64 > Σtaps (= 97·64) is false
+    // for every bit — all bands must be zero.
+    val m = Multimodal.asMedia(
+      Seq((1L, "a" * 64)).toDF("id", "payload"),
+      col("id"), col("payload"), lit("image/png"), lit("unit"), lit(0L))
+    val r = Multimodal.aHash(m).collect().head
+    assert((1 to 8).forall(b => r.getLong(b) == 0L))
+    // half low / half high bytes: exactly the high half's bits set.
+    // taps sample 'a'(97)×32 then 'z'(122)×32; mean sits between, so
+    // bands 0..3 are 0 and bands 4..7 are all-ones (255).
+    val m2 = Multimodal.asMedia(
+      Seq((1L, "a" * 32 + "z" * 32)).toDF("id", "payload"),
+      col("id"), col("payload"), lit("image/png"), lit("unit"), lit(0L))
+    val r2 = Multimodal.aHash(m2).collect().head
+    assert((1 to 4).forall(b => r2.getLong(b) == 0L))
+    assert((5 to 8).forall(b => r2.getLong(b) == 255L))
+  }
+
+  test("aHash: empty payload hashes to all-zero bands, no error") {
+    val m = Multimodal.asMedia(
+      Seq((1L, "")).toDF("id", "payload"),
+      col("id"), col("payload"), lit("image/png"), lit("unit"), lit(0L))
+    val r = Multimodal.aHash(m).collect().head
+    assert((1 to 8).forall(b => r.getLong(b) == 0L))
+  }
+
+  test("phashNearDupPairs: identical payloads pair at hamming 0; distant ones don't") {
+    val m = Multimodal.asMedia(
+      Seq((1L, "a" * 32 + "z" * 32), (2L, "a" * 32 + "z" * 32),
+          (3L, "z" * 32 + "a" * 32)).toDF("id", "payload"),
+      col("id"), col("payload"), lit("image/png"), lit("unit"), lit(0L))
+    val pairs = Multimodal.phashNearDupPairs(m, maxHamming = 7, maxBucketSize = 100)
+      .orderBy("id_a", "id_b").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L &&
+      pairs.head.getLong(2) == 0L)
+  }
+
+  test("phashNearDupPairs: pigeonhole needs maxHamming < aHashBands") {
+    val m = Multimodal.asMedia(
+      Seq((1L, "x")).toDF("id", "payload"),
+      col("id"), col("payload"), lit("image/png"), lit("unit"), lit(0L))
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDupPairs(m, maxHamming = 8)
+    }
+  }
 }

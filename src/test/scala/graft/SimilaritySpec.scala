@@ -361,4 +361,30 @@ class SimilaritySpec extends SparkSpec {
     assert(est((1L, 2L)) == 1.0)
     assert(est.values.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("matryoshka truncation: full-dim prefix reproduces ground truth, " +
+    "a misleading prefix doesn't") {
+    // v1 aligns with q on the first 2 dims but opposes on the last 2;
+    // v2 is q itself. Full-dim top-1 is v2; dim-2 top-1 is v1 (perfect
+    // prefix alignment beats v2's tie only via the cosine round + id
+    // tiebreak — v1's prefix cosine is exactly 1.0 too, so id wins).
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f, -3.0f, -4.0f)),
+      (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (3L, Seq(-1.0f, -2.0f, -3.0f, -4.0f))).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 2.0, 3.0, 4.0)
+    val full = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      Similarity.vecLit(q), 1).collect()
+    assert(full.head.getLong(0) == 2L)
+    val trunc = emb.select(col("vec_id"), slice(col("embedding"), 1, 2).as("embedding"))
+    val pre = Similarity.bruteForceTopK(trunc, "vec_id", "embedding",
+      Similarity.vecLit(q.take(2)), 1).collect()
+    assert(pre.head.getLong(0) == 1L)
+    // recall@1 of the dim-2 probe against full-dim truth: 0 hits.
+    val r = Similarity.recallAtK(
+      spark.createDataFrame(Seq(Tuple1(pre.head.getLong(0)))).toDF("vec_id"),
+      spark.createDataFrame(Seq(Tuple1(full.head.getLong(0)))).toDF("vec_id"),
+      "vec_id", 1).collect().head
+    assert(r.getLong(1) == 0L && r.getDouble(2) == 0.0)
+  }
 }
