@@ -637,9 +637,16 @@ object Multimodal {
     require(maxHamming < aHashBands, "pigeonhole needs maxHamming < aHashBands")
     val fp = aHash(media)
     val bandCols = (0 until aHashBands).map(b => col(s"band$b"))
+    // Four consumers (the cap aggregation, its anti-join probe, both
+    // self-join sides) would each re-scan the corpus and re-hash the
+    // payloads — the fingerprint relation is 9 longs/doc, orders of
+    // magnitude smaller than the payload column, so persist it once
+    // (same discipline as ngramJaccardPairs' shingle relation).
+    // Released by the harness's per-query cache clear.
     val blocked = fp
       .select(col("media_id"), array(bandCols: _*).as("__bands"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bval")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = Similarity.dropOversizedBuckets(blocked, Seq("band", "bval"), maxBucketSize)
     val cand = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
