@@ -94,6 +94,9 @@ object Pq {
     // Like Similarity.centroids, the lattice anchors at min(id) so a
     // filtered/offset id space still trains a full codebook instead of
     // silently seeding zero codewords (dense-from-0: identical seeds).
+    // No lineage cut and no driver-side anchor collect, deliberately:
+    // both A/B-measured slower than this form — see the numbers and
+    // the ReuseExchange reasoning at Similarity.centroids.
     val minId = emb.agg(min(col(idCol)).cast(LongType).as("__min_id"))
     var books = emb.crossJoin(broadcast(minId))
       .filter(pmod(col(idCol) - col("__min_id"), lit(centroidStep)) === 0 &&
@@ -103,12 +106,7 @@ object Pq {
       .select(col("sub"), col("cid"),
         transform(slice(col("__v"), col("sub") * subLen + 1, lit(subLen)),
           x => round(x.cast(DoubleType), 6)).as("cvec"))
-      // Eager lineage cut: the seed relation is ≤ m·256 rows but drags a
-      // corpus agg + filter; uncheckpointed, iteration-0 assignment's
-      // broadcast side re-runs that scan per action (same reasoning as
-      // Similarity.centroids).
-      .localCheckpoint()
-    var booksCk = true // round-0 seeds are checkpointed above
+    var booksCk = false // round-0 seeds carry the caller's lineage
     for (_ <- 0 until iters) {
       val (prev, prevCk) = (books, booksCk)
       books = assign(emb, idCol, vecCol, books, subLen)

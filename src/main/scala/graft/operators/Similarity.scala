@@ -556,19 +556,26 @@ object Similarity {
     // result. The anchor is a 1-row map-combined scalar attached by
     // broadcast; dense-from-0 corpora (minId = 0) keep bit-identical
     // seeds, so the DuckDB oracles are unchanged.
-    // Eager localCheckpoint: the seed relation is ≤ maxTrainedCells rows
-    // but its LINEAGE is a corpus agg + filter — without the cut, every
-    // consumer (iteration-0 assignment's broadcast side, each probe) would
-    // re-run that corpus scan per action. Materializing here makes the
-    // broadcast side a flat ≤64-row block scan; blocks this small are
-    // never released (same lifetime policy as kmeansCentroids' final
-    // round).
+    //
+    // DELIBERATELY no lineage cut here, and no driver-side collect of
+    // the anchor — all three "fixes" measured SLOWER than this form on
+    // q_sim_ivf_pq idle min-of-3 (round 18 A/B, same box, same day):
+    // this form 3.18s / lazy localCheckpoint 3.63s / eager 4.3s /
+    // scalar .head() anchor 4.32s. Why: the seed subtree is consumed
+    // through broadcast exchanges that the ReuseExchange rule
+    // deduplicates WITHIN a job, so the corpus agg+filter runs ~once
+    // per action fully pipelined across cores — whereas an eager
+    // checkpoint or a .head() anchor serializes 1-2 extra blocking
+    // driver jobs per TRAINING CALL (two quantizers per IVF-PQ query),
+    // which costs more than the re-scan saves at any scale where job
+    // latency matters. At 100 TB the seed scan is one column-pruned
+    // pass of the routing relation per action — linear, not the
+    // bottleneck (training is corpus-linear regardless).
     val minId = emb.agg(min(col(idCol)).cast(LongType).as("__min_id"))
     emb.crossJoin(broadcast(minId))
       .filter((col(idCol) - col("__min_id")) % centroidStep === 0 &&
         col(idCol) - col("__min_id") < centroidStep.toLong * maxTrainedCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      .localCheckpoint()
   }
 
   /** Assign every vector to its max-cosine cell (ties -> lowest cid).
@@ -745,7 +752,7 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
                       centroidStep: Int, iters: Int): DataFrame = {
     var cent = centroids(emb, idCol, vecCol, centroidStep)
-    var centCk = true // cent_0 is checkpointed inside centroids()
+    var centCk = false // cent_0 is NOT ours to release (caller's lineage)
     for (_ <- 0 until iters) {
       val (prev, prevCk) = (cent, centCk)
       val assigned = ivfAssignTo(emb, idCol, vecCol, cent)
