@@ -33,6 +33,12 @@ object CurationQueries {
   private val nTiers = 4
   private val srcMinMeanQ = 0.68    // source gate: mean-quality floor...
   private val srcMinDocs = 5L       // ...and minimum corpus presence
+  private val orderSalt = "ord18"   // training-order shuffle seed
+  private val orderEpochs = 2
+  private val orderShards = 16
+  private val currEpochs = 4        // curriculum anneal: 0.55 -> 0.75
+  private val currQ0 = 0.55
+  private val currQ1 = 0.75
 
   // =====================================================================
   // Spark queries
@@ -913,7 +919,30 @@ object CurationQueries {
         col("doc_id"), col("q"), "wq5")
       .select(col("doc_id"), col("source"), col("q"))
 
+  /** Seeded training-order shuffle: one independent permutation per
+    * epoch, hash-sharded — the terminal "where does each example land,
+    * and when is it seen" step a shard writer executes after curation
+    * ([[Curation.trainOrder]]; GSMLS.py randomizes training frames with
+    * `sample(frac=1, random_state=...)` — same contract, shuffle-shaped).
+    * The only corpus exchange is the (epoch, shard) hash partition. */
+  private val qTrainOrder: Q = (spark, dir) =>
+    Curation.trainOrder(Tables.fanOut(Tables.documents(spark, dir)),
+      "doc_id", orderSalt, orderEpochs, orderShards)
+
+  /** Quality-annealed curriculum budget report: epoch thresholds rise
+    * linearly 0.55 -> 0.75, one corpus scan for all epochs
+    * ([[Curation.curriculumAnneal]]). */
+  private val qCurriculumAnneal: Q = (spark, dir) =>
+    Curation.curriculumAnneal(
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text")).as("q"),
+          Text.tokenCount(col("text")).as("n")),
+      "doc_id", "source", col("q"), col("n"), currEpochs, currQ0, currQ1)
+
   def queries: Map[String, Q] = Map(
+    "q_train_order"    -> qTrainOrder,
+    "q_curriculum_anneal" -> qCurriculumAnneal,
     "q_weighted_sample" -> qWeightedSample,
     "q_kmv_setops"     -> qKmvSetOps,
     "q_kmv_distinct"   -> qKmvDistinct,
@@ -1690,6 +1719,34 @@ object CurationQueries {
             SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY click_id DESC) AS rn
             FROM r0) WHERE rn = 1)
           SELECT l.event_id, l.user_id, l.ts, l.purchase_value, r.click_id, r.click_value
-          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts < l.ts"""
+          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts < l.ts""",
+    "q_train_order" ->
+      s"""WITH ep AS (SELECT doc_id, CAST(u.e AS BIGINT) AS epoch
+            FROM documents, unnest(range(0, $orderEpochs)) AS u(e)),
+          k AS (SELECT doc_id, epoch,
+              CAST('0x' || substring(md5('$orderSalt' || ':' || CAST(epoch AS VARCHAR)
+                || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS k
+            FROM ep)
+          SELECT doc_id, epoch, k % $orderShards AS shard,
+            CAST(row_number() OVER (PARTITION BY epoch, k % $orderShards
+              ORDER BY k, doc_id) AS BIGINT) AS pos
+          FROM k""",
+    "q_curriculum_anneal" ->
+      s"""WITH $qualityCte,
+          toks AS (SELECT doc_id,
+              CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n
+            FROM documents),
+          base AS (SELECT s.doc_id, s.source,
+              CAST(floor(s.q * 10000.0 + 0.5) AS BIGINT) AS qq, t.n
+            FROM scored s JOIN toks t USING (doc_id)),
+          eps(epoch, thr) AS (VALUES ${
+            Curation.annealSchedule(currEpochs, currQ0, currQ1)
+              .map { case (e, t) => s"(CAST($e AS BIGINT), CAST($t AS BIGINT))" }
+              .mkString(", ")})
+          SELECT e.epoch, round(CAST(e.thr AS DOUBLE) / 10000.0, 4) AS thr_q,
+            b.source, count(*) AS n_docs, CAST(sum(b.n) AS BIGINT) AS n_tok,
+            CAST(floor(CAST(sum(b.qq) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_qq
+          FROM base b JOIN eps e ON b.qq >= e.thr
+          GROUP BY 1, 2, 3"""
   )
 }

@@ -534,10 +534,46 @@ object ScaleQueries {
         col("doc_tok_start"), col("win_tok_start"), col("seg_tokens"))
   }
 
+  /** Tokenizer fertility by language — tokens-per-word and
+    * chars-per-token under the corpus' own learned BPE merges, the
+    * standard "how well does this tokenizer serve each language" eval
+    * (a high-fertility language pays more sequence length per word).
+    * Same bounded-merge-literal encode as [[qTBpeEncode]]; the per-doc
+    * token counts reduce map-side into one tiny per-lang aggregate, so
+    * the whole eval is one corpus scan and one |langs|-row exchange.
+    * Ratios are integer-sum quotients rounded at 4 — engine-exact. */
+  private val qTokFertility: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val words = docs
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val merges = operators.Bpe.learnMerges(spark, words, "word", "n", bpeRounds)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    docs
+      .select(col("lang"),
+        size(operators.Bpe.encode(col("text"), merges)).cast(LongType).as("__bpe"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .cast(LongType).as("__w"),
+        length(array_join(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0)), "")).cast(LongType).as("__c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__bpe")).as("n_bpe"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__c")).as("n_chars"),
+        round(sum(col("__bpe")).cast(DoubleType)
+          / greatest(sum(col("__w")), lit(1L)), 4).as("fertility"),
+        round(sum(col("__c")).cast(DoubleType)
+          / greatest(sum(col("__bpe")), lit(1L)), 4).as("chars_per_tok"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_t_bpe"          -> qTBpe,
     "q_t_bpe_encode"   -> qTBpeEncode,
     "q_tokenize_pack"  -> qTokenizePack,
+    "q_tok_fertility"  -> qTokFertility,
     "q_cm_freq"        -> qCmFreq,
     "q_drift_psi"      -> qDriftPsi,
     "q_dq_report"      -> qDqReport,
@@ -655,6 +691,24 @@ object ScaleQueries {
            CAST(len(regexp_extract_all(s, '<([^>]*)>', 1)) AS BIGINT) AS n_bpe_tokens,
            md5(array_to_string(regexp_extract_all(s, '<([^>]*)>', 1), ' ')) AS tokens_md5
          FROM applied""",
+    "q_tok_fertility" ->
+      s"""${bpeDocCtesSql(bpeRounds)},
+         enc AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(s, '<([^>]*)>', 1)) AS BIGINT) AS n_bpe
+           FROM applied),
+         w AS (SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+             CAST(length(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ''))
+               AS BIGINT) AS n_chars
+           FROM documents)
+         SELECT w.lang, count(*) AS n_docs,
+           CAST(sum(e.n_bpe) AS BIGINT) AS n_bpe,
+           CAST(sum(w.n_words) AS BIGINT) AS n_words,
+           CAST(sum(w.n_chars) AS BIGINT) AS n_chars,
+           round(CAST(sum(e.n_bpe) AS DOUBLE) / greatest(sum(w.n_words), 1), 4) AS fertility,
+           round(CAST(sum(w.n_chars) AS DOUBLE) / greatest(sum(e.n_bpe), 1), 4) AS chars_per_tok
+         FROM w JOIN enc e USING (doc_id)
+         GROUP BY 1""",
     "q_tokenize_pack" -> {
       val L = CurationQueries.packWindowTokens
       s"""${bpeDocCtesSql(bpeRounds)},

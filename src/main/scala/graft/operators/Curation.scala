@@ -686,4 +686,93 @@ object Curation {
         col(s"__mx_$c").as("max_d"))): _*)).as("p"))
       .select(col("p.*"))
   }
+
+  // ---------------------------------------------------------------------
+  // Training order — the two ordering decisions a pipeline makes AFTER
+  // curation has picked the rows: WHERE each example lands (shard) and
+  // WHEN it is seen (position within the shard, per epoch).
+  // ---------------------------------------------------------------------
+
+  /** Deterministic seeded global shuffle into training shards, one
+    * independent permutation per epoch (GSMLS-Analysis randomizes
+    * training order with a pandas `sample(frac=1, random_state=...)`;
+    * at corpus scale the same contract is a hash shuffle, not a global
+    * sort). Every example gets a 60-bit key from
+    * `md5(salt:epoch:id)`; the shard is `key mod nShards` and the
+    * position is the rank of the key within its (epoch, shard).
+    *
+    * Scale shape: the epoch fan-out is a map-side `explode` of a
+    * bounded literal array (no per-epoch corpus rescan); the ONLY
+    * exchange is the (epoch, shard) hash partition that a shard writer
+    * needs anyway, and the within-shard sort is per-partition — there
+    * is no global order and no single-reducer window. `nShards` is the
+    * parallelism knob: at 100 TB it is the output-file count
+    * (thousands), so every reducer sorts ~|corpus|·epochs/nShards keys.
+    * Reproducible across engines and runs: same salt, same order. */
+  def trainOrder(df: DataFrame, idCol: String, salt: String,
+                 epochs: Int, nShards: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val keyed = df
+      .select(col(idCol),
+        explode(array((0 until epochs).map(e => lit(e)): _*)).as("epoch"))
+      .withColumn("__k",
+        hex60(md5(concat_ws(":", lit(salt), col("epoch"), col(idCol)))))
+      .withColumn("shard", pmod(col("__k"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("__k"), col(idCol))
+    keyed.select(col(idCol), col("epoch").cast(LongType).as("epoch"),
+      col("shard"), row_number().over(w).cast(LongType).as("pos"))
+  }
+
+  /** The (epoch, threshold-in-micro-units) schedule [[curriculumAnneal]]
+    * applies: linear from `q0` to `q1` across epochs, quantized to ×1e4
+    * integers so the kept set is bit-identical across engines. Public so
+    * an oracle can be built from the SAME rounding, never a re-derivation. */
+  def annealSchedule(epochs: Int, q0: Double, q1: Double): Seq[(Int, Long)] =
+    (0 until epochs).map { e =>
+      val f = if (epochs == 1) 0.0 else e.toDouble / (epochs - 1)
+      e -> math.round((q0 + (q1 - q0) * f) * 10000.0)
+    }
+
+  /** Quality-annealed curriculum: epoch `e` of `epochs` keeps only
+    * documents whose quality clears a threshold that anneals linearly
+    * from `q0` (epoch 0) to `q1` (last epoch) — the standard
+    * end-of-pretraining move where late epochs re-feed only the
+    * highest-quality slice. Returns the per-(epoch, stratum) budget
+    * report a mixture planner consumes: kept doc count, kept token
+    * count, and the engine-parity mean quality of the kept slice
+    * (scores quantized ×1e4 to integers before summing).
+    *
+    * Scale shape: ONE corpus scan for all epochs — the (epoch,
+    * threshold) schedule is a bounded literal array exploded map-side,
+    * the threshold filter runs before the aggregate's partial combine,
+    * and the only exchange carries (epoch, stratum) groups. Thresholds
+    * are integer micro-units so the kept set is bit-identical across
+    * engines. */
+  def curriculumAnneal(scored: DataFrame, idCol: String, stratumCol: String,
+                       qCol: Column, tokCol: Column, epochs: Int,
+                       q0: Double, q1: Double): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val thrQq = annealSchedule(epochs, q0, q1)
+    val schedule = explode(array(thrQq.map { case (e, t) =>
+      struct(lit(e).as("epoch"), lit(t).as("thr")) }: _*)).as("__s")
+    scored
+      .select(col(idCol), col(stratumCol),
+        floor(qCol * 10000.0 + 0.5).cast(LongType).as("__qq"),
+        tokCol.cast(LongType).as("__tok"))
+      .select(col("*"), schedule)
+      .filter(col("__qq") >= col("__s.thr"))
+      .groupBy(col("__s.epoch").cast(LongType).as("epoch"),
+        round(col("__s.thr").cast(DoubleType) / 10000.0, 4).as("thr_q"),
+        col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tok"),
+        // Mean quality in ×1e4 micro-units via floor(x+0.5): round() at a
+        // .00005 boundary diverges between engines (HALF_UP on the decimal
+        // string vs half-away on the binary value); floor and IEEE division
+        // are bit-identical everywhere.
+        floor(sum(col("__qq")).cast(DoubleType) / count(lit(1)) + 0.5)
+          .cast(LongType).as("mean_qq"))
+  }
 }

@@ -553,6 +553,56 @@ class CurationSpec extends SparkSpec {
     assert(n > 10 && n < 60, s"~30 of 100 docs expected, got $n")
   }
 
+  test("trainOrder: per-epoch permutations are complete, dense, and epoch-independent") {
+    val docs = (0 until 200).map(_.toLong).toDF("id")
+    val out = Curation.trainOrder(docs, "id", "t", epochs = 2, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 400) // every doc appears once per epoch
+    for (e <- 0L to 1L) {
+      val ep = out.filter(_._2 == e)
+      assert(ep.map(_._1).toSet == (0L until 200L).toSet)
+      // positions are dense 1..n within each (epoch, shard)
+      ep.groupBy(_._3).foreach { case (_, rows) =>
+        assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+      }
+    }
+    // the two epochs are different permutations (same order would mean
+    // the epoch never entered the hash)
+    val byShard0 = out.filter(_._2 == 0L).map(t => (t._3, t._4) -> t._1).toMap
+    val byShard1 = out.filter(_._2 == 1L).map(t => (t._3, t._4) -> t._1).toMap
+    assert(byShard0 != byShard1)
+  }
+
+  test("trainOrder is reproducible: same salt, same order; new salt, new order") {
+    val docs = (0 until 50).map(_.toLong).toDF("id")
+    def run(salt: String) =
+      Curation.trainOrder(docs, "id", salt, 1, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(run("a") == run("a"))
+    assert(run("a") != run("b"))
+  }
+
+  test("curriculumAnneal: thresholds rise, kept budget shrinks monotonically") {
+    val docs = (0 until 100)
+      .map(i => (i.toLong, "s", i / 100.0, 10L)).toDF("id", "source", "q", "n")
+    val out = Curation.curriculumAnneal(docs, "id", "source",
+        col("q"), col("n"), epochs = 3, q0 = 0.2, q1 = 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // thr 0.2 / 0.5 / 0.8 over q=i/100: kept 80 / 50 / 20 docs
+    assert(out(0L)._1 == 80L && out(1L)._1 == 50L && out(2L)._1 == 20L)
+    assert(out(0L)._2 == 800L && out(2L)._2 == 200L)
+    // mean quality of the kept slice rises with the threshold
+    assert(out(0L)._3 < out(1L)._3 && out(1L)._3 < out(2L)._3)
+  }
+
+  test("annealSchedule: single epoch pins q0; endpoints exact in micro-units") {
+    assert(Curation.annealSchedule(1, 0.3, 0.9) == Seq(0 -> 3000L))
+    val s = Curation.annealSchedule(4, 0.55, 0.75)
+    assert(s.head == (0 -> 5500L) && s.last == (3 -> 7500L))
+    assert(s.map(_._2) == s.map(_._2).sorted)
+  }
+
   test("epochize: a row's copy count never flips when other strata change") {
     val base = Seq((1L, "a", 10L), (2L, "a", 10L)).toDF("id", "source", "n_tok")
     val more = base.union(Seq((3L, "b", 10L), (4L, "b", 10L)).toDF("id", "source", "n_tok"))

@@ -117,6 +117,34 @@ class PlanSpec extends SparkSpec {
       s"window spans must explode map-side:\n$plan")
   }
 
+  test("trainOrder: one (epoch, shard) hash exchange, map-side epoch fan-out, no global sort") {
+    // the shard writer's shape: the ONLY corpus shuffle is the hash
+    // partition a sharded write needs anyway; the within-shard order is a
+    // per-partition sort (a rangepartitioning here would be a global sort
+    // — the thing this operator exists to avoid)
+    val docs = (1L to 200L).toDF("id")
+    val plan = planOf(Curation.trainOrder(docs, "id", "pin", 3, 8))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"exactly one keyed exchange (epoch, shard):\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort — order is per (epoch, shard) partition:\n$plan")
+    assert(plan.contains("Generate"),
+      s"epoch fan-out must be a map-side explode, not a per-epoch rescan:\n$plan")
+    assert(!plan.contains("Join"), s"no join anywhere in the shuffle plan:\n$plan")
+  }
+
+  test("curriculumAnneal: schedule applies map-side (no join), one aggregate exchange") {
+    val docs = (1L to 100L).map(i => (i, "s", i / 100.0, 10L))
+      .toDF("id", "source", "q", "n")
+    val plan = planOf(Curation.curriculumAnneal(docs, "id", "source",
+      col("q"), col("n"), 4, 0.2, 0.8))
+    assert(!plan.contains("Join"),
+      s"the (epoch, threshold) schedule is a literal explode, never a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"one corpus scan, one aggregate exchange:\n$plan")
+    assert(plan.contains("Generate"), s"schedule fan-out must be map-side:\n$plan")
+  }
+
   test("fanOut contract: non-file-backed plans are returned unchanged, never force-shuffled") {
     // the scaladoc'd boundary (Tables.scala): fanOut reasons about file
     // scans only — an in-memory (e.g. localCheckpointed) corpus passes
