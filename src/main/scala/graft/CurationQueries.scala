@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -39,6 +39,8 @@ object CurationQueries {
   private val currEpochs = 4        // curriculum anneal: 0.55 -> 0.75
   private val currQ0 = 0.55
   private val currQ1 = 0.75
+  private val srcCapK = 20          // per-domain cap: best-K docs kept
+  private val clusterSplitSalt = "csplit6"
 
   // =====================================================================
   // Spark queries
@@ -919,6 +921,49 @@ object CurationQueries {
         col("doc_id"), col("q"), "wq5")
       .select(col("doc_id"), col("source"), col("q"))
 
+  /** Per-domain cap — keep the `srcCapK` highest-quality documents per
+    * source (tie: lowest doc_id), the CommonCrawl-style move that stops
+    * one boilerplate-heavy domain from dominating the corpus. Runs
+    * through [[graft.operators.TopK.topKPerKey]], the UDAF formulation:
+    * map-side partial aggregation reduces every source to ≤ k rows
+    * BEFORE the exchange, so the corpus never key-shuffles — the
+    * row_number window this replaces would shuffle and sort every row
+    * just to keep k. */
+  private val qSourceCap: Q = (spark, dir) =>
+    graft.operators.TopK.topKPerKey(
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text")).as("q")),
+      Seq("source"), "doc_id", "q", k = srcCapK)
+
+  /** Leakage-free split: assignment hashed on the dedup COMPONENT, not
+    * the doc — every near-duplicate family lands whole in one split, so
+    * the cross-split contamination q_split_leakage measures is ZERO by
+    * construction (same component ⇒ same hash ⇒ same split). The cure
+    * for what q_split_leakage diagnoses; doc-level rates stay ~90/5/5
+    * because components are small relative to the corpus. */
+  private val qSplitByCluster: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val pairs = Similarity.lshJaccard(docs, "doc_id", "text",
+      shingleN, ExtensionQueries.minhashN, ExtensionQueries.rowsPerBand,
+      ExtensionQueries.lshBucketCap, ExtensionQueries.jaccardThreshold)
+    Curation.connectedComponents(docs, "doc_id", pairs)
+      .select(col("doc_id"), col("component"),
+        clusterSplitCol(col("component")).as("split"))
+  }
+
+  /** 90/5/5 split case over a CLUSTER id — the same hash family as
+    * [[ScaleQueries.splitColumn]] under a distinct salt, keyed on the
+    * component so near-dup families can't straddle a split boundary. */
+  private def clusterSplitCol(c: Column): Column = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(s"$clusterSplitSalt:"), c.cast(StringType))), 1, 15), 16, 10)
+        .cast(LongType), lit(10000L))
+    when(bucket < 9000L, lit("train"))
+      .when(bucket < 9500L, lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** Seeded training-order shuffle: one independent permutation per
     * epoch, hash-sharded — the terminal "where does each example land,
     * and when is it seen" step a shard writer executes after curation
@@ -943,6 +988,8 @@ object CurationQueries {
   def queries: Map[String, Q] = Map(
     "q_train_order"    -> qTrainOrder,
     "q_curriculum_anneal" -> qCurriculumAnneal,
+    "q_source_cap"     -> qSourceCap,
+    "q_split_by_cluster" -> qSplitByCluster,
     "q_weighted_sample" -> qWeightedSample,
     "q_kmv_setops"     -> qKmvSetOps,
     "q_kmv_distinct"   -> qKmvDistinct,
@@ -1747,6 +1794,32 @@ object CurationQueries {
             b.source, count(*) AS n_docs, CAST(sum(b.n) AS BIGINT) AS n_tok,
             CAST(floor(CAST(sum(b.qq) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_qq
           FROM base b JOIN eps e ON b.qq >= e.thr
-          GROUP BY 1, 2, 3"""
+          GROUP BY 1, 2, 3""",
+    "q_source_cap" ->
+      s"""WITH $qualityCte
+          SELECT source, doc_id, q, rank FROM (
+            SELECT source, doc_id, q,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY q DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM scored) WHERE rank <= $srcCapK""",
+    "q_split_by_cluster" ->
+      s"""WITH RECURSIVE ${ExtensionQueries.lshJaccardCtes},
+          edges AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs
+                    UNION SELECT id_b, id_a FROM lsh_pairs),
+          reach(src, dst) AS (SELECT a, b FROM edges
+                    UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+          comp AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src),
+          lbl AS (SELECT d.doc_id,
+                    least(d.doc_id, coalesce(c.mn, d.doc_id)) AS component
+                  FROM documents d LEFT JOIN comp c ON c.src = d.doc_id)
+          SELECT doc_id, component,
+            CASE WHEN CAST('0x' || substring(md5('$clusterSplitSalt:'
+                   || CAST(component AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9000
+                 THEN 'train'
+                 WHEN CAST('0x' || substring(md5('$clusterSplitSalt:'
+                   || CAST(component AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < 9500
+                 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM lbl"""
   )
 }

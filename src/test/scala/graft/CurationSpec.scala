@@ -603,6 +603,19 @@ class CurationSpec extends SparkSpec {
     assert(s.map(_._2) == s.map(_._2).sorted)
   }
 
+  test("q_split_by_cluster: a component never straddles a split; assignment covers every doc") {
+    val out = SparkEntry.queries("q_split_by_cluster")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "component", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.nonEmpty && out.map(_._1).distinct.length == out.length)
+    // the leakage-zero property, structurally: same component => same split
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"component $c split across ${rows.map(_._3).distinct.mkString(",")}")
+    }
+    assert(out.map(_._3).distinct.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("epochize: a row's copy count never flips when other strata change") {
     val base = Seq((1L, "a", 10L), (2L, "a", 10L)).toDF("id", "source", "n_tok")
     val more = base.union(Seq((3L, "b", 10L), (4L, "b", 10L)).toDF("id", "source", "n_tok"))

@@ -25,6 +25,22 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("topKPerKey reduces map-side: partial ObjectHashAggregate below the one exchange") {
+    // the scale contract q_source_cap rides on: every key shrinks to <= k
+    // rows BEFORE the shuffle; a row_number-window regression would show
+    // a Window + full sort here instead
+    val df = (1 to 500).map(i => (s"s${i % 7}", i.toLong, (i % 97) / 96.0))
+      .toDF("src", "id", "score")
+    val out = graft.operators.TopK.topKPerKey(df, Seq("src"), "id", "score", 3)
+    assert(out.count() == 21) // 7 keys x k=3
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"UDAF aggregate expected:\n$plan")
+    assert(!plan.contains("Window "), s"no window/full-sort path:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"one keyed exchange:\n$plan")
+  }
+
   test("heavyHittersExact recounts candidates exactly in the undersized-buffer regime") {
     val out = TopK.heavyHittersExact(skewed, "k", c = 8, k = 2)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
