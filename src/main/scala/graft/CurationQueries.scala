@@ -41,6 +41,7 @@ object CurationQueries {
   private val currQ1 = 0.75
   private val srcCapK = 20          // per-domain cap: best-K docs kept
   private val clusterSplitSalt = "csplit6"
+  private val orderE2eSalt = "orde2e" // terminal shard-order seed
 
   // =====================================================================
   // Spark queries
@@ -683,6 +684,23 @@ object CurationQueries {
         col("doc_tok_start"), col("win_tok_start"), col("seg_tokens"))
   }
 
+  /** The data product's LAST mile: the mixture E2E's packed training
+    * windows, shuffled into physically ordered shards. The loader's unit
+    * is the (source, window) pair; each unit gets a seeded md5 key, a
+    * shard, and a dense position — what a shard writer materializes as
+    * files. Composes two proven chains ([[qMixtureE2e]],
+    * [[Curation.trainOrder]]); the oracle composes their proven SQL the
+    * same way. The units relation is |windows| ≈ corpus-tokens/512 ≪
+    * corpus, so the distinct + order exchanges move window STUBS, never
+    * documents. */
+  private val qOrderE2e: Q = (spark, dir) => {
+    val units = qMixtureE2e(spark, dir)
+      .select(concat_ws(":", col("source"), col("window")).as("unit"))
+      .distinct()
+    Curation.trainOrder(units, "unit", orderE2eSalt, 1, orderShards)
+      .select(col("unit"), col("epoch"), col("shard"), col("pos"))
+  }
+
   /** Epochized materialization: even sources target 8000 tokens (>
     * available, so docs repeat across ~5 epochs), odd 500 (a fractional
     * epoch — only hash-gated rows survive). One row per (doc, epoch). */
@@ -990,6 +1008,7 @@ object CurationQueries {
     "q_curriculum_anneal" -> qCurriculumAnneal,
     "q_source_cap"     -> qSourceCap,
     "q_split_by_cluster" -> qSplitByCluster,
+    "q_order_e2e"      -> qOrderE2e,
     "q_weighted_sample" -> qWeightedSample,
     "q_kmv_setops"     -> qKmvSetOps,
     "q_kmv_distinct"   -> qKmvDistinct,
@@ -1130,6 +1149,64 @@ object CurationQueries {
          (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
            AS is_current
        FROM chg"""
+
+  /** Mixture-E2E oracle, split for reuse: the CTE chain (train split →
+    * τ=0.5 temperature targets → epochize → pack) and its final SELECT,
+    * shared verbatim by q_mixture_e2e and the terminal q_order_e2e so
+    * the composed oracle can never drift from the proven stage chain. */
+  private lazy val mixtureE2eCtes: String =
+    s"""tr AS (SELECT doc_id, source,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+           FROM documents
+           WHERE (${ScaleQueries.splitCaseSql}) = 'train'),
+         avail AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS a
+           FROM tr GROUP BY source),
+         q AS (SELECT source, a,
+           CAST(round(sqrt(CAST(a AS DOUBLE)) * 1000000) AS BIGINT) AS rawq
+           FROM avail),
+         tot AS (SELECT CAST(sum(rawq) AS BIGINT) AS totq FROM q),
+         scaled AS (SELECT source, a,
+             (rawq * 10000) // totq AS floor_bp,
+             (rawq * 10000) % totq AS rem
+           FROM q, tot),
+         ranked AS (SELECT source, a, floor_bp,
+             row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+             (SELECT CAST(10000 - sum(floor_bp) AS BIGINT) FROM scaled) AS short
+           FROM scaled),
+         tgt AS (SELECT source, a,
+             ((floor_bp + CASE WHEN rk <= short THEN 1 ELSE 0 END) * 1000000) // 10000
+               AS tgt
+           FROM ranked),
+         pl AS (SELECT source,
+             tgt // a AS full_copies,
+             ((tgt % a) * 10000) // a AS frac_bp
+           FROM tgt),
+         ep AS (SELECT d.doc_id, d.source, d.n_tok,
+             unnest(range(full_copies + CASE WHEN
+               CAST('0x' || substring(md5('mixe2e' || ':' || d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < frac_bp
+               THEN 1 ELSE 0 END)) AS epoch
+           FROM tr d JOIN pl ON d.source = pl.source),
+         pk AS (SELECT doc_id, source, epoch, n_tok,
+             epoch * 1099511627776 + doc_id AS pack_id
+           FROM ep WHERE n_tok > 0),
+         p AS (SELECT doc_id, source, epoch, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY pack_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prev
+           FROM pk),
+         e AS (SELECT doc_id, source, epoch, n_tok, prev,
+             unnest(range(prev // $packWindowTokens,
+               (prev + n_tok - 1) // $packWindowTokens + 1)) AS win
+           FROM p)"""
+
+  private lazy val mixtureE2eSelect: String =
+    s"""SELECT source, epoch, doc_id, n_tok, win AS window,
+           greatest(0, win * $packWindowTokens - prev) AS doc_tok_start,
+           greatest(prev, win * $packWindowTokens)
+             - win * $packWindowTokens AS win_tok_start,
+           least(n_tok, (win + 1) * $packWindowTokens - prev)
+             - greatest(0, win * $packWindowTokens - prev) AS seg_tokens
+         FROM e"""
 
   def oracleSql: Map[String, String] = Map(
     // Independent formulation: transitive closure over the symmetrized
@@ -1435,57 +1512,20 @@ object CurationQueries {
     // tail) → window pack over pack_id = epoch·2^40 + doc_id: each CTE
     // mirrors its standalone proven oracle, composed over the train
     // slice only.
-    "q_mixture_e2e" ->
-      s"""WITH tr AS (SELECT doc_id, source,
-           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
-           FROM documents
-           WHERE (${ScaleQueries.splitCaseSql}) = 'train'),
-         avail AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS a
-           FROM tr GROUP BY source),
-         q AS (SELECT source, a,
-           CAST(round(sqrt(CAST(a AS DOUBLE)) * 1000000) AS BIGINT) AS rawq
-           FROM avail),
-         tot AS (SELECT CAST(sum(rawq) AS BIGINT) AS totq FROM q),
-         scaled AS (SELECT source, a,
-             (rawq * 10000) // totq AS floor_bp,
-             (rawq * 10000) % totq AS rem
-           FROM q, tot),
-         ranked AS (SELECT source, a, floor_bp,
-             row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
-             (SELECT CAST(10000 - sum(floor_bp) AS BIGINT) FROM scaled) AS short
-           FROM scaled),
-         tgt AS (SELECT source, a,
-             ((floor_bp + CASE WHEN rk <= short THEN 1 ELSE 0 END) * 1000000) // 10000
-               AS tgt
-           FROM ranked),
-         pl AS (SELECT source,
-             tgt // a AS full_copies,
-             ((tgt % a) * 10000) // a AS frac_bp
-           FROM tgt),
-         ep AS (SELECT d.doc_id, d.source, d.n_tok,
-             unnest(range(full_copies + CASE WHEN
-               CAST('0x' || substring(md5('mixe2e' || ':' || d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < frac_bp
-               THEN 1 ELSE 0 END)) AS epoch
-           FROM tr d JOIN pl ON d.source = pl.source),
-         pk AS (SELECT doc_id, source, epoch, n_tok,
-             epoch * 1099511627776 + doc_id AS pack_id
-           FROM ep WHERE n_tok > 0),
-         p AS (SELECT doc_id, source, epoch, n_tok,
-             CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY pack_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS BIGINT) AS prev
-           FROM pk),
-         e AS (SELECT doc_id, source, epoch, n_tok, prev,
-             unnest(range(prev // $packWindowTokens,
-               (prev + n_tok - 1) // $packWindowTokens + 1)) AS win
-           FROM p)
-         SELECT source, epoch, doc_id, n_tok, win AS window,
-           greatest(0, win * $packWindowTokens - prev) AS doc_tok_start,
-           greatest(prev, win * $packWindowTokens)
-             - win * $packWindowTokens AS win_tok_start,
-           least(n_tok, (win + 1) * $packWindowTokens - prev)
-             - greatest(0, win * $packWindowTokens - prev) AS seg_tokens
-         FROM e""",
+    "q_mixture_e2e" -> s"WITH $mixtureE2eCtes\n         $mixtureE2eSelect",
+    "q_order_e2e" ->
+      s"""WITH $mixtureE2eCtes,
+         mix AS ($mixtureE2eSelect),
+         units AS (SELECT DISTINCT source || ':' || CAST("window" AS VARCHAR) AS unit
+                   FROM mix),
+         ku AS (SELECT unit,
+             CAST('0x' || substring(md5('$orderE2eSalt' || ':0:' || unit), 1, 15)
+               AS BIGINT) AS k
+           FROM units)
+         SELECT unit, CAST(0 AS BIGINT) AS epoch, k % $orderShards AS shard,
+           CAST(row_number() OVER (PARTITION BY k % $orderShards
+             ORDER BY k, unit) AS BIGINT) AS pos
+         FROM ku""",
     "q_epochize" ->
       """WITH t AS (SELECT doc_id, source,
            CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok

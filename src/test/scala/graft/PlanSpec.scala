@@ -145,6 +145,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate"), s"schedule fan-out must be map-side:\n$plan")
   }
 
+  test("order-e2e: every join stays broadcast; the corpus never sort-merge-joins") {
+    // the terminal data product (mixture E2E -> window units -> seeded
+    // shard order): plan tables (targets, epoch plans) broadcast onto the
+    // corpus, and the post-pack exchanges move window STUBS, so no stage
+    // may fall back to a corpus-sized sort-merge join
+    val plan = planOf(
+      SparkEntry.queries("q_order_e2e")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side joins must broadcast:\n$plan")
+    assert(plan.contains("Generate"),
+      s"epoch/window fan-out stays a map-side explode:\n$plan")
+  }
+
   test("fanOut contract: non-file-backed plans are returned unchanged, never force-shuffled") {
     // the scaladoc'd boundary (Tables.scala): fanOut reasons about file
     // scans only — an in-memory (e.g. localCheckpointed) corpus passes
