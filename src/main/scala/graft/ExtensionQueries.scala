@@ -20,6 +20,7 @@ object ExtensionQueries {
   // 0.1 in [-0.9, 0.9], exactly representable in SQL literals.
   val queryVec: Seq[Double] = (0 until 64).map(d => ((d * 37 % 19) - 9) / 10.0)
   private val numPlanes = 8
+  private val bitextMinMarginBp = 10200L // mined-pair margin floor: 1.02
   private[graft] val minhashN = 16
   private[graft] val rowsPerBand = 4
   private[graft] val lshBucketCap = 100
@@ -261,6 +262,16 @@ object ExtensionQueries {
   private val qSimEmbedDedup: Q = (spark, dir) =>
     Similarity.embedNearDupPairs(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
       numPlanes, queryVec.length, threshold = 0.4)
+
+  /** Margin-based bitext mining over the embedding corpus: even labels
+    * are side A, odd labels side B (the two "languages"); mined pairs
+    * are per-A argmax-margin candidates clearing the margin floor
+    * ([[Similarity.bitextMarginMine]] — Artetxe & Schwenk's ratio
+    * margin over LSH-blocked candidates, all-integer arithmetic). */
+  private val qBitextMargin: Q = (spark, dir) =>
+    Similarity.bitextMarginMine(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "vec_id", "embedding", col("label") % 2, numPlanes, queryVec.length,
+      bitextMinMarginBp)
 
   /** Multi-probe near-dup pairs: Hamming-radius-1 bucket expansion on
     * one side of the blocked self-join recovers boundary-crossing
@@ -838,6 +849,7 @@ object ExtensionQueries {
     "q_sim_embed_dedup" -> qSimEmbedDedup,
     "q_semantic_decontam" -> qSemanticDecontam,
     "q_sim_embed_probed" -> qSimEmbedProbed,
+    "q_bitext_margin"   -> qBitextMargin,
     "q_embed_project"   -> qEmbedProject,
     "q_ivf_cells"       -> qIvfCells,
     "q_cell_reps"       -> qCellReps,
@@ -1453,6 +1465,28 @@ object ExtensionQueries {
           FROM b a JOIN b b2
             ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
           WHERE ${cosine2Sql("a.embedding", "b2.embedding")} >= 0.4""",
+    "q_bitext_margin" ->
+      s"""WITH b AS (SELECT vec_id, embedding, label % 2 AS side,
+              $bucketSql AS bucket FROM embeddings),
+          cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+              CAST(floor(${cosine2Sql("x.embedding", "y.embedding")}
+                * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+            FROM b x JOIN b y ON x.bucket = y.bucket
+            WHERE x.side = 0 AND y.side = 1),
+          pc AS (SELECT * FROM cand WHERE cos_u > 0),
+          ax AS (SELECT id_a, CAST(sum(cos_u) AS BIGINT) AS sa, count(*) AS na
+                 FROM pc GROUP BY 1),
+          byn AS (SELECT id_b, CAST(sum(cos_u) AS BIGINT) AS sb, count(*) AS nb
+                  FROM pc GROUP BY 1),
+          m AS (SELECT p.id_a, p.id_b, p.cos_u,
+              CAST(floor(2.0 * p.cos_u
+                / (CAST(a.sa AS DOUBLE) / a.na + CAST(c.sb AS DOUBLE) / c.nb)
+                * 10000.0 + 0.5) AS BIGINT) AS margin_bp
+            FROM pc p JOIN ax a USING (id_a) JOIN byn c USING (id_b))
+          SELECT id_a, id_b, cos_u, margin_bp FROM (
+            SELECT *, row_number() OVER (PARTITION BY id_a
+              ORDER BY margin_bp DESC, id_b ASC) AS rn FROM m)
+          WHERE rn = 1 AND margin_bp >= $bitextMinMarginBp""",
     // semantic decontamination: max cosine vs the bench residue class,
     // argmax via the (cos DESC, bid ASC) window = the struct-max's
     // (cos, -bid) ordering; threshold compares the ROUNDED cosine

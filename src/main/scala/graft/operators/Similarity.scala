@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -844,6 +845,60 @@ object Similarity {
         round(dotFor(native)(col(s"a.$vecCol"), col(s"b.$vecCol")) / (col("a.__n") * col("b.__n")), 6))
       .filter(col("cosine_sim") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cosine_sim"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining"): mine cross-side pairs whose cosine stands
+    * OUT of its neighborhood — margin(x,y) = 2·cos(x,y) /
+    * (avg(x)+avg(y)) — rather than clearing an absolute threshold,
+    * which hubness breaks. Practical variant: the neighborhood is the
+    * LSH-blocked candidate set (positive-cosine, same hyperplane
+    * bucket) instead of an exact k-NN — the industrial shape, since
+    * candidate generation at corpus scale is already blocked.
+    *
+    * Engine-exact arithmetic: cosines quantize to ×1e6 integers
+    * (`floor(round6·1e6+0.5)`), neighborhood means divide those integer
+    * sums as IEEE doubles, and the margin lands as a ×1e4 integer via
+    * `floor(x+0.5)` — every comparison and the final argmax
+    * (margin desc, id_b asc) is integer-ordered, so the mined set is
+    * bit-identical across engines.
+    *
+    * Scale shape: one bucket-keyed exchange builds candidates; the two
+    * neighborhood aggregates and the per-`id_a` argmax window run on the
+    * PAIR relation (≪ corpus² under blocking), never on the corpus. */
+  def bitextMarginMine(emb: DataFrame, idCol: String, vecCol: String,
+                       sideCol: Column, numPlanes: Int, dims: Int,
+                       minMarginBp: Long): DataFrame = {
+    val native = hasNative(emb)
+    val b = withBuckets(emb.withColumn("__side", sideCol), vecCol, numPlanes, dims)
+      .select(col(idCol), col(vecCol), col("__side"), col("bucket"),
+        normFor(native)(col(vecCol)).as("__n"))
+    val cand = b.filter(col("__side") === 0).as("x")
+      .join(b.filter(col("__side") === 1).as("y"),
+        col("x.bucket") === col("y.bucket"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        floor(round(dotFor(native)(col(s"x.$vecCol"), col(s"y.$vecCol"))
+            / (col("x.__n") * col("y.__n")), 6) * 1e6 + 0.5)
+          .cast(LongType).as("cos_u"))
+      // only positive-similarity candidates form a neighborhood: keeps
+      // both means strictly positive (no zero/negative denominators) and
+      // matches the mining intent — anti-correlated pairs are not
+      // translation candidates
+      .filter(col("cos_u") > 0)
+    val ax = cand.groupBy("id_a").agg(sum("cos_u").as("__sa"), count(lit(1)).as("__na"))
+    val by = cand.groupBy("id_b").agg(sum("cos_u").as("__sb"), count(lit(1)).as("__nb"))
+    val m = cand.join(ax, Seq("id_a")).join(by, Seq("id_b"))
+      .withColumn("margin_bp",
+        floor(lit(2.0) * col("cos_u")
+            / (col("__sa").cast(DoubleType) / col("__na")
+              + col("__sb").cast(DoubleType) / col("__nb"))
+            * 10000.0 + 0.5)
+          .cast(LongType))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("margin_bp").desc, col("id_b").asc)
+    m.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("margin_bp") >= minMarginBp)
+      .select(col("id_a"), col("id_b"), col("cos_u"), col("margin_bp"))
   }
 
   /** Multi-probe near-dup pairs: the LEFT side of the self-join explodes

@@ -387,4 +387,24 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", 1).collect().head
     assert(r.getLong(1) == 0L && r.getDouble(2) == 0.0)
   }
+
+  test("bitextMarginMine: sides never mix, one argmax pair per source, floor respected") {
+    // deterministic synthetic corpus: 40 vectors, even ids side 0,
+    // odd side 1; values from a hash recurrence so runs are identical
+    val emb = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d => (((i * 31 + d * 17) % 13).toFloat - 6.0f) / 6.0f))
+    }.toDF("vec_id", "embedding")
+    def mine() = Similarity.bitextMarginMine(emb, "vec_id", "embedding",
+      col("vec_id") % 2, numPlanes = 2, dims = 8, minMarginBp = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = mine()
+    assert(out.nonEmpty)
+    assert(out.forall(p => p._1 % 2 == 0 && p._2 % 2 == 1),
+      "id_a must come from side 0, id_b from side 1")
+    assert(out.map(_._1).distinct.length == out.length,
+      "at most one mined pair per source vector (argmax)")
+    assert(out.forall(_._4 >= 10000L), "margin floor must hold")
+    assert(out.forall(_._3 > 0L), "only positive-cosine candidates mine")
+    assert(mine().toSeq == out.toSeq, "mining must be deterministic")
+  }
 }
