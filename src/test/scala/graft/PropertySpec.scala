@@ -315,4 +315,48 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("trainOrder is a complete dense permutation for arbitrary sizes/epochs/shards") {
+    // one Spark job per config, brute-checked driver-side: every doc
+    // appears exactly once per epoch, positions are dense 1..n within
+    // each (epoch, shard), and shard = key mod nShards
+    for ((n, epochs, shards, salt) <- Seq((1, 1, 1, "a"), (7, 3, 5, "b"),
+        (64, 2, 8, "c"), (100, 1, 17, "d"))) {
+      val out = graft.operators.Curation
+        .trainOrder((0 until n).map(_.toLong).toDF("id"), "id", salt, epochs, shards)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.length == n * epochs, s"$n x $epochs rows")
+      for (e <- 0L until epochs.toLong) {
+        val ep = out.filter(_._2 == e)
+        assert(ep.map(_._1).toSet == (0L until n.toLong).toSet, s"epoch $e complete")
+        ep.groupBy(_._3).foreach { case (s, rows) =>
+          assert(s >= 0 && s < shards, s"shard $s in range")
+          assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+            s"dense positions in (epoch=$e, shard=$s)")
+        }
+      }
+    }
+  }
+
+  test("curriculumAnneal: kept budget is the brute-force filter at every epoch") {
+    // generated qualities with deliberate threshold-boundary ties
+    val qs = sample(Gen.chooseNum(0, 10000), 200).map(_ / 10000.0)
+    val docs = qs.zipWithIndex.map { case (q, i) =>
+      (i.toLong, s"s${i % 3}", q, (i % 7 + 1).toLong) }
+    val df = docs.toDF("id", "source", "q", "n")
+    val epochs = 4
+    val out = graft.operators.Curation
+      .curriculumAnneal(df, "id", "source", col("q"), col("n"), epochs, 0.1, 0.9)
+      .collect().map(r => (r.getLong(0), r.getString(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    val sched = graft.operators.Curation.annealSchedule(epochs, 0.1, 0.9)
+    for ((e, thr) <- sched; src <- Seq("s0", "s1", "s2")) {
+      val kept = docs.filter { case (_, s, q, _) =>
+        s == src && math.floor(q * 10000.0 + 0.5).toLong >= thr }
+      val got = out.get((e.toLong, src))
+      if (kept.isEmpty) assert(got.isEmpty, s"epoch $e $src should be absent")
+      else assert(got.contains((kept.size.toLong, kept.map(_._4).sum)),
+        s"epoch $e $src: got $got want (${kept.size}, ${kept.map(_._4).sum})")
+    }
+  }
 }
