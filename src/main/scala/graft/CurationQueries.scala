@@ -42,6 +42,8 @@ object CurationQueries {
   private val srcCapK = 20          // per-domain cap: best-K docs kept
   private val clusterSplitSalt = "csplit6"
   private val orderE2eSalt = "orde2e" // terminal shard-order seed
+  private val reweightRounds = 3      // MW domain-reweighting rounds
+  private val reweightEtaDen = 2L     // eta = 1/2 in loss fixed-point
 
   // =====================================================================
   // Spark queries
@@ -684,6 +686,24 @@ object CurationQueries {
         col("doc_tok_start"), col("win_tok_start"), col("seg_tokens"))
   }
 
+  /** DoReMi-flavored domain reweighting: per-source excess loss (1 −
+    * mean quality, ×1e4 integers) drives 3 multiplicative-weights
+    * rounds from uniform — persistently lossy domains gain training
+    * weight, the data-mixing counterpart of temperature scaling
+    * ([[Curation.reweightMixture]]; pure integer MW, no exp/ln). */
+  private val qDomainReweight: Q = (spark, dir) => {
+    val losses = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("source"),
+        floor(Text.qualityScore(col("text")) * 10000.0 + 0.5)
+          .cast(LongType).as("__qq"))
+      .groupBy(col("source"))
+      .agg((lit(10000L)
+        - floor(sum(col("__qq")).cast(DoubleType) / count(lit(1)) + 0.5)
+            .cast(LongType)).as("loss_u"))
+    Curation.reweightMixture(losses, "source", col("loss_u"),
+      reweightRounds, reweightEtaDen, 10000L)
+  }
+
   /** The data product's LAST mile: the mixture E2E's packed training
     * windows, shuffled into physically ordered shards. The loader's unit
     * is the (source, window) pair; each unit gets a seeded md5 key, a
@@ -1009,6 +1029,7 @@ object CurationQueries {
     "q_source_cap"     -> qSourceCap,
     "q_split_by_cluster" -> qSplitByCluster,
     "q_order_e2e"      -> qOrderE2e,
+    "q_domain_reweight" -> qDomainReweight,
     "q_weighted_sample" -> qWeightedSample,
     "q_kmv_setops"     -> qKmvSetOps,
     "q_kmv_distinct"   -> qKmvDistinct,
@@ -1149,6 +1170,39 @@ object CurationQueries {
          (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
            AS is_current
        FROM chg"""
+
+  /** One largest-remainder normalization round in SQL: `inTbl(source,
+    * loss_u, r)` → `outTbl(source, loss_u, w)` with Σw = 10000 — the
+    * oracle mirror of [[Curation]]'s normalizeBp, unrolled per MW round. */
+  private def reweightNormSql(inTbl: String, outTbl: String): String =
+    s"""n_$outTbl AS (SELECT source, loss_u, r,
+          (r * 10000) // (sum(r) OVER ()) AS fl,
+          (r * 10000) % (sum(r) OVER ()) AS rem
+        FROM $inTbl),
+        r_$outTbl AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+          10000 - sum(fl) OVER () AS short FROM n_$outTbl),
+        $outTbl AS (SELECT source, loss_u,
+          fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS w FROM r_$outTbl)"""
+
+  /** The full unrolled MW chain: uniform init, then `reweightRounds`
+    * rounds of w ← normalize(w·(scale+loss)/scale). */
+  private lazy val reweightCtes: String = {
+    val scale = reweightEtaDen * 10000L
+    val steps = (0 to reweightRounds).map { t =>
+      if (t == 0)
+        s"""p0 AS (SELECT source, loss_u, CAST(1 AS BIGINT) AS r FROM ls),
+            ${reweightNormSql("p0", "w0")}"""
+      else
+        s"""p$t AS (SELECT source, loss_u,
+              (w * ($scale + loss_u)) // $scale AS r FROM w${t - 1}),
+            ${reweightNormSql(s"p$t", s"w$t")}"""
+    }.mkString(",\n        ")
+    s"""ls AS (SELECT source,
+          10000 - CAST(floor(CAST(sum(CAST(floor(q * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / count(*) + 0.5) AS BIGINT) AS loss_u
+        FROM scored GROUP BY 1),
+        $steps"""
+  }
 
   /** Mixture-E2E oracle, split for reuse: the CTE chain (train split →
     * τ=0.5 temperature targets → epochize → pack) and its final SELECT,
@@ -1835,6 +1889,11 @@ object CurationQueries {
             CAST(floor(CAST(sum(b.qq) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_qq
           FROM base b JOIN eps e ON b.qq >= e.thr
           GROUP BY 1, 2, 3""",
+    "q_domain_reweight" ->
+      s"""WITH $qualityCte,
+          $reweightCtes
+          SELECT source, loss_u, CAST(w AS BIGINT) AS w_bp
+          FROM w$reweightRounds""",
     "q_source_cap" ->
       s"""WITH $qualityCte
           SELECT source, doc_id, q, rank FROM (

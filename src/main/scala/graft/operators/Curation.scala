@@ -276,20 +276,11 @@ object Curation {
       if (tau == 0.5) sqrt(col("avail_tokens").cast(DoubleType))
       else pow(col("avail_tokens").cast(DoubleType), lit(tau))
     val q = avail.withColumn("__rawq", round(raw * 1e6).cast(LongType))
-    val tot = q.agg(sum(col("__rawq")).as("__totq"))
-    // the global window below runs over the |strata|-row plan table
+    // normalizeBp's global window runs over the |strata|-row plan table
     // (already driver-scale), never the corpus — single-partition is fine
-    val scaled = q.crossJoin(broadcast(tot))
-      .withColumn("__floor_bp", expr("__rawq * 10000 div __totq"))
-      .withColumn("__rem", expr("(__rawq * 10000) % __totq"))
-    val deficitW = Window.orderBy(col("__rem").desc, col(stratumCol).asc)
-    val shortfall = scaled.agg((lit(10000L) - sum(col("__floor_bp"))).as("__short"))
-    scaled.crossJoin(broadcast(shortfall))
-      .withColumn("__rank", row_number().over(deficitW))
-      .withColumn("weight_bp",
-        col("__floor_bp") + when(col("__rank") <= col("__short"), 1L).otherwise(0L))
-      .select(col(stratumCol), col("avail_tokens"), col("weight_bp"),
-        expr(s"weight_bp * ${budgetTokens}L div 10000").as("target_tokens"))
+    normalizeBp(q, stratumCol, "__rawq")
+      .select(col(stratumCol), col("avail_tokens"), col("w_bp").as("weight_bp"),
+        expr(s"w_bp * ${budgetTokens}L div 10000").as("target_tokens"))
   }
 
   // ---------------------------------------------------------------------
@@ -734,6 +725,61 @@ object Curation {
       val f = if (epochs == 1) 0.0 else e.toDouble / (epochs - 1)
       e -> math.round((q0 + (q1 - q0) * f) * 10000.0)
     }
+
+  /** Normalize a |strata|-row positive integer `raw` column to exactly
+    * 10000 basis points by largest remainder (the temperatureTargets
+    * normalization, factored for reuse): floor shares first, then the
+    * shortfall goes to the largest remainders (stratum-asc tiebreak).
+    * Runs entirely on the bounded plan table — the window is
+    * single-partition by design, never the corpus. */
+  private def normalizeBp(df: DataFrame, stratumCol: String,
+                          rawCol: String): DataFrame = {
+    val tot = df.agg(sum(col(rawCol)).as("__tot"))
+    val scaled = df.crossJoin(broadcast(tot))
+      .withColumn("__floor_bp", expr(s"$rawCol * 10000 div __tot"))
+      .withColumn("__rem", expr(s"($rawCol * 10000) % __tot"))
+    val deficitW = Window.orderBy(col("__rem").desc, col(stratumCol).asc)
+    val short = scaled.agg((lit(10000L) - sum(col("__floor_bp"))).as("__short"))
+    scaled.crossJoin(broadcast(short))
+      .withColumn("__rank", row_number().over(deficitW))
+      .withColumn("w_bp",
+        col("__floor_bp") + when(col("__rank") <= col("__short"), 1L).otherwise(0L))
+      .drop("__tot", "__floor_bp", "__rem", "__rank", "__short", rawCol)
+  }
+
+  /** DoReMi-flavored domain reweighting by multiplicative weights: start
+    * uniform, then for `rounds` rounds upweight each stratum
+    * proportionally to its excess loss — w ← w·(1 + η·loss), the
+    * polynomial MW update (the exp() of the paper's exponentiated
+    * gradient to first order, chosen because exp/ln are not
+    * correctly-rounded across engines while this update is pure integer
+    * arithmetic: w·(scale + loss)/scale in floor division, then a
+    * largest-remainder renormalization to exactly 10000 bp). `lossU` is
+    * the per-stratum excess loss in the SAME fixed-point scale as
+    * `scale = etaDen·lossScale`, so η = 1/etaDen.
+    *
+    * Integer-floor MW keeps the true MW property that weights
+    * concentrate on persistently-lossy domains; a stratum ground to
+    * 0 bp by flooring stays at 0 (absorbing), which is the correct
+    * reading: it lost every round at bp resolution.
+    *
+    * Scale shape: everything after the per-stratum loss aggregate runs
+    * on the |strata|-row plan table (broadcast scalars + a bounded
+    * window) — the corpus is touched exactly once, by the caller's
+    * loss aggregation. */
+  def reweightMixture(losses: DataFrame, stratumCol: String, lossUCol: Column,
+                      rounds: Int, etaDen: Long, lossScale: Long): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val scale = etaDen * lossScale
+    val base = losses.select(col(stratumCol), lossUCol.cast(LongType).as("loss_u"))
+    var cur = normalizeBp(base.withColumn("__raw", lit(1L)), stratumCol, "__raw")
+    for (_ <- 1 to rounds) {
+      cur = normalizeBp(
+        cur.withColumn("__raw", expr(s"w_bp * ($scale + loss_u) div $scale")),
+        stratumCol, "__raw")
+    }
+    cur.select(col(stratumCol), col("loss_u"), col("w_bp"))
+  }
 
   /** Quality-annealed curriculum: epoch `e` of `epochs` keeps only
     * documents whose quality clears a threshold that anneals linearly

@@ -603,6 +603,28 @@ class CurationSpec extends SparkSpec {
     assert(s.map(_._2) == s.map(_._2).sorted)
   }
 
+  test("reweightMixture: weights stay a 10000-bp simplex, lossier domains gain, uniform loss stays uniform") {
+    import org.apache.spark.sql.types.LongType
+    val losses = Seq(("a", 8000L), ("b", 4000L), ("c", 1000L), ("d", 1000L))
+      .toDF("source", "loss_u")
+    val w = Curation.reweightMixture(losses, "source",
+        col("loss_u").cast(LongType), rounds = 3, etaDen = 2L, lossScale = 10000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(w.values.sum == 10000L, s"simplex: $w")
+    assert(w("a") > w("b") && w("b") > w("c"), s"monotone in loss: $w")
+    // largest remainder can split a tie by at most the 1-bp shortfall
+    // unit (deterministic stratum-asc tiebreak) — never more
+    assert(math.abs(w("c") - w("d")) <= 1L, s"equal loss, bp-equal weight: $w")
+    assert(w("a") > 2500L, s"the lossiest domain must gain over uniform: $w")
+
+    val uniform = Seq(("a", 3000L), ("b", 3000L), ("c", 3000L), ("d", 3000L))
+      .toDF("source", "loss_u")
+    val wu = Curation.reweightMixture(uniform, "source",
+        col("loss_u").cast(LongType), rounds = 3, etaDen = 2L, lossScale = 10000L)
+      .collect().map(r => r.getLong(2))
+    assert(wu.forall(_ == 2500L), s"uniform loss keeps uniform weights: ${wu.toSeq}")
+  }
+
   test("q_split_by_cluster: a component never straddles a split; assignment covers every doc") {
     val out = SparkEntry.queries("q_split_by_cluster")(spark, "/root/testdata/sf0.001")
       .select("doc_id", "component", "split").collect()
