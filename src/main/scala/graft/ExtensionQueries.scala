@@ -21,6 +21,8 @@ object ExtensionQueries {
   val queryVec: Seq[Double] = (0 until 64).map(d => ((d * 37 % 19) - 9) / 10.0)
   private val numPlanes = 8
   private val bitextMinMarginBp = 10200L // mined-pair margin floor: 1.02
+  private val topicBalanceN = 5          // members kept per k-means cell
+  private val topicBalanceSalt = "tb5"
   private[graft] val minhashN = 16
   private[graft] val rowsPerBand = 4
   private[graft] val lshBucketCap = 100
@@ -317,6 +319,25 @@ object ExtensionQueries {
     Similarity.cellRepresentatives(
       Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
       centroidStep = 50)
+
+  /** Topic-balanced selection: the trained k-means cells act as topic
+    * strata and every cell contributes exactly 5 members (salted-hash
+    * order) — the cluster-balanced sampling move that stops one dense
+    * region of embedding space from dominating a curated subset
+    * (diversity-aware selection, the sampling sibling of SemDeDup's
+    * keep-one-exemplar). Same trained quantizer as q_sim_ivf_kmeans,
+    * same exact-N machinery as q_exact_sample — composition, one
+    * corpus assignment, one per-cell window over cell-local rows. */
+  private val qTopicBalance: Q = (spark, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      centroidStep = 50, iters = 2)
+    val assigned = Similarity.ivfAssignTo(emb, "vec_id", "embedding", cent)
+      .select(col("vec_id"), col("cell"))
+    graft.operators.Curation.exactSample(assigned, "cell", col("vec_id"),
+      n = topicBalanceN, salt = topicBalanceSalt)
+      .select(col("vec_id"), col("cell"))
+  }
 
   /** Semantic dedup over the embedding corpus: survivors of the
     * keep-one-exemplar-per-neighborhood pass (members below 0.95
@@ -850,6 +871,7 @@ object ExtensionQueries {
     "q_semantic_decontam" -> qSemanticDecontam,
     "q_sim_embed_probed" -> qSimEmbedProbed,
     "q_bitext_margin"   -> qBitextMargin,
+    "q_topic_balance"   -> qTopicBalance,
     "q_embed_project"   -> qEmbedProject,
     "q_ivf_cells"       -> qIvfCells,
     "q_cell_reps"       -> qCellReps,
@@ -1465,6 +1487,15 @@ object ExtensionQueries {
           FROM b a JOIN b b2
             ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
           WHERE ${cosine2Sql("a.embedding", "b2.embedding")} >= 0.4""",
+    "q_topic_balance" ->
+      s"""WITH $ivfKmeansCtes
+          SELECT vec_id, cell FROM (
+            SELECT af.vec_id, af.cell,
+              row_number() OVER (PARTITION BY cell ORDER BY
+                CAST('0x' || substring(md5('$topicBalanceSalt:' || CAST(cell AS VARCHAR)
+                  || ':' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+                vec_id ASC) AS rn
+            FROM af) WHERE rn <= $topicBalanceN""",
     "q_bitext_margin" ->
       s"""WITH b AS (SELECT vec_id, embedding, label % 2 AS side,
               $bucketSql AS bucket FROM embeddings),
