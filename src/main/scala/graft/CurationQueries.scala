@@ -686,6 +686,26 @@ object CurationQueries {
         col("doc_tok_start"), col("win_tok_start"), col("seg_tokens"))
   }
 
+  /** Packing-efficiency report: per-source window count, packed tokens,
+    * padding waste, and fill rate (bp), aggregated from the ACTUAL pack
+    * manifest ([[Curation.packWindows]] output). The oracle is an
+    * INDEPENDENT closed form — sequential packing pads only each
+    * source's tail window, so n_windows = ⌈T/L⌉ and pad = n_windows·L −
+    * T from token totals alone; agreement proves the manifest conserves
+    * every token and splits exactly at window boundaries. */
+  private val qPackStats: Q = (spark, dir) => {
+    val L = packWindowTokens
+    Curation.packWindows(Tables.fanOut(Tables.documents(spark, dir)),
+        "source", "doc_id", Text.tokenCount(col("text")), L)
+      .groupBy(col("source"), col("window"))
+      .agg(sum(col("seg_tokens")).as("__fill"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("__fill")).as("n_tokens"),
+        (count(lit(1)) * L - sum(col("__fill"))).as("pad_tokens"),
+        expr(s"sum(__fill) * 10000 div (count(1) * $L)").as("fill_bp"))
+  }
+
   /** DoReMi-flavored domain reweighting: per-source excess loss (1 −
     * mean quality, ×1e4 integers) drives 3 multiplicative-weights
     * rounds from uniform — persistently lossy domains gain training
@@ -1030,6 +1050,7 @@ object CurationQueries {
     "q_split_by_cluster" -> qSplitByCluster,
     "q_order_e2e"      -> qOrderE2e,
     "q_domain_reweight" -> qDomainReweight,
+    "q_pack_stats"     -> qPackStats,
     "q_weighted_sample" -> qWeightedSample,
     "q_kmv_setops"     -> qKmvSetOps,
     "q_kmv_distinct"   -> qKmvDistinct,
@@ -1889,6 +1910,20 @@ object CurationQueries {
             CAST(floor(CAST(sum(b.qq) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_qq
           FROM base b JOIN eps e ON b.qq >= e.thr
           GROUP BY 1, 2, 3""",
+    "q_pack_stats" ->
+      s"""WITH t AS (SELECT source,
+            CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+          FROM documents),
+          s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot
+                FROM t WHERE n_tok > 0 GROUP BY 1)
+          SELECT source,
+            (tot + $packWindowTokens - 1) // $packWindowTokens AS n_windows,
+            tot AS n_tokens,
+            ((tot + $packWindowTokens - 1) // $packWindowTokens) * $packWindowTokens
+              - tot AS pad_tokens,
+            (tot * 10000) // (((tot + $packWindowTokens - 1) // $packWindowTokens)
+              * $packWindowTokens) AS fill_bp
+          FROM s""",
     "q_domain_reweight" ->
       s"""WITH $qualityCte,
           $reweightCtes
