@@ -263,6 +263,39 @@ object CurationQueries {
     graft.streaming.Streaming.scorecardSnapshot(spark, state, "source", nBuckets = 20)
   }
 
+  /** ST23 — streaming mixture control: three deliveries (doc_id % 3 =
+    * 0, 1, 2, mtime-pinned order), each advancing the mixture-weight
+    * simplex by one multiplicative-weights step from the per-source
+    * excess loss measured on THAT batch — adaptive data mixing while
+    * training runs ([[graft.streaming.Streaming.runStreamingReweight]]).
+    * The drained weights must equal the batch replay: the oracle
+    * re-derives the uniform seed and all three MW rounds in SQL. */
+  private val qSt23StreamReweight: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("text"))
+    val in = graft.io.TempDirs.registered("graft-q-st23-in").toString
+    val state = graft.io.TempDirs.registered("graft-q-st23-state").toString
+    val ckpt = graft.io.TempDirs.registered("graft-q-st23-ckpt").toString
+    val seen = scala.collection.mutable.Set[String]()
+    Seq(0L, 1L, 2L).zipWithIndex.foreach { case (r, s) =>
+      docs.filter(pmod(col("doc_id"), lit(3L)) === r)
+        .coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles().foreach { f =>
+        if (!seen.contains(f.getName)) {
+          if (f.getName.startsWith("part-"))
+            f.setLastModified(1700000000000L + s * 60000L)
+          seen += f.getName
+        }
+      }
+    }
+    val src = graft.streaming.Streaming.parquetSource(spark, in, docs.schema,
+      maxFilesPerTrigger = 1)
+    graft.streaming.Streaming.runStreamingReweight(src, "source",
+      floor(Text.qualityScore(col("text")) * 10000.0 + 0.5),
+      reweightEtaDen, 10000L, state, ckpt)
+    graft.streaming.Streaming.sgdWeights(spark, state)
+  }
+
   /** As-of join: every purchase event picks the latest strictly-prior
     * click of the same user (null payload when no click precedes). */
   private val qAsofJoin: Q = (spark, dir) => {
@@ -1051,6 +1084,7 @@ object CurationQueries {
     "q_order_e2e"      -> qOrderE2e,
     "q_domain_reweight" -> qDomainReweight,
     "q_pack_stats"     -> qPackStats,
+    "q_st23_stream_reweight" -> qSt23StreamReweight,
     "q_weighted_sample" -> qWeightedSample,
     "q_kmv_setops"     -> qKmvSetOps,
     "q_kmv_distinct"   -> qKmvDistinct,
@@ -1193,17 +1227,22 @@ object CurationQueries {
        FROM chg"""
 
   /** One largest-remainder normalization round in SQL: `inTbl(source,
-    * loss_u, r)` → `outTbl(source, loss_u, w)` with Σw = 10000 — the
-    * oracle mirror of [[Curation]]'s normalizeBp, unrolled per MW round. */
-  private def reweightNormSql(inTbl: String, outTbl: String): String =
-    s"""n_$outTbl AS (SELECT source, loss_u, r,
+    * <carry...>, r)` → `outTbl(source, <carry...>, w)` with Σw = 10000 —
+    * the oracle mirror of [[Curation]]'s normalizeBp, unrolled per MW
+    * round (batch reweighting carries `loss_u`; the streaming form
+    * carries nothing because each round has its own loss table). */
+  private def reweightNormSql(inTbl: String, outTbl: String,
+                              carry: Seq[String] = Seq("loss_u")): String = {
+    val c = ("source" +: carry).mkString(", ")
+    s"""n_$outTbl AS (SELECT $c, r,
           (r * 10000) // (sum(r) OVER ()) AS fl,
           (r * 10000) % (sum(r) OVER ()) AS rem
         FROM $inTbl),
         r_$outTbl AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
           10000 - sum(fl) OVER () AS short FROM n_$outTbl),
-        $outTbl AS (SELECT source, loss_u,
+        $outTbl AS (SELECT $c,
           fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS w FROM r_$outTbl)"""
+  }
 
   /** The full unrolled MW chain: uniform init, then `reweightRounds`
     * rounds of w ← normalize(w·(scale+loss)/scale). */
@@ -1223,6 +1262,35 @@ object CurationQueries {
             / count(*) + 0.5) AS BIGINT) AS loss_u
         FROM scored GROUP BY 1),
         $steps"""
+  }
+
+  /** ST23 oracle: the batch replay of the streaming MW control loop —
+    * per-residue loss tables, a uniform seed over delivery-0 strata,
+    * then one MW step per delivery in delivery order. Shares
+    * [[reweightNormSql]] so the normalization can never drift from the
+    * batch reweighting oracle. */
+  private lazy val streamReweightOracle: String = {
+    val scale = reweightEtaDen * 10000L
+    def lossCte(r: Int) =
+      s"""b$r AS (SELECT source,
+          10000 - CAST(floor(CAST(sum(CAST(floor(q * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / count(*) + 0.5) AS BIGINT) AS loss_u
+        FROM scored WHERE doc_id % 3 = $r GROUP BY 1)"""
+    def step(inW: String, lossTbl: String, outP: String, outW: String) =
+      s"""$outP AS (SELECT u.source,
+            (u.w * ($scale + coalesce(b.loss_u, 0))) // $scale AS r
+          FROM $inW u LEFT JOIN $lossTbl b ON u.source = b.source),
+          ${reweightNormSql(outP, outW, carry = Nil)}"""
+    s"""WITH $qualityCte,
+        ${lossCte(0)},
+        ${lossCte(1)},
+        ${lossCte(2)},
+        i0 AS (SELECT source, CAST(1 AS BIGINT) AS r FROM b0),
+        ${reweightNormSql("i0", "u0", carry = Nil)},
+        ${step("u0", "b0", "p0", "w0")},
+        ${step("w0", "b1", "p1", "w1")},
+        ${step("w1", "b2", "p2", "w2")}
+        SELECT source, CAST(w AS BIGINT) AS w_bp FROM w2"""
   }
 
   /** Mixture-E2E oracle, split for reuse: the CTE chain (train split →
@@ -1924,6 +1992,7 @@ object CurationQueries {
             (tot * 10000) // (((tot + $packWindowTokens - 1) // $packWindowTokens)
               * $packWindowTokens) AS fill_bp
           FROM s""",
+    "q_st23_stream_reweight" -> streamReweightOracle,
     "q_domain_reweight" ->
       s"""WITH $qualityCte,
           $reweightCtes

@@ -732,8 +732,8 @@ object Curation {
     * shortfall goes to the largest remainders (stratum-asc tiebreak).
     * Runs entirely on the bounded plan table — the window is
     * single-partition by design, never the corpus. */
-  private def normalizeBp(df: DataFrame, stratumCol: String,
-                          rawCol: String): DataFrame = {
+  private[graft] def normalizeBp(df: DataFrame, stratumCol: String,
+                                 rawCol: String): DataFrame = {
     val tot = df.agg(sum(col(rawCol)).as("__tot"))
     val scaled = df.crossJoin(broadcast(tot))
       .withColumn("__floor_bp", expr(s"$rawCol * 10000 div __tot"))

@@ -1289,6 +1289,61 @@ object Streaming {
     q.awaitTermination()
   }
 
+  // ---------------------------------------------------------------------
+  // ST23 — streaming mixture control (adaptive data reweighting): each
+  // micro-batch measures its own per-stratum excess loss and advances
+  // the mixture weights by ONE multiplicative-weights step — the
+  // streaming form of [[graft.operators.Curation.reweightMixture]], so a
+  // training run's data mix adapts to the quality it actually receives.
+  // State is the |strata|-row weight simplex, versioned exactly like the
+  // SGD model (w<id> dirs; a replayed trigger recomputes the same step
+  // from the same predecessor and overwrites itself — idempotent). The
+  // first delivery seeds the simplex uniform over ITS strata (the
+  // stratum universe is pinned by delivery 0, documented contract);
+  // strata absent from a later batch carry zero excess loss, i.e. keep
+  // their weight through that round up to renormalization. Order
+  // sensitivity is inherent (as with SGD) and pinned by the checkpoint.
+  // ---------------------------------------------------------------------
+  def runStreamingReweight(src: DataFrame, stratumCol: String, qqCol: Column,
+                           etaDen: Long, lossScale: Long,
+                           stateRoot: String, checkpointPath: String): Unit = {
+    import org.apache.spark.sql.types.LongType
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val losses = batch
+            .select(col(stratumCol), qqCol.cast(LongType).as("__qq"))
+            .groupBy(col(stratumCol))
+            .agg((lit(lossScale)
+              - floor(sum(col("__qq")).cast("double") / count(lit(1)) + 0.5)
+                  .cast(LongType)).as("loss_u"))
+          val prev = sgdWeightVersions(stateRoot).filter(_ < id).sorted.lastOption match {
+            case Some(v) => spark.read.parquet(s"$stateRoot/w$v")
+            case None =>
+              graft.operators.Curation.normalizeBp(
+                losses.select(col(stratumCol)).distinct()
+                  .withColumn("__raw", lit(1L)),
+                stratumCol, "__raw")
+          }
+          val scale = etaDen * lossScale
+          val next = graft.operators.Curation.normalizeBp(
+            prev.join(losses, Seq(stratumCol), "left")
+              .withColumn("__raw",
+                expr(s"w_bp * ($scale + coalesce(loss_u, 0)) div $scale"))
+              .drop("loss_u", "w_bp"),
+            stratumCol, "__raw")
+          next.coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/w$id")
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   private def sgdWeightVersions(stateRoot: String): Seq[Long] =
     Option(new java.io.File(stateRoot).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("w"))

@@ -670,6 +670,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ST23: streaming MW weights stay a simplex and favor the persistently lossy stratum") {
+    val in = tmp("graft-st23-in")
+    val state = tmp("graft-st23-state")
+    val ckpt = tmp("graft-st23-ckpt")
+    // stratum "bad" carries low quality (qq=2000) in EVERY delivery,
+    // "good" high (qq=9000) — MW must shift weight toward "bad"
+    for (b <- 1 to 3) {
+      (1 to 10).flatMap(i => Seq(("bad", 2000L), ("good", 9000L)))
+        .toDF("source", "qq").coalesce(1).write.parquet(s"$in/b$b")
+    }
+    val schema = spark.read.parquet(s"$in/b1").schema
+    val src = Streaming.parquetSource(spark, s"$in/*", schema, maxFilesPerTrigger = 1)
+    Streaming.runStreamingReweight(src, "source", col("qq"),
+      etaDen = 2L, lossScale = 10000L, stateRoot = state, checkpointPath = ckpt)
+    val w = Streaming.sgdWeights(spark, state)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w.values.sum == 10000L, s"simplex after drain: $w")
+    assert(w("bad") > w("good"), s"lossy stratum must gain weight: $w")
+    assert(w("bad") > 5000L, s"three MW rounds from uniform must tip past half: $w")
+    // every trigger committed a versioned simplex
+    val versions = new java.io.File(state).listFiles().filter(_.getName.startsWith("w"))
+    assert(versions.length == 3, s"one weight version per delivery: ${versions.toSeq}")
+  }
+
   test("mergedSnapshot skips an uncommitted (crashed partial) version dir") {
     import graft.io.TempDirs
     val state = TempDirs.registered("graft-snap-partial").toString
