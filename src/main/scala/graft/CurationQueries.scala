@@ -44,6 +44,8 @@ object CurationQueries {
   private val orderE2eSalt = "orde2e" // terminal shard-order seed
   private val reweightRounds = 3      // MW domain-reweighting rounds
   private val reweightEtaDen = 2L     // eta = 1/2 in loss fixed-point
+  private val lenBucketWidth = 32L    // token-length bucket (matches q_len_hist)
+  private val lenBatchB = 8           // docs per training batch
 
   // =====================================================================
   // Spark queries
@@ -719,6 +721,15 @@ object CurationQueries {
         col("doc_tok_start"), col("win_tok_start"), col("seg_tokens"))
   }
 
+  /** Length-bucketed batching: fixed-size training batches formed
+    * within 32-token length buckets, with the per-batch padding report
+    * ([[Curation.lenBatches]]) — each member pads only to its own
+    * batch max, the dynamic-batching alternative to padding every
+    * batch to a global context length. */
+  private val qLenBatching: Q = (spark, dir) =>
+    Curation.lenBatches(Tables.fanOut(Tables.documents(spark, dir)),
+      "doc_id", Text.tokenCount(col("text")), lenBucketWidth, lenBatchB)
+
   /** Packing-efficiency report: per-source window count, packed tokens,
     * padding waste, and fill rate (bp), aggregated from the ACTUAL pack
     * manifest ([[Curation.packWindows]] output). The oracle is an
@@ -1085,6 +1096,7 @@ object CurationQueries {
     "q_domain_reweight" -> qDomainReweight,
     "q_pack_stats"     -> qPackStats,
     "q_st23_stream_reweight" -> qSt23StreamReweight,
+    "q_len_batching"   -> qLenBatching,
     "q_weighted_sample" -> qWeightedSample,
     "q_kmv_setops"     -> qKmvSetOps,
     "q_kmv_distinct"   -> qKmvDistinct,
@@ -1993,6 +2005,19 @@ object CurationQueries {
               * $packWindowTokens) AS fill_bp
           FROM s""",
     "q_st23_stream_reweight" -> streamReweightOracle,
+    "q_len_batching" ->
+      s"""WITH t AS (SELECT doc_id,
+            CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok
+          FROM documents),
+          b AS (SELECT doc_id, tok, tok // $lenBucketWidth AS bucket,
+            row_number() OVER (PARTITION BY tok // $lenBucketWidth
+              ORDER BY tok ASC, doc_id ASC) AS rn
+          FROM t)
+          SELECT bucket, (rn - 1) // $lenBatchB AS batch,
+            count(*) AS n_docs, max(tok) AS batch_max,
+            CAST(sum(tok) AS BIGINT) AS n_tokens,
+            max(tok) * count(*) - CAST(sum(tok) AS BIGINT) AS pad_tokens
+          FROM b GROUP BY 1, 2""",
     "q_domain_reweight" ->
       s"""WITH $qualityCte,
           $reweightCtes

@@ -726,6 +726,37 @@ object Curation {
       e -> math.round((q0 + (q1 - q0) * f) * 10000.0)
     }
 
+  /** Length-bucketed batching: group documents into fixed-size training
+    * batches WITHIN token-length buckets (ascending length, id
+    * tiebreak), so every batch pads each member only to its own batch
+    * max — the dynamic-batching move that cuts padding waste versus
+    * batching in arrival order. Returns the per-(bucket, batch) padding
+    * report: member count, batch max, packed tokens, pad tokens.
+    *
+    * Scale shape: one exchange keyed by bucket, then a per-bucket sort
+    * for the deterministic batch numbering. The GLOBAL numbering is a
+    * determinism/oracle convenience — padding only depends on which
+    * same-bucket docs share a batch, so a 100 TB deployment may instead
+    * form B-sized batches per partition after the same bucket exchange
+    * (equally padded, no bucket-wide sort) if a hot length bucket ever
+    * dominates a reducer. */
+  def lenBatches(df: DataFrame, idCol: String, tokCol: Column,
+                 bucketWidth: Long, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      s"bucketWidth/batchSize must be >= 1, got $bucketWidth/$batchSize")
+    val base = df.select(col(idCol), tokCol.cast(LongType).as("__tok"))
+      .withColumn("bucket", expr(s"__tok div $bucketWidth"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("__tok").asc, col(idCol).asc)
+    base.withColumn("__rn", row_number().over(w))
+      .withColumn("batch", expr(s"(__rn - 1) div $batchSize"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("__tok")).as("batch_max"),
+        sum(col("__tok")).as("n_tokens"),
+        (max(col("__tok")) * count(lit(1)) - sum(col("__tok"))).as("pad_tokens"))
+  }
+
   /** Normalize a |strata|-row positive integer `raw` column to exactly
     * 10000 basis points by largest remainder (the temperatureTargets
     * normalization, factored for reuse): floor shares first, then the

@@ -603,6 +603,26 @@ class CurationSpec extends SparkSpec {
     assert(s.map(_._2) == s.map(_._2).sorted)
   }
 
+  test("lenBatches: batches stay bucket-pure, sized <= B, and pad only to their own max") {
+    // lengths 1..100: buckets 0/1/2/3 (width 32), batch size 4
+    val docs = (1L to 100L).map(i => (i, i)).toDF("id", "tok")
+    val out = Curation.lenBatches(docs, "id", col("tok"), 32L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // every doc lands in exactly one batch
+    assert(out.map(_._3).sum == 100L)
+    out.foreach { case (bucket, _, n, bmax, ntok, pad) =>
+      assert(n <= 4, "batch size cap")
+      assert(bmax / 32L == bucket, "batch max stays inside its bucket")
+      assert(pad == bmax * n - ntok, "pad accounting")
+    }
+    // ascending-length batching of consecutive integers: each full batch
+    // spans 4 consecutive lengths -> pad = 3+2+1 = 6
+    val fulls = out.filter(_._3 == 4)
+    assert(fulls.nonEmpty && fulls.forall(_._6 == 6L),
+      s"consecutive-length batches pad exactly 6: ${fulls.toSeq}")
+  }
+
   test("reweightMixture: weights stay a 10000-bp simplex, lossier domains gain, uniform loss stays uniform") {
     import org.apache.spark.sql.types.LongType
     val losses = Seq(("a", 8000L), ("b", 4000L), ("c", 1000L), ("d", 1000L))
