@@ -46,6 +46,9 @@ object CurationQueries {
   private val reweightEtaDen = 2L     // eta = 1/2 in loss fixed-point
   private val lenBucketWidth = 32L    // token-length bucket (matches q_len_hist)
   private val lenBatchB = 8           // docs per training batch
+  private val wfBudget = 40000L       // waterfill: token budget...
+  private val wfMaxEpochs = 1         // ...under the no-repeat cap
+  private val wfRounds = 3
 
   // =====================================================================
   // Spark queries
@@ -721,6 +724,15 @@ object CurationQueries {
         col("doc_tok_start"), col("win_tok_start"), col("seg_tokens"))
   }
 
+  /** Waterfill mixture solve: τ=0.5 temperature targets under the
+    * no-repeat cap (target ≤ available) — small sources cap at their
+    * availability and the surplus redistributes to sources with
+    * headroom across 3 rounds ([[Curation.waterfillTargets]]). */
+  private val qMixSolve: Q = (spark, dir) =>
+    Curation.waterfillTargets(Tables.fanOut(Tables.documents(spark, dir)),
+      "source", Text.tokenCount(col("text")), 0.5, wfBudget, wfMaxEpochs,
+      wfRounds)
+
   /** Length-bucketed batching: fixed-size training batches formed
     * within 32-token length buckets, with the per-batch padding report
     * ([[Curation.lenBatches]]) — each member pads only to its own
@@ -1097,6 +1109,7 @@ object CurationQueries {
     "q_pack_stats"     -> qPackStats,
     "q_st23_stream_reweight" -> qSt23StreamReweight,
     "q_len_batching"   -> qLenBatching,
+    "q_mix_solve"      -> qMixSolve,
     "q_weighted_sample" -> qWeightedSample,
     "q_kmv_setops"     -> qKmvSetOps,
     "q_kmv_distinct"   -> qKmvDistinct,
@@ -2005,6 +2018,28 @@ object CurationQueries {
               * $packWindowTokens) AS fill_bp
           FROM s""",
     "q_st23_stream_reweight" -> streamReweightOracle,
+    "q_mix_solve" -> {
+      def round(k: Int) =
+        s"""t$k AS (SELECT
+              CAST(coalesce(sum(rawq) FILTER (WHERE asg < cap), 0) AS BIGINT) AS totq,
+              $wfBudget - CAST(sum(asg) AS BIGINT) AS rem FROM a${k - 1}),
+            a$k AS (SELECT source, avail, rawq, cap,
+              least(cap, asg + CASE WHEN asg < cap AND totq > 0
+                THEN (rem * rawq) // totq ELSE 0 END) AS asg
+            FROM a${k - 1}, t$k)"""
+      s"""WITH av AS (SELECT source,
+            CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS avail
+          FROM documents GROUP BY 1),
+          a0 AS (SELECT source, avail,
+            CAST(round(sqrt(CAST(avail AS DOUBLE)) * 1000000) AS BIGINT) AS rawq,
+            avail * $wfMaxEpochs AS cap, CAST(0 AS BIGINT) AS asg
+          FROM av),
+          ${(1 to wfRounds).map(round).mkString(",\n          ")}
+          SELECT source, avail AS avail_tokens, cap AS cap_tokens,
+            asg AS target_tokens, asg = cap AS capped,
+            (SELECT $wfBudget - CAST(sum(asg) AS BIGINT) FROM a$wfRounds) AS unassigned
+          FROM a$wfRounds"""
+    },
     "q_len_batching" ->
       s"""WITH t AS (SELECT doc_id,
             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok

@@ -726,6 +726,57 @@ object Curation {
       e -> math.round((q0 + (q1 - q0) * f) * 10000.0)
     }
 
+  /** Waterfill mixture allocation — temperature targets under per-source
+    * availability caps, for the NO-REPEAT regime ([[epochize]]'s exact
+    * complement: epochize satisfies an over-availability target by
+    * repeating docs; waterfill instead redistributes the excess to
+    * sources that still have headroom). Each round gives every ACTIVE
+    * (uncapped) source its rawq-proportional share of the remaining
+    * budget, clamps at the cap, and retires capped sources; unplaced
+    * budget after `rounds` rounds is reported, not silently dropped.
+    * All arithmetic is integer floor-division on the ×1e6 quantized
+    * temperature weights, so the allocation is engine-exact
+    * (fixed-point headroom: rem·rawq must stay under 2^63 — at the
+    * 1e6-token budgets used here that is ~7e14, 13k× headroom; a
+    * 100 TB deployment re-scales the weight quantum accordingly).
+    *
+    * Scale shape: one corpus aggregate for availability, then pure
+    * |strata|-row rounds of broadcast scalars — the corpus is touched
+    * exactly once. */
+  def waterfillTargets(df: DataFrame, stratumCol: String, tokCol: Column,
+                       tau: Double, budgetTokens: Long, maxEpochs: Int,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && maxEpochs >= 1,
+      s"rounds/maxEpochs must be >= 1, got $rounds/$maxEpochs")
+    val avail = df.groupBy(col(stratumCol))
+      .agg(sum(tokCol.cast(LongType)).as("avail_tokens"))
+    val raw =
+      if (tau == 0.5) sqrt(col("avail_tokens").cast(DoubleType))
+      else pow(col("avail_tokens").cast(DoubleType), lit(tau))
+    var cur = avail
+      .withColumn("__rawq", round(raw * 1e6).cast(LongType))
+      .withColumn("cap_tokens", col("avail_tokens") * maxEpochs)
+      .withColumn("assigned", lit(0L))
+    for (_ <- 1 to rounds) {
+      val tot = cur.filter(col("assigned") < col("cap_tokens"))
+        .agg(coalesce(sum(col("__rawq")), lit(0L)).as("__totq"))
+      val rem = cur.agg((lit(budgetTokens) - sum(col("assigned"))).as("__rem"))
+      cur = cur.crossJoin(broadcast(tot)).crossJoin(broadcast(rem))
+        .withColumn("__share",
+          when(col("assigned") < col("cap_tokens") && col("__totq") > 0,
+            expr("__rem * __rawq div __totq")).otherwise(lit(0L)))
+        .withColumn("assigned",
+          least(col("cap_tokens"), col("assigned") + col("__share")))
+        .drop("__totq", "__rem", "__share")
+    }
+    val un = cur.agg((lit(budgetTokens) - sum(col("assigned"))).as("unassigned"))
+    cur.crossJoin(broadcast(un))
+      .select(col(stratumCol), col("avail_tokens"), col("cap_tokens"),
+        col("assigned").as("target_tokens"),
+        (col("assigned") === col("cap_tokens")).as("capped"),
+        col("unassigned"))
+  }
+
   /** Length-bucketed batching: group documents into fixed-size training
     * batches WITHIN token-length buckets (ascending length, id
     * tiebreak), so every batch pads each member only to its own batch

@@ -603,6 +603,34 @@ class CurationSpec extends SparkSpec {
     assert(s.map(_._2) == s.map(_._2).sorted)
   }
 
+  test("waterfillTargets: caps respected, surplus redistributes, budget conserved") {
+    // source "s" tiny (caps immediately), "m"/"l" roomy; budget forces
+    // the small source's surplus onto the others
+    val docs = (Seq.fill(10)(("s", 10L)) ++ Seq.fill(100)(("m", 10L))
+      ++ Seq.fill(400)(("l", 10L)))
+      .zipWithIndex.map { case ((src, n), i) => (i.toLong, src, n) }
+      .toDF("id", "source", "n")
+    val out = Curation.waterfillTargets(docs, "source", col("n"),
+        tau = 0.5, budgetTokens = 3000L, maxEpochs = 1, rounds = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5)))
+      .toMap
+    // avail: s=100, m=1000, l=4000; proportional-to-sqrt shares of 3000
+    // give s ~430 >> its 100-cap, so s must cap and its surplus flow on
+    assert(out("s")._4 && out("s")._3 == 100L, s"tiny source caps at avail: $out")
+    out.values.foreach { case (avail, cap, tgt, capped, _) =>
+      assert(tgt <= cap && cap == avail, "no-repeat cap respected")
+      assert(capped == (tgt == cap))
+    }
+    val assigned = out.values.map(_._3).sum
+    val un = out.values.head._5
+    assert(assigned + un == 3000L, s"budget conserved: $assigned + $un")
+    assert(un < 100L, s"3 rounds should place nearly everything: $un left")
+    // the roomy sources absorb the redistributed surplus beyond their
+    // first-round proportional share (sqrt weights: s .136, m .43, l .86 of 1e6·√10·…)
+    assert(out("l")._3 > out("m")._3, "larger source takes the larger share")
+  }
+
   test("lenBatches: batches stay bucket-pure, sized <= B, and pad only to their own max") {
     // lengths 1..100: buckets 0/1/2/3 (width 32), batch size 4
     val docs = (1L to 100L).map(i => (i, i)).toDF("id", "tok")
