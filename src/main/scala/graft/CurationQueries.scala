@@ -724,6 +724,29 @@ object CurationQueries {
         col("doc_tok_start"), col("win_tok_start"), col("seg_tokens"))
   }
 
+  /** Train→val n-gram coverage: the fraction of each source's distinct
+    * validation 3-grams that also occur anywhere in the train split —
+    * the generalization-gap data metric (coverage near 10000 bp means
+    * val mostly re-tests memorized surface forms; low coverage means a
+    * genuinely novel eval slice). One gram-keyed join between two
+    * distinct-gram relations; coverage lands as an integer bp ratio. */
+  private val qNgramCoverage: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .withColumn("split", ScaleQueries.splitColumn)
+    val trainG = Similarity.shingles(docs.filter(col("split") === "train"),
+        "doc_id", "text", shingleN)
+      .select(col("shingle")).distinct()
+    val valG = Similarity.shingles(docs.filter(col("split") === "val"),
+        "doc_id", "text", shingleN)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("shingle")).distinct()
+    valG.join(trainG.withColumn("__hit", lit(1L)), Seq("shingle"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_val_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_covered"))
+      .withColumn("coverage_bp", expr("n_covered * 10000 div n_val_grams"))
+  }
+
   /** Waterfill mixture solve: τ=0.5 temperature targets under the
     * no-repeat cap (target ≤ available) — small sources cap at their
     * availability and the surplus redistributes to sources with
@@ -1110,6 +1133,7 @@ object CurationQueries {
     "q_st23_stream_reweight" -> qSt23StreamReweight,
     "q_len_batching"   -> qLenBatching,
     "q_mix_solve"      -> qMixSolve,
+    "q_ngram_coverage" -> qNgramCoverage,
     "q_weighted_sample" -> qWeightedSample,
     "q_kmv_setops"     -> qKmvSetOps,
     "q_kmv_distinct"   -> qKmvDistinct,
@@ -2018,6 +2042,22 @@ object CurationQueries {
               * $packWindowTokens) AS fill_bp
           FROM s""",
     "q_st23_stream_reweight" -> streamReweightOracle,
+    "q_ngram_coverage" ->
+      s"""WITH tk AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS t,
+            ${ScaleQueries.splitCaseSql} AS split
+          FROM documents),
+          shv AS (SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS g
+            FROM tk, unnest(range(1, greatest(len(t)-1, 1))) AS u(i)
+            WHERE split = 'val' AND array_to_string(t[i:i+2], ' ') <> ''),
+          sht AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS g
+            FROM tk, unnest(range(1, greatest(len(t)-1, 1))) AS u(i)
+            WHERE split = 'train' AND array_to_string(t[i:i+2], ' ') <> '')
+          SELECT v.source, count(*) AS n_val_grams,
+            CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+            (CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+              // count(*) AS coverage_bp
+          FROM shv v LEFT JOIN sht t ON v.g = t.g
+          GROUP BY 1""",
     "q_mix_solve" -> {
       def round(k: Int) =
         s"""t$k AS (SELECT
