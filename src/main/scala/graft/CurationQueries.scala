@@ -724,6 +724,23 @@ object CurationQueries {
         col("doc_tok_start"), col("win_tok_start"), col("seg_tokens"))
   }
 
+  /** Cross-source near-dup matrix: for every unordered SOURCE pair, the
+    * count and strength of near-duplicate pairs straddling them — the
+    * provenance-contamination map that shows which domains mirror each
+    * other's content (same-source dups are expected and excluded; a hot
+    * cross-source cell means one crawl re-hosts another). Pure reuse of
+    * [[Curation.splitLeakage]] keyed on `source` instead of the split. */
+  private val qDupMatrix: Q = (spark, dir) => {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val pairs = Similarity.lshJaccard(docs, "doc_id", "text",
+      shingleN, ExtensionQueries.minhashN, ExtensionQueries.rowsPerBand,
+      ExtensionQueries.lshBucketCap, ExtensionQueries.jaccardThreshold)
+    Curation.splitLeakage(pairs,
+        docs.select(col("doc_id"), col("source")), "doc_id", "source")
+      .select(col("split_lo").as("source_lo"), col("split_hi").as("source_hi"),
+        col("n_pairs"), col("max_sim"), col("mean_sim"))
+  }
+
   /** Train→val n-gram coverage: the fraction of each source's distinct
     * validation 3-grams that also occur anywhere in the train split —
     * the generalization-gap data metric (coverage near 10000 bp means
@@ -1134,6 +1151,7 @@ object CurationQueries {
     "q_len_batching"   -> qLenBatching,
     "q_mix_solve"      -> qMixSolve,
     "q_ngram_coverage" -> qNgramCoverage,
+    "q_dup_matrix"     -> qDupMatrix,
     "q_weighted_sample" -> qWeightedSample,
     "q_kmv_setops"     -> qKmvSetOps,
     "q_kmv_distinct"   -> qKmvDistinct,
@@ -2042,6 +2060,20 @@ object CurationQueries {
               * $packWindowTokens) AS fill_bp
           FROM s""",
     "q_st23_stream_reweight" -> streamReweightOracle,
+    "q_dup_matrix" ->
+      s"""WITH ${ExtensionQueries.lshJaccardCtes},
+          sp AS (SELECT doc_id, source FROM documents)
+          SELECT least(sa.source, sb.source) AS source_lo,
+                 greatest(sa.source, sb.source) AS source_hi,
+                 count(*) AS n_pairs,
+                 round(max(p.jaccard), 4) AS max_sim,
+                 round(CAST(sum(CAST(floor(p.jaccard * 1e4 + 0.5) AS BIGINT))
+                     AS BIGINT) / 1e4 / count(*), 4) AS mean_sim
+          FROM lsh_pairs p
+            JOIN sp sa ON p.id_a = sa.doc_id
+            JOIN sp sb ON p.id_b = sb.doc_id
+          WHERE sa.source <> sb.source
+          GROUP BY 1, 2""",
     "q_ngram_coverage" ->
       s"""WITH tk AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS t,
             ${ScaleQueries.splitCaseSql} AS split
