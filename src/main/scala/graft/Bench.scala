@@ -74,25 +74,48 @@ object Bench {
     sentinel() // warmup (JIT/codegen)
     spark.catalog.clearCache()
     val sweepStartMs = System.currentTimeMillis
-    val sentStart = sentinel()
-    var sentMiddle = -1.0 // -1 = not run (subset sweeps of <2 queries)
+    // DENSE sentinel schedule — one fixed-work point every `sentEvery`
+    // queries, not just start/middle/end: a contended driver box shows
+    // up as inflated sentinels exactly where the inflated queries sit,
+    // so the artifact LOCALIZES contention query-by-query and the 2×
+    // gate can be read contention-adjusted without manual re-runs
+    // (round 18 needed 13 by-hand re-measures to quantify what three
+    // sentinels could only flag). ~11 points on a full 270-query sweep.
+    val sentEvery = 25
+    // (query index the sentinel precedes, sweep offset ms, seconds)
+    val sentPoints = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+    def recordSentinel(i: Int): Unit =
+      sentPoints += ((i, System.currentTimeMillis - sweepStartMs, sentinel()))
+    recordSentinel(0)
     val startMs = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results = sel.zipWithIndex.map { case ((name, fn), i) =>
-      if (sel.size > 1 && i == sel.size / 2) sentMiddle = sentinel()
+      if (sel.size > 1 && i > 0 && i % sentEvery == 0) recordSentinel(i)
       startMs(name) = System.currentTimeMillis - sweepStartMs
       val t0 = System.nanoTime()
       runOnce(name, fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val sentEnd = sentinel()
+    recordSentinel(sel.size)
+    val sentStart = sentPoints.head._3
+    val sentEnd = sentPoints.last._3
+    // legacy middle = the interior point nearest the sweep midpoint
+    // (-1 when a subset sweep is too short to have one)
+    val interior = sentPoints.toSeq.drop(1).dropRight(1)
+    val sentMiddle =
+      if (interior.isEmpty) -1.0
+      else interior.minBy(p => math.abs(p._1 - sel.size / 2))._3
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val starts = startMs.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sents = sentPoints.map { case (i, off, s) =>
+      s"""{"at_query":$i,"offset_ms":$off,"sec":$s}""" }
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","sweep_start_epoch_ms":$sweepStartMs,"query_start_offset_ms":$starts""" +
-      s""","sentinel_sec":{"start":$sentStart,"middle":$sentMiddle,"end":$sentEnd}}"""
+      s""","sentinel_sec":{"start":$sentStart,"middle":$sentMiddle,"end":$sentEnd}""" +
+      s""","sentinels":$sents}"""
     println(line)
     // The driver tail-truncates long stdout lines; persist the complete
     // per-query map as a file artifact too so no timing is ever lost.

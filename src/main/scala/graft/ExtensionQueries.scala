@@ -21,6 +21,31 @@ object ExtensionQueries {
   val queryVec: Seq[Double] = (0 until 64).map(d => ((d * 37 % 19) - 9) / 10.0)
   private val numPlanes = 8
   private val bitextMinMarginBp = 10200L // mined-pair margin floor: 1.02
+
+  /** Memoized embeddings-table row count per (dir, listing fingerprint)
+    * — the one scalar the adaptive-plane queries need BEFORE plan
+    * construction (the plane count shapes the expression tree, so it
+    * cannot ride the plan). Parquet count(*) reads footer metadata
+    * only; the memo makes it once per (JVM, dataset) — a production
+    * deployment reads the same number from catalog statistics. The
+    * fingerprint keys on (name, length, mtime) of the file tree, so a
+    * dataset regenerated at the same path within one JVM re-counts
+    * instead of serving a stale plane count. */
+  private val embCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embeddingsCount(spark: SparkSession, dir: String): Long =
+    embCountMemo.computeIfAbsent(
+      dir + "|" + graft.io.TempDirs.listingFingerprint(s"$dir/embeddings.parquet"),
+      _ => Long.box(Tables.embeddings(spark, dir).count())).longValue()
+
+  /** Corpus-derived hyperplane count for the embed-LSH blocked
+    * self-joins ([[Similarity.adaptivePlanes]]): equals `numPlanes` (8)
+    * through n = 8192 — every correctness/bench scale, so oracles and
+    * floors at sf0.01/sf0.1 are bit-identical to the fixed-plane form —
+    * then gains a plane per doubling, which is what keeps blocked
+    * candidates ~n·32 instead of n²/256 at probe/production scale. */
+  private def adaptivePlanesFor(spark: SparkSession, dir: String): Int =
+    Similarity.adaptivePlanes(embeddingsCount(spark, dir))
   private val topicBalanceN = 5          // members kept per k-means cell
   private val topicBalanceSalt = "tb5"
   private[graft] val minhashN = 16
@@ -260,19 +285,26 @@ object ExtensionQueries {
       emb.filter(isBench), semDecontamThreshold)
   }
 
-  /** Embedding-cosine near-dup pairs, bucket-blocked self-join. */
+  /** Embedding-cosine near-dup pairs, bucket-blocked self-join. The
+    * plane count derives from the corpus size ([[adaptivePlanesFor]]):
+    * fixed blocking is asymptotically quadratic; a plane per corpus
+    * doubling keeps the candidate relation ~n·targetPerBucket. */
   private val qSimEmbedDedup: Q = (spark, dir) =>
     Similarity.embedNearDupPairs(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
-      numPlanes, queryVec.length, threshold = 0.4)
+      adaptivePlanesFor(spark, dir), queryVec.length, threshold = 0.4)
 
   /** Margin-based bitext mining over the embedding corpus: even labels
     * are side A, odd labels side B (the two "languages"); mined pairs
     * are per-A argmax-margin candidates clearing the margin floor
     * ([[Similarity.bitextMarginMine]] — Artetxe & Schwenk's ratio
-    * margin over LSH-blocked candidates, all-integer arithmetic). */
+    * margin over LSH-blocked candidates, all-integer arithmetic).
+    * Plane count is corpus-derived ([[adaptivePlanesFor]]) — the r18
+    * probe measured the fixed-plane candidate relation going 7.5× in
+    * the second decade; the log2(n) ladder is the engineered fix. */
   private val qBitextMargin: Q = (spark, dir) =>
     Similarity.bitextMarginMine(Tables.fanOut(Tables.embeddings(spark, dir)),
-      "vec_id", "embedding", col("label") % 2, numPlanes, queryVec.length,
+      "vec_id", "embedding", col("label") % 2,
+      adaptivePlanesFor(spark, dir), queryVec.length,
       bitextMinMarginBp)
 
   /** Multi-probe near-dup pairs: Hamming-radius-1 bucket expansion on
@@ -987,6 +1019,30 @@ object ExtensionQueries {
       s"(CASE WHEN ${dotSql("embedding", sqlList(w.toSeq))} >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
+  /** Full-width (maxPlanes) bucket: plane p's weights depend only on p,
+    * so the adaptive P-plane bucket is this string's P-prefix. */
+  private val bucketSqlMax: String =
+    Similarity.hyperplaneWeights(16, queryVec.length).map { w =>
+      s"(CASE WHEN ${dotSql("embedding", sqlList(w.toSeq))} >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  /** The adaptive-plane ladder from count(*) — the integer mirror of
+    * [[Similarity.adaptivePlanes]](n, base=8, maxPlanes=16,
+    * targetPerBucket=32): +1 plane for each doubling past 32·2^8. */
+  private val adaptivePlanesSql: String =
+    "8 " + (8 until 16).map(j =>
+      s"+ (CASE WHEN n > ${32L << j} THEN 1 ELSE 0 END)").mkString(" ")
+
+  /** CTE pair `np(p)` + `b(vec_id, embedding, bucket)` blocking on the
+    * adaptive-prefix bucket — shared by the embed-dedup and bitext
+    * oracles. */
+  private val adaptiveBucketCte: String =
+    s"""np AS (SELECT $adaptivePlanesSql AS p
+              FROM (SELECT count(*) AS n FROM embeddings)),
+          b AS (SELECT vec_id, embedding, label,
+              substring($bucketSqlMax, 1, (SELECT p FROM np)) AS bucket
+            FROM embeddings)"""
+
   private val simhashBitSums: String =
     (0 until Similarity.simhashBits).map { j =>
       val src = if (j < 32) "v1" else "v2"
@@ -1481,7 +1537,7 @@ object ExtensionQueries {
           SELECT CAST(10 AS BIGINT) AS k, n_hits,
                  round(n_hits / 10.0, 4) AS recall FROM h""",
     "q_sim_embed_dedup" ->
-      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+      s"""WITH $adaptiveBucketCte
           SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
                  ${cosine2Sql("a.embedding", "b2.embedding")} AS cosine_sim
           FROM b a JOIN b b2
@@ -1497,12 +1553,12 @@ object ExtensionQueries {
                 vec_id ASC) AS rn
             FROM af) WHERE rn <= $topicBalanceN""",
     "q_bitext_margin" ->
-      s"""WITH b AS (SELECT vec_id, embedding, label % 2 AS side,
-              $bucketSql AS bucket FROM embeddings),
+      s"""WITH $adaptiveBucketCte,
+          bs AS (SELECT vec_id, embedding, label % 2 AS side, bucket FROM b),
           cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
               CAST(floor(${cosine2Sql("x.embedding", "y.embedding")}
                 * 1000000.0 + 0.5) AS BIGINT) AS cos_u
-            FROM b x JOIN b y ON x.bucket = y.bucket
+            FROM bs x JOIN bs y ON x.bucket = y.bucket
             WHERE x.side = 0 AND y.side = 1),
           pc AS (SELECT * FROM cand WHERE cos_u > 0),
           ax AS (SELECT id_a, CAST(sum(cos_u) AS BIGINT) AS sa, count(*) AS na

@@ -762,9 +762,20 @@ object Curation {
         .agg(coalesce(sum(col("__rawq")), lit(0L)).as("__totq"))
       val rem = cur.agg((lit(budgetTokens) - sum(col("assigned"))).as("__rem"))
       cur = cur.crossJoin(broadcast(tot)).crossJoin(broadcast(rem))
+        // Overflow guard, IN-PLAN rather than a docstring caveat: the
+        // share product __rem·__rawq silently wraps past 2^63 in
+        // non-ANSI Spark, turning a too-large budget into negative
+        // allocations. rem ≤ floor(Long.Max / rawq) ⟺ rem·rawq ≤
+        // Long.Max in integer arithmetic, so the assert is exact, costs
+        // one division on the |strata|-row plan table, and names the
+        // fix (rescale the weight quantum) instead of emitting garbage.
         .withColumn("__share",
           when(col("assigned") < col("cap_tokens") && col("__totq") > 0,
-            expr("__rem * __rawq div __totq")).otherwise(lit(0L)))
+            when(assert_true(
+                col("__rem") <= lit(Long.MaxValue) / greatest(col("__rawq"), lit(1L)),
+                lit("waterfillTargets: remaining-budget × weight product overflows " +
+                  "Long — rescale the ×1e6 weight quantum or lower budgetTokens")).isNull,
+              expr("__rem * __rawq div __totq"))).otherwise(lit(0L)))
         .withColumn("assigned",
           least(col("cap_tokens"), col("assigned") + col("__share")))
         .drop("__totq", "__rem", "__share")

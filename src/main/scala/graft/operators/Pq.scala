@@ -94,13 +94,22 @@ object Pq {
     // Like Similarity.centroids, the lattice anchors at min(id) so a
     // filtered/offset id space still trains a full codebook instead of
     // silently seeding zero codewords (dense-from-0: identical seeds).
-    // No lineage cut and no driver-side anchor collect, deliberately:
-    // both A/B-measured slower than this form — see the numbers and
-    // the ReuseExchange reasoning at Similarity.centroids.
-    val minId = emb.agg(min(col(idCol)).cast(LongType).as("__min_id"))
-    var books = emb.crossJoin(broadcast(minId))
-      .filter(pmod(col(idCol) - col("__min_id"), lit(centroidStep)) === 0 &&
-        col(idCol) - col("__min_id") < centroidStep.toLong * 256L)
+    // Anchor preference mirrors Similarity.centroids: the fingerprint-
+    // memoized literal when the input is file-backed (one blocking
+    // min() per (JVM, dataset), zero per-action seed work after),
+    // else the broadcast-subtree form — never a per-call collect or a
+    // lineage cut, both A/B-measured slower (see Similarity.centroids).
+    val seeds = Similarity.memoizedMinId(emb, idCol) match {
+      case Some(anchor) =>
+        emb.filter(pmod(col(idCol) - anchor, lit(centroidStep)) === 0 &&
+          col(idCol) - anchor < centroidStep.toLong * 256L)
+      case None =>
+        val minId = emb.agg(min(col(idCol)).cast(LongType).as("__min_id"))
+        emb.crossJoin(broadcast(minId))
+          .filter(pmod(col(idCol) - col("__min_id"), lit(centroidStep)) === 0 &&
+            col(idCol) - col("__min_id") < centroidStep.toLong * 256L)
+    }
+    var books = seeds
       .select(explode(array((0 until m).map(lit): _*)).as("sub"),
         col(idCol).as("cid"), col(vecCol).as("__v"))
       .select(col("sub"), col("cid"),

@@ -457,6 +457,32 @@ object Similarity {
       Array.tabulate(dims)(d => if ((p * 53 + d * 139 + p * d * 17) % 97 < 48) 1.0 else -1.0)
     }
 
+  /** Corpus-size-derived hyperplane count — the deployment knob that
+    * keeps LSH-blocked self-joins LINEAR instead of quadratic. A fixed
+    * plane count makes blocked candidates grow ~n²/2^planes: every 10×
+    * corpus growth multiplies per-bucket membership by 10 and pair
+    * fan-out by 100 (measured 7.5× in q_bitext_margin's second probe
+    * decade, SCALE.md round 18). Adding one plane halves candidates, so
+    * planes must track log2(n): this ladder adds a plane for each
+    * doubling of n past `targetPerBucket · 2^base`, capping expected
+    * bucket occupancy at ~targetPerBucket and blocked candidates at
+    * ~n · targetPerBucket regardless of corpus size.
+    *
+    * Pure INTEGER comparisons (n > targetPerBucket · 2^j), no log2 —
+    * a DuckDB oracle reproduces the same ladder from count(*) with
+    * CASE sums, so adaptive-plane results stay engine-exact. Because
+    * plane p's weights ([[hyperplaneWeights]]) depend only on p, the
+    * P-plane bucket is the P-prefix of the maxPlanes-plane bucket —
+    * the oracle computes the full-width bucket once and blocks on its
+    * prefix. `maxPlanes` bounds the recall trade (each plane costs
+    * boundary-crossing pairs; radius-1 multi-probe or banding recovers
+    * them when a caller needs recall at extreme scale). */
+  def adaptivePlanes(n: Long, base: Int = 8, maxPlanes: Int = 16,
+                     targetPerBucket: Long = 32L): Int = {
+    require(base >= 1 && maxPlanes >= base, s"need 1 <= base <= maxPlanes")
+    base + (base until maxPlanes).count(j => n > (targetPerBucket << j))
+  }
+
   /** Bucket of a vector column under the given hyperplanes. */
   def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
     hyperplaneBucketFor(native = false)(vec, planes)
@@ -549,34 +575,79 @@ object Similarity {
     * without it. */
   val maxTrainedCells = 64
 
+  /** Driver-side memo of the seed-anchor min(id), keyed on the
+    * CANONICALIZED input plan plus a (path, length, mtime) fingerprint
+    * of the plan's input files — so two structurally identical reads of
+    * the same bytes share one anchor, and a dataset regenerated at the
+    * same path re-anchors instead of serving a stale value. Returns
+    * None (→ caller keeps the in-plan broadcast-anchor form) when the
+    * plan has no file inputs (in-memory/streaming relations have no
+    * stable identity to key on) or the corpus is empty.
+    *
+    * Why a memo and not a per-call `.head()`: round 18 A/B-measured the
+    * per-call scalar anchor at 4.32 s vs 3.18 s for the broadcast form
+    * on q_sim_ivf_pq (two quantizer trainings per query → 2 extra
+    * blocking driver jobs per call). The memo pays that blocking job
+    * ONCE per (JVM, dataset) — exactly what a production deployment
+    * reads from catalog statistics — and every later training call gets
+    * a LITERAL anchor, which also deletes the per-action seed re-scan
+    * the broadcast subtree costs. Round-19 interleaved A/B (isolated
+    * min-of-3, same box, alternating passes): memo 3.59 s vs broadcast
+    * 3.61 s — LOCAL PARITY, because ReuseExchange already dedupes the
+    * seed subtree within a job and 2000 rows scan for free; the r18
+    * "~0.5 s residual" was box variance (that day's floor 3.18 s was
+    * unreachable by either form this day). Kept anyway: at 100 TB the
+    * broadcast form re-aggregates the CORPUS once per training action,
+    * the literal form reads a memo — strictly less work, same results.
+    * GRAFT_AB_NO_MEMO=1 forces the broadcast form for re-adjudication. */
+  private val minIdMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
+
+  private[operators] def memoizedMinId(emb: DataFrame, idCol: String): Option[Long] = {
+    val files = try emb.inputFiles catch { case _: Throwable => Array.empty[String] }
+    if (files.isEmpty) return None
+    val fp = files.iterator.map { f =>
+      val file = try new java.io.File(new java.net.URI(f))
+        catch { case _: Throwable => new java.io.File(f) }
+      s"$f|${file.length}|${file.lastModified}".hashCode.toLong
+    }.sum
+    val key = emb.queryExecution.analyzed.canonicalized.toString +
+      s"#$idCol#${java.lang.Long.toHexString(fp)}"
+    minIdMemo.computeIfAbsent(key, _ => {
+      val r = emb.agg(min(col(idCol)).cast(LongType)).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    })
+  }
+
   private def centroids(emb: DataFrame, idCol: String, vecCol: String,
                         centroidStep: Int): DataFrame = {
     // Seed lattice anchored at the corpus' MIN id: raw `id % step`
     // assumes ids dense from 0, so a filtered or offset id space would
     // train zero centroids and silently empty every downstream ANN
-    // result. The anchor is a 1-row map-combined scalar attached by
-    // broadcast; dense-from-0 corpora (minId = 0) keep bit-identical
-    // seeds, so the DuckDB oracles are unchanged.
+    // result. Dense-from-0 corpora (minId = 0) keep bit-identical
+    // seeds, so the DuckDB oracles are unchanged either way.
     //
-    // DELIBERATELY no lineage cut here, and no driver-side collect of
-    // the anchor — all three "fixes" measured SLOWER than this form on
-    // q_sim_ivf_pq idle min-of-3 (round 18 A/B, same box, same day):
-    // this form 3.18s / lazy localCheckpoint 3.63s / eager 4.3s /
-    // scalar .head() anchor 4.32s. Why: the seed subtree is consumed
-    // through broadcast exchanges that the ReuseExchange rule
-    // deduplicates WITHIN a job, so the corpus agg+filter runs ~once
-    // per action fully pipelined across cores — whereas an eager
-    // checkpoint or a .head() anchor serializes 1-2 extra blocking
-    // driver jobs per TRAINING CALL (two quantizers per IVF-PQ query),
-    // which costs more than the re-scan saves at any scale where job
-    // latency matters. At 100 TB the seed scan is one column-pruned
-    // pass of the routing relation per action — linear, not the
-    // bottleneck (training is corpus-linear regardless).
-    val minId = emb.agg(min(col(idCol)).cast(LongType).as("__min_id"))
-    emb.crossJoin(broadcast(minId))
-      .filter((col(idCol) - col("__min_id")) % centroidStep === 0 &&
-        col(idCol) - col("__min_id") < centroidStep.toLong * maxTrainedCells)
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    // Anchor preference order: (1) the fingerprint-MEMOIZED literal —
+    // one blocking min() per (JVM, dataset), then ZERO per-action seed
+    // work; (2) the broadcast-subtree anchor when the input has no
+    // file identity. Round-19 interleaved A/B measured the two at
+    // local parity (3.59 vs 3.61 s isolated min-of-3 — see
+    // memoizedMinId); the memo wins at scale because the broadcast
+    // form re-aggregates the corpus once per training action. Never a
+    // per-call `.head()` (4.32 s) or an eager/lazy localCheckpoint
+    // (4.3/3.63 s) — the round-18 A/B that ruled those out stands.
+    (if (sys.env.contains("GRAFT_AB_NO_MEMO")) None else memoizedMinId(emb, idCol)) match {
+      case Some(anchor) =>
+        emb.filter((col(idCol) - anchor) % centroidStep === 0 &&
+            col(idCol) - anchor < centroidStep.toLong * maxTrainedCells)
+          .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      case None =>
+        val minId = emb.agg(min(col(idCol)).cast(LongType).as("__min_id"))
+        emb.crossJoin(broadcast(minId))
+          .filter((col(idCol) - col("__min_id")) % centroidStep === 0 &&
+            col(idCol) - col("__min_id") < centroidStep.toLong * maxTrainedCells)
+          .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    }
   }
 
   /** Assign every vector to its max-cosine cell (ties -> lowest cid).

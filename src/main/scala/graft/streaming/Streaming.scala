@@ -1301,8 +1301,12 @@ object Streaming {
   // first delivery seeds the simplex uniform over ITS strata (the
   // stratum universe is pinned by delivery 0, documented contract);
   // strata absent from a later batch carry zero excess loss, i.e. keep
-  // their weight through that round up to renormalization. Order
-  // sensitivity is inherent (as with SGD) and pinned by the checkpoint.
+  // their weight through that round up to renormalization. Strata
+  // FIRST seen after delivery 0 are ignored by that contract — each
+  // trigger now logs them and writes their names to
+  // `stateRoot/dropped<id>`, so the case is observable in production
+  // instead of silent. Order sensitivity is inherent (as with SGD) and
+  // pinned by the checkpoint.
   // ---------------------------------------------------------------------
   def runStreamingReweight(src: DataFrame, stratumCol: String, qqCol: Column,
                            etaDen: Long, lossScale: Long,
@@ -1328,6 +1332,27 @@ object Streaming {
                 losses.select(col(stratumCol)).distinct()
                   .withColumn("__raw", lit(1L)),
                 stratumCol, "__raw")
+          }
+          // Observability for the pinned-universe contract: a stratum
+          // first appearing AFTER delivery 0 is dropped by the
+          // prev-left-join below and never gains weight — documented
+          // semantics (and what the oracle mirrors), but previously
+          // UNOBSERVABLE in production. Count and name such strata per
+          // trigger (an anti-join of two ≤|strata|-row relations; empty
+          // on the seeding trigger by construction) and persist them
+          // beside the state, so a new domain arriving mid-run surfaces
+          // in the log and on disk instead of at eval time.
+          val dropped = losses
+            .join(prev.select(col(stratumCol)), Seq(stratumCol), "left_anti")
+            .select(col(stratumCol)).collect().map(_.get(0).toString).sorted
+          if (dropped.nonEmpty) {
+            System.err.println(s"[streaming-reweight] trigger $id: " +
+              s"${dropped.length} stratum/strata outside the delivery-0 " +
+              s"universe ignored: ${dropped.mkString(",")}")
+            spark.createDataFrame(dropped.toSeq.map(Tuple1(_)))
+              .toDF(stratumCol)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$stateRoot/dropped$id")
           }
           val scale = etaDen * lossScale
           val next = graft.operators.Curation.normalizeBp(

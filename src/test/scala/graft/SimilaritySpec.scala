@@ -407,4 +407,71 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_._3 > 0L), "only positive-cosine candidates mine")
     assert(mine().toSeq == out.toSeq, "mining must be deterministic")
   }
+
+  test("adaptivePlanes ladder: +1 plane per corpus doubling, integer-exact, capped") {
+    import Similarity.adaptivePlanes
+    // base holds through every correctness/bench scale (sf0.01: 500,
+    // sf0.1: 2000) and up to target·2^base — so oracles and floors at
+    // those scales are bit-identical to the fixed-8-plane era
+    assert(adaptivePlanes(0L) == 8 && adaptivePlanes(500L) == 8 &&
+      adaptivePlanes(2000L) == 8 && adaptivePlanes(8192L) == 8)
+    // exact doubling boundaries (strict >, mirroring the SQL CASE ladder)
+    assert(adaptivePlanes(8193L) == 9 && adaptivePlanes(16384L) == 9)
+    assert(adaptivePlanes(16385L) == 10)
+    // the probe decades: 10x = 20k vectors -> 10 planes, 100x = 200k -> 13
+    assert(adaptivePlanes(20000L) == 10 && adaptivePlanes(200000L) == 13)
+    // capped: recall is bounded away from zero at any corpus size
+    assert(adaptivePlanes(Long.MaxValue) == 16)
+  }
+
+  test("adaptive bucket is the P-prefix of the 16-plane bucket (plane p depends only on p)") {
+    val vecs = (0L until 12L).map { i =>
+      (0 until 8).map(d => (((i * 29 + d * 13) % 11).toDouble - 5.0) / 5.0)
+    }
+    val w16 = Similarity.hyperplaneWeights(16, 8)
+    for (p <- Seq(8, 10, 13); v <- vecs) {
+      val wp = Similarity.hyperplaneWeights(p, 8)
+      assert(Similarity.bucketOf(v, wp) == Similarity.bucketOf(v, w16).take(p),
+        s"P=$p bucket must be the 16-plane prefix — the oracle substrings rely on it")
+    }
+  }
+
+  test("recall parity under scaled-up plane counts: planted near-dups survive P=13") {
+    // The r18 scale-killer fix: plane count now grows with the corpus
+    // (log2 ladder). This pins what that trades: with the plane count a
+    // 200k-vector corpus would use (13), planted near-duplicate pairs —
+    // tight perturbations of a shared base — must still be mined at a
+    // hard recall floor, and everything mined must clear the exact
+    // cosine threshold (precision 1.0 by construction: exact cosine
+    // verifies inside each block).
+    val planted = 40
+    val base: Long => Seq[Float] = i =>
+      (0 until 8).map(d => ((((i * 31 + d * 17) % 13).toFloat - 6.0f) / 6.0f))
+    val originals = (0L until planted.toLong).map(i => (i, base(i)))
+    val partners = originals.map { case (i, v) =>
+      (i + 1000L, v.zipWithIndex.map { case (x, d) => x + 0.01f * (d % 3) }) }
+    val fill = (2000L until 2100L).map(i => (i, base(i * 7 + 3)))
+    val df = (originals ++ partners ++ fill).toDF("id", "vec")
+    val thr = 0.98
+    def minedAt(p: Int): Set[(Long, Long)] =
+      Similarity.embedNearDupPairs(df, "id", "vec", p, 8, thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth from the driver: which planted pairs really clear thr
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      val xd = x.map(_.toDouble); val yd = y.map(_.toDouble)
+      val d = xd.zip(yd).map { case (a, b) => a * b }.sum
+      d / (math.sqrt(xd.map(a => a * a).sum) * math.sqrt(yd.map(a => a * a).sum))
+    }
+    val truth = originals.zip(partners).collect {
+      case ((i, v), (j, w)) if math.rint(cos(v, w) * 1e6) / 1e6 >= thr => (i, j)
+    }.toSet
+    assert(truth.size >= planted * 9 / 10, s"construction: ${truth.size} true pairs")
+    val at13 = minedAt(13)
+    val recall = (truth & at13).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall floor at P=13: got $recall over ${truth.size} planted pairs")
+    // parity at the base plane count: adaptive == fixed-8 for any corpus
+    // that sizes to 8 planes (every correctness/bench-scale dataset)
+    assert(minedAt(Similarity.adaptivePlanes(df.count())) == minedAt(8),
+      "adaptive-plane result must be bit-identical to fixed-8 at base-scale corpora")
+  }
 }

@@ -27,6 +27,22 @@ def main() -> None:
         args = args[:i] + args[i + 2:]
     out, passes = args[0], args[1:]
     loaded = [json.load(open(p)) for p in passes]
+    # Contention report per input pass, from the dense fixed-work
+    # sentinel schedule Bench emits: every sentinel runs the identical
+    # data-independent query, so on an idle box all points agree and
+    # the index sits at ~1.0. index = mean/min (how inflated the
+    # average sweep moment was); worst = max/min (the hottest window).
+    # A pass with index >> 1 should not be trusted as a floor source —
+    # which min-folding already enforces, but now the artifact SAYS it.
+    for path, d in zip(passes, loaded):
+        pts = d.get("sentinels") or []
+        secs = [p["sec"] for p in pts if p.get("sec", -1) > 0]
+        if len(secs) >= 2:
+            lo = min(secs)
+            idx, worst = sum(secs) / len(secs) / lo, max(secs) / lo
+            flag = "  <-- CONTENDED" if idx > 1.25 else ""
+            print(f"contention {path}: index {idx:.2f} (worst point "
+                  f"{worst:.2f}x, {len(secs)} sentinels){flag}")
     for name in replace:
         loaded[0]["queries"].pop(name, None)
     # mixed-sf passes would merge incomparable timings into one total
