@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{VecDot, WordShingles}
+import graft.plans.{QualityFeatures, VecDot, WordShingles}
 
 /** Engine extension point — register custom Catalyst expressions.
   * Activate with `spark.sql.extensions=graft.GraftExtensions` (or
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("quality_features"),
+      new ExpressionInfo(classOf[QualityFeatures].getName, "quality_features"),
+      (children: Seq[Expression]) => QualityFeatures(children.head)))
   }
 }

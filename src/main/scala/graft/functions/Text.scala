@@ -73,8 +73,43 @@ object Text {
     length(regexp_replace(c, "\\s+", "")) / greatest(tokenCount(c), lit(1)).cast(DoubleType)
 
   /** Composite quality score in [0,1]-ish: rewards alpha density and
-    * stopword presence, penalizes extreme token lengths & punctuation. */
+    * stopword presence, penalizes extreme token lengths & punctuation.
+    *
+    * When [[graft.GraftExtensions]] is registered on the active
+    * session, the six counts come from the native one-pass
+    * `quality_features` expression ([[graft.plans.QualityFeatures]]) —
+    * the regex-stack fallback re-scans the document ~5× with per-match
+    * array allocation, and was the dominant linear term of every
+    * quality-driven query (p=0.77 on q_curriculum_anneal, SCALE.md).
+    * The score ARITHMETIC is identical Column algebra over the same
+    * integer counts either way (Int/Int divisions, same between/least
+    * terms, same final round), so the two paths — and the DuckDB
+    * oracle's independent regex formulation — are bit-identical. */
   def qualityScore(c: Column): Column = {
+    val native = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(s => try s.catalog.functionExists("quality_features")
+                   catch { case _: Throwable => false })
+    if (native) {
+      val f = call_function("quality_features", c)
+      val nTok = f.getField("n_tok")
+      val nChars = greatest(f.getField("n_chars"), lit(1))
+      val enRatio = f.getField("n_stop") / greatest(nTok, lit(1))
+      val meanTok = (f.getField("n_chars") - f.getField("n_ws")) /
+        greatest(nTok, lit(1)).cast(DoubleType)
+      round(
+        (f.getField("n_alpha") / nChars) * lit(0.4)
+          + least(enRatio * lit(4.0), lit(1.0)) * lit(0.3)
+          + when(nTok.between(20, 100000), lit(0.2)).otherwise(lit(0.0))
+          + when(meanTok.between(3.0, 10.0), lit(0.1)).otherwise(lit(0.0))
+          - (f.getField("n_punct") / nChars) * lit(0.4),
+        4)
+    } else qualityScoreBuiltin(c)
+  }
+
+  /** The regex-stack formulation — the fallback for vanilla sessions
+    * and the parity mirror QualityFeaturesSpec holds the native path
+    * to (the DuckDB oracles restate THIS form independently). */
+  private[graft] def qualityScoreBuiltin(c: Column): Column = {
     val enRatio = stopwordRatio(c, englishStopwords)
     round(
       alphaRatio(c) * lit(0.4)

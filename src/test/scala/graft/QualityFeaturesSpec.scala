@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Text
+
+/** The native one-pass quality_features expression must be
+  * bit-identical to the regex-stack formulation it replaces — the
+  * DuckDB oracles restate the regex form independently, so ANY
+  * divergence here is a future correctness FAIL, not a perf nuance. */
+class QualityFeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extension registers quality_features and qualityScore uses it") {
+    assert(spark.catalog.functionExists("quality_features"))
+    val plan = Seq("x").toDF("t").select(Text.qualityScore(col("t")))
+      .queryExecution.analyzed.toString
+    assert(plan.contains("quality_features"),
+      s"qualityScore must route through the native expression:\n$plan")
+  }
+
+  test("per-count parity with the regex definitions on adversarial cases") {
+    val cases = Seq(
+      "", " ", "  ", "a", "the", " the ", "\tthe\n", "the the the",
+      "Hello, world! x2", "a  b   c", "  leading", "trailing  ",
+      "élève café", // Latin-1 accents: non-ASCII = punct class
+      "的是了 the 我", // CJK + embedded stopword
+      "emoji 😀 mixed", // supplementary code point (4-byte UTF-8)
+      "that is it for", "That Is It For", // case sensitivity
+      "ab\fc", // the exotic \s members: VT and FF
+      "numbers 123 and-hyphens don't_split", "!!!@@@###",
+      ("the quick brown fox jumps over the lazy dog and it is a fine day " * 5).trim)
+    val df = cases.toDF("t")
+    val got = df.select(expr("quality_features(t)").as("f")).select(
+      col("f.n_chars"), col("f.n_alpha"), col("f.n_punct"),
+      col("f.n_ws"), col("f.n_tok"), col("f.n_stop")).collect()
+    val want = df.select(
+      length(col("t")),
+      size(regexp_extract_all(col("t"), lit("[A-Za-z]"), lit(0))),
+      size(regexp_extract_all(col("t"), lit("[^A-Za-z0-9\\s]"), lit(0))),
+      length(col("t")) - length(regexp_replace(col("t"), "\\s+", "")),
+      size(split(col("t"), "\\s+")),
+      size(filter(split(col("t"), "\\s+"),
+        t => t.isin(Text.englishStopwords: _*)))).collect()
+    cases.indices.foreach { i =>
+      assert(got(i).toSeq == want(i).toSeq,
+        s"counts diverge on ${cases(i).take(40)}: native ${got(i)} vs regex ${want(i)}")
+    }
+  }
+
+  test("composite score parity: native path == regex fallback, null-safe") {
+    val texts = (Gen.listOfN(400, Gen.oneOf(
+      Gen.listOfN(30, Gen.oneOf("the", "a", "of", "zz", "Ab1", "!?", "café"))
+        .map(_.mkString(" ")),
+      Gen.asciiPrintableStr,
+      Gen.listOfN(12, Gen.asciiPrintableStr).map(_.mkString(" "))))
+      .apply(Gen.Parameters.default, Seed(19L)).get :+ null) :+ ""
+    val df = texts.map(Tuple1(_)).toDF("t")
+    val bad = df.select(
+        Text.qualityScore(col("t")).as("native"),
+        Text.qualityScoreBuiltin(col("t")).as("builtin"))
+      .filter(!(col("native") <=> col("builtin")))
+    assert(bad.count() == 0, s"diverging rows:\n${bad.collect().mkString("\n")}")
+  }
+
+  test("stopword byte table stays in sync with the canonical list") {
+    // the expression compiles the english stopwords into byte arrays;
+    // membership over the column path must agree with isin on every word
+    val df = Text.englishStopwords.toDF("t")
+    val hits = df.select(expr("quality_features(t)").as("f"))
+      .select(sum(col("f.n_stop"))).collect()(0).getLong(0)
+    assert(hits == Text.englishStopwords.length.toLong,
+      "every canonical stopword must count as its own hit")
+  }
+}
