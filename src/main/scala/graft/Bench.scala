@@ -71,7 +71,12 @@ object Bench {
     }
     val sel = selected.toSeq
     sel.foreach { case (name, fn) => runOnce(name, fn) } // warmup
-    sentinel() // warmup (JIT/codegen)
+    // Sentinel warmup ×3: a single warmup leaves the FIRST recorded
+    // sentinel reading ~1.7x its steady state (post-warmup GC/JIT
+    // settling, observed on an idle box across every r19 subset sweep),
+    // which false-flags short sweeps as contended. Three passes reach
+    // the steady state the contention index assumes.
+    sentinel(); sentinel(); sentinel()
     spark.catalog.clearCache()
     val sweepStartMs = System.currentTimeMillis
     // DENSE sentinel schedule — one fixed-work point every `sentEvery`

@@ -404,7 +404,20 @@ object SparkEntry {
   // Registry
   // =====================================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Merge the per-file registries, REFUSING silent shadowing: `++`
+    * lets a later map override an earlier one's entry, which once
+    * replaced an existing query (and its oracle) with an unrelated new
+    * one of the same name — both halves stayed self-consistent, so
+    * nothing reddened. Name queries uniquely or fail loudly. */
+  private def mergedUnique[A](parts: Seq[Map[String, A]]): Map[String, A] = {
+    val dups = parts.flatMap(_.keys).groupBy(identity)
+      .collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate query names across registries: ${dups.toSeq.sorted.mkString(", ")}")
+    parts.reduce(_ ++ _)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = mergedUnique(Seq(Map(
     "q1_agg"               -> q1Agg,
     "q3_topk_join"         -> q3TopkJoin,
     "q_events_hourly"      -> qEventsHourly,
@@ -443,13 +456,13 @@ object SparkEntry {
     "q_f22_classifier"     -> qF22Classifier,
     "q_f26_tolerant_cast"  -> qF26TolerantCast,
     "q_f27_fill_na"        -> qF27FillNa
-  ) ++ ExtensionQueries.queries ++ MoreQueries.queries ++ PipelineQueries.queries ++
-    IoQueries.queries ++ EnrichQueries.queries ++ CurationQueries.queries ++
-    ScaleQueries.queries ++ LinkageQueries.queries ++ StatsQueries.queries ++ CurationE2E.queries ++
-    WarehouseQueries.queries
+  ), ExtensionQueries.queries, MoreQueries.queries, PipelineQueries.queries,
+    IoQueries.queries, EnrichQueries.queries, CurationQueries.queries,
+    ScaleQueries.queries, LinkageQueries.queries, StatsQueries.queries, CurationE2E.queries,
+    WarehouseQueries.queries, ReportQueries.queries))
 
   /** DuckDB-runnable oracle SQL, one per query, same column aliases. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = mergedUnique(Seq(Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
@@ -655,8 +668,8 @@ object SparkEntry {
          coalesce(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END, 'Unknown') AS seg,
          coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal
          FROM customer"""
-  ) ++ ExtensionQueries.oracleSql ++ MoreQueries.oracleSql ++ PipelineQueries.oracleSql ++
-    IoQueries.oracleSql ++ EnrichQueries.oracleSql ++ CurationQueries.oracleSql ++
-    ScaleQueries.oracleSql ++ LinkageQueries.oracleSql ++ StatsQueries.oracleSql ++ CurationE2E.oracleSql ++
-    WarehouseQueries.oracleSql
+  ), ExtensionQueries.oracleSql, MoreQueries.oracleSql, PipelineQueries.oracleSql,
+    IoQueries.oracleSql, EnrichQueries.oracleSql, CurationQueries.oracleSql,
+    ScaleQueries.oracleSql, LinkageQueries.oracleSql, StatsQueries.oracleSql, CurationE2E.oracleSql,
+    WarehouseQueries.oracleSql, ReportQueries.oracleSql))
 }

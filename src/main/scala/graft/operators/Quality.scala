@@ -421,4 +421,90 @@ object Quality {
         coalesce(col("__v"), lit(0L)).cast(LongType).as("n_violations"),
         coalesce(col("__v") === 0L, lit(true)).as("passed"))
   }
+
+  /** Cohen's kappa between two labelers of the same rows — the
+    * chance-corrected agreement every annotation/labeling pipeline
+    * reports before trusting a heuristic or a model as an annotator
+    * (agreement alone flatters majority-class labelers; kappa subtracts
+    * the agreement their marginals would produce by luck).
+    *
+    * ONE corpus scan: the (pred, gold) confusion cells aggregate with
+    * map-side combine to a ≤|labels|² relation; n, the diagonal, and
+    * both marginals derive from that bounded table, so every later step
+    * is broadcast-scalar arithmetic. All integer fixed-point:
+    * po_bp = agree·10⁴ div n, pe_bp = Σ_l row_l·col_l·10⁴ div n², and
+    * kappa_bp = (po−pe)·10⁴ div (10⁴−pe) with the SIGN carried
+    * explicitly (sign·(abs·10⁴ div denom)) because Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors — on a negative
+    * kappa the two disagree unless the division is kept non-negative.
+    * Degenerate pe = 10⁴ (both labelers constant and equal) reads as
+    * kappa 10⁴. n·10⁴ and n² must fit a Long — n ≤ ~3·10⁹ rows; larger
+    * corpora rescale the quantum.
+    * Output (one row): n, n_agree, po_bp, pe_bp, kappa_bp. */
+  def cohenKappa(df: DataFrame, predCol: Column, goldCol: Column): DataFrame = {
+    val cells = df.select(predCol.as("__p"), goldCol.as("__g"))
+      .groupBy(col("__p"), col("__g")).agg(count(lit(1)).as("__c"))
+    val rowM = cells.groupBy(col("__p")).agg(sum(col("__c")).as("__rc"))
+    val colM = cells.groupBy(col("__g")).agg(sum(col("__c")).as("__gc"))
+    val peNum = rowM.join(colM, col("__p") === col("__g"))
+      .agg(coalesce(sum(col("__rc") * col("__gc")), lit(0L)).as("__pe_num"))
+    val base = cells.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n"),
+      coalesce(sum(when(col("__p") <=> col("__g"), col("__c")).otherwise(0L)),
+        lit(0L)).as("n_agree"))
+    base.crossJoin(broadcast(peNum))
+      .withColumn("po_bp", expr("n_agree * 10000 div n"))
+      .withColumn("pe_bp", expr("__pe_num * 10000 div (n * n)"))
+      .withColumn("kappa_bp",
+        when(col("pe_bp") >= 10000L, lit(10000L)).otherwise(
+          when(col("po_bp") >= col("pe_bp"), lit(1L)).otherwise(lit(-1L)) *
+            expr("abs(po_bp - pe_bp) * 10000 div (10000 - pe_bp)")))
+      .select(col("n"), col("n_agree"), col("po_bp"), col("pe_bp"), col("kappa_bp"))
+  }
+
+  /** Log2-bucketed histogram of a positive integer measure per key —
+    * the doc-length panel of a data card (token/char counts span 4+
+    * orders of magnitude; linear buckets waste the panel). The bucket
+    * id is `length(bin(len))` = floor(log2)+1 — STRING length of the
+    * binary representation, identical integer-exact semantics in Spark
+    * and DuckDB, where a float log2 would diverge at the powers of two.
+    * One map-side-combined aggregation; output ≤ |keys|·64 rows. */
+  def lenHistogram(df: DataFrame, keyCol: String, lenCol: Column): DataFrame =
+    df.select(col(keyCol), lenCol.cast(LongType).as("__len"))
+      .groupBy(col(keyCol), length(bin(col("__len"))).cast(LongType).as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("sum_len"),
+        min(col("__len")).as("min_len"),
+        max(col("__len")).as("max_len"))
+
+  /** Per-key vocabulary panel over an exploded (key, token) relation:
+    * total tokens, vocabulary size, hapax count (frequency-1 types —
+    * the long-tail health signal), and the share of the top-`topK`
+    * tokens in basis points (the boilerplate-concentration signal).
+    *
+    * Scale shape: ONE (key, token) aggregation partial-combines the
+    * corpus to the vocabulary relation; the panel aggregates and the
+    * top-k both run on that bounded relation — the top-k through the
+    * [[TopK.topKPerKey]] UDAF (map-side ≤ k rows per key, no
+    * vocabulary-wide sort), with the deterministic tie-break (count
+    * desc, then md5-hash of the token asc) that a SQL oracle
+    * reproduces exactly. */
+  def vocabStats(toks: DataFrame, keyCol: String, tokCol: String,
+                 topK: Int): DataFrame = {
+    val freq = toks.groupBy(col(keyCol), col(tokCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val panel = freq.groupBy(col(keyCol))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__cnt") === 1L, 1L).otherwise(0L)).as("hapax"))
+    val keyed = freq.withColumn("__tid",
+      conv(substring(md5(col(tokCol)), 1, 15), 16, 10).cast(LongType))
+    val top = TopK.topKPerKey(keyed, Seq(keyCol), "__tid", "__cnt", topK)
+      .groupBy(col(keyCol))
+      .agg(sum(col("__cnt").cast(LongType)).as("__topsum"))
+    panel.join(top, Seq(keyCol))
+      .withColumn("top_share_bp", expr("__topsum * 10000 div n_tokens"))
+      .select(col(keyCol), col("n_tokens"), col("vocab"), col("hapax"),
+        col("top_share_bp"))
+  }
 }

@@ -972,6 +972,56 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_u"), col("margin_bp"))
   }
 
+  /** Near-dup pairs WITH their evidence — the explainability report a
+    * curator reads before trusting (or appealing) a dedup decision:
+    * for every pair clearing the jaccard threshold, the exact score
+    * plus the quantities it came from (shared-shingle count, both set
+    * sizes) and how many LSH bands collided (how firmly the blocking
+    * found it — band count 4/4 is a near-copy, 1/4 a boundary case).
+    *
+    * Same plan skeleton as [[lshJaccard]] (shingle + signature
+    * relations persisted once, capped banding, pair-gated verify); the
+    * band-collision count falls out of the SAME self-join that builds
+    * candidates — aggregated instead of distinct'd — so the report
+    * costs one extra bounded aggregate over the pair relation, nothing
+    * corpus-sized. Output: (id_a, id_b, jaccard, inter, sz_a, sz_b,
+    * n_bands). */
+  def lshJaccardExplain(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, numHashes: Int, rowsPerBand: Int,
+                        maxBucketSize: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignature(sh, idCol, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    val banded = bandKeys(sig, idCol, numHashes, rowsPerBand)
+    val capped = dropOversizedBuckets(banded, Seq("band", "band_key"), maxBucketSize)
+    val collided = capped.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .groupBy(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.withColumnRenamed(idCol, "id_a")
+    val b = sh.withColumnRenamed(idCol, "id_b")
+    val inter = collided.select(col("id_a"), col("id_b"))
+      .join(a, "id_a").join(b, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .join(collided, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("inter"),
+        col("sz_a"), col("sz_b"), col("n_bands"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sig.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
+    out
+  }
+
   /** Multi-probe near-dup pairs: the LEFT side of the self-join explodes
     * each vector to its bucket plus all Hamming-radius-1 flips, so pairs
     * whose buckets differ in at most one plane are compared — the

@@ -1369,6 +1369,53 @@ object Streaming {
     q.awaitTermination()
   }
 
+  // ---------------------------------------------------------------------
+  // ST24 — streaming decayed per-stratum rates: each trigger decays the
+  // carried activity counter by a rational factor (decayNum/decayDen in
+  // integer floor arithmetic — exp() decay is not correctly rounded
+  // across engines, a num/den recurrence is exact everywhere) and adds
+  // the batch's row counts: the "what has the feed sent LATELY" panel an
+  // ingestion pipeline alarms on, where a plain total can never fall.
+  // State is the |strata|-row counter table, versioned like the SGD
+  // model (w<id> dirs; a replayed trigger recomputes the same step —
+  // idempotent). Unlike ST23's delivery-0-pinned simplex, new strata
+  // JOIN the state here (full-outer): a rate monitor exists precisely to
+  // surface domains that start arriving mid-run.
+  // ---------------------------------------------------------------------
+  def runStreamingDecay(src: DataFrame, stratumCol: String,
+                        decayNum: Long, decayDen: Long,
+                        stateRoot: String, checkpointPath: String): Unit = {
+    require(decayDen > 0 && decayNum >= 0 && decayNum < decayDen,
+      s"need 0 <= decayNum < decayDen, got $decayNum/$decayDen")
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val counts = batch.groupBy(col(stratumCol))
+            .agg(count(lit(1)).as("__n"))
+          val next = sgdWeightVersions(stateRoot).filter(_ < id).sorted.lastOption match {
+            case Some(v) =>
+              spark.read.parquet(s"$stateRoot/w$v")
+                .join(counts, Seq(stratumCol), "full_outer")
+                .selectExpr(stratumCol,
+                  s"coalesce(decayed, 0) * $decayNum div $decayDen" +
+                    " + coalesce(__n, 0) AS decayed",
+                  "coalesce(raw_total, 0) + coalesce(__n, 0) AS raw_total")
+            case None =>
+              counts.select(col(stratumCol), col("__n").as("decayed"),
+                col("__n").as("raw_total"))
+          }
+          next.coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/w$id")
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   private def sgdWeightVersions(stateRoot: String): Seq[Long] =
     Option(new java.io.File(stateRoot).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("w"))
