@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{QualityFeatures, VecDot, WordShingles}
+import graft.plans.{LangHits, QualityFeatures, VecDot, WordShingles}
 
 /** Engine extension point — register custom Catalyst expressions.
   * Activate with `spark.sql.extensions=graft.GraftExtensions` (or
@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("quality_features"),
       new ExpressionInfo(classOf[QualityFeatures].getName, "quality_features"),
       (children: Seq[Expression]) => QualityFeatures(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("lang_hits"),
+      new ExpressionInfo(classOf[LangHits].getName, "lang_hits"),
+      (children: Seq[Expression]) => LangHits(children.head)))
   }
 }

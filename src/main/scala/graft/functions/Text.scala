@@ -49,9 +49,24 @@ object Text {
     stopwordHits(c, words) / greatest(tokenCount(c), lit(1))
 
   /** Predicted language: highest stopword-hit count wins; ties resolve in
-    * `stopwords` declaration order; zero hits everywhere -> 'und'. */
+    * `stopwords` declaration order; zero hits everywhere -> 'und'.
+    *
+    * With [[graft.GraftExtensions]] registered, the five hit counts come
+    * from the native one-pass `lang_hits` expression
+    * ([[graft.plans.LangHits]]) instead of five split+interpreted-filter
+    * passes; the argmax fold is the same Column algebra over the same
+    * integer counts either way (null text -> null scores -> 'und' on
+    * both paths), so results — and the DuckDB oracles' independent
+    * formulation — are bit-identical. */
   def langId(c: Column): Column = {
-    val scored = stopwords.map { case (lang, words) => lang -> stopwordHits(c, words) }
+    val native = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(s => try s.catalog.functionExists("lang_hits")
+                   catch { case _: Throwable => false })
+    val scored: Seq[(String, Column)] =
+      if (native) {
+        val f = call_function("lang_hits", c)
+        stopwords.map { case (lang, _) => lang -> f.getField(s"h_$lang") }
+      } else stopwords.map { case (lang, words) => lang -> stopwordHits(c, words) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     // first declared language holding the max score wins (deterministic ties)
     scored.reverse.foldLeft(lit("und")) { case (els, (lang, score)) =>

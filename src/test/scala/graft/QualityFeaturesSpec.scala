@@ -65,6 +65,41 @@ class QualityFeaturesSpec extends SparkSpec {
     assert(bad.count() == 0, s"diverging rows:\n${bad.collect().mkString("\n")}")
   }
 
+  test("lang_hits: native counts == five split+filter passes, incl. cross-language tokens") {
+    val cases = Seq(
+      "the cat sat on the mat and it is warm",
+      "der hund ist nicht mit der katze und das haus",
+      "le chat est dans la maison et il est pour les amis",
+      "el gato es de la casa y es por una amiga",
+      "的 是 了 在 我 有", // whitespace-separated zh stopwords (3-byte UTF-8)
+      "de de de",          // 'de' scores for BOTH fr and es, never for lang de
+      "", " ", "xyzzy qwerty", "the", " the ", "that\tis\nit")
+    val df = cases.toDF("t")
+    val got = df.select(expr("lang_hits(t)").as("f"))
+      .select(Text.stopwords.map { case (l, _) => col(s"f.h_$l") }: _*).collect()
+    val want = df.select(Text.stopwords.map { case (_, ws) =>
+      Text.stopwordHits(col("t"), ws) }: _*).collect()
+    cases.indices.foreach(i => assert(got(i).toSeq == want(i).toSeq,
+      s"hit counts diverge on '${cases(i)}': native ${got(i)} vs builtin ${want(i)}"))
+  }
+
+  test("langId parity: native struct path == built-in argmax fold, null-safe") {
+    val texts = (Gen.listOfN(300, Gen.oneOf(
+      Gen.listOfN(12, Gen.oneOf("the", "der", "le", "el", "的", "de", "la",
+        "is", "ist", "es", "zz", "!?")).map(_.mkString(" ")),
+      Gen.asciiPrintableStr)).apply(Gen.Parameters.default, Seed(23L)).get :+ null) :+ ""
+    val df = texts.map(Tuple1(_)).toDF("t")
+    // the built-in fold, assembled from public pieces (the session has the
+    // extension registered, so Text.langId itself takes the native path)
+    val scored = Text.stopwords.map { case (l, ws) => l -> Text.stopwordHits(col("t"), ws) }
+    val best = scored.map(_._2).reduce(greatest(_, _))
+    val builtin = scored.reverse.foldLeft(lit("und")) { case (els, (lang, s)) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els) }
+    val bad = df.select(Text.langId(col("t")).as("native"), builtin.as("builtin"))
+      .filter(!(col("native") <=> col("builtin")))
+    assert(bad.count() == 0, s"diverging rows:\n${bad.collect().take(5).mkString("\n")}")
+  }
+
   test("stopword byte table stays in sync with the canonical list") {
     // the expression compiles the english stopwords into byte arrays;
     // membership over the column path must agree with isin on every word
