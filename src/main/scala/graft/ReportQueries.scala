@@ -129,13 +129,71 @@ object ReportQueries {
     graft.streaming.Streaming.sgdWeights(spark, state)
   }
 
+  private[graft] val kAnonK = 10L
+
+  /** k-anonymity over the customer quasi-identifier tuple (market
+    * segment, nation): equivalence classes below k are the
+    * re-identification risk and the suppression work-list a privacy
+    * review produces before person-level rows feed a corpus. */
+  private val qKAnon: Q = (spark, dir) =>
+    Quality.kAnonymity(Tables.fanOut(Tables.customer(spark, dir)),
+        Seq("c_mktsegment", "c_nationkey"), kAnonK)
+      .select(col("c_mktsegment"), col("c_nationkey").cast(LongType).as("c_nationkey"),
+        col("class_n"), col("meets_k"))
+
+  /** Referential-integrity + coverage panel over the warehouse's four
+    * FK edges: orphan counts prove integrity (must be zero), unmatched
+    * parents are the coverage signal (customers who never ordered,
+    * parts never sold). Child tables collapse to per-key counts before
+    * any join. */
+  private val qRefCoverage: Q = (spark, dir) => {
+    val li = Tables.fanOut(Tables.lineitem(spark, dir))
+    Seq(
+      Quality.refCoverage(li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey", "lineitem->orders"),
+      Quality.refCoverage(li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey", "lineitem->part"),
+      Quality.refCoverage(li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey", "lineitem->supplier"),
+      Quality.refCoverage(Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey", "orders->customer"))
+      .reduce(_ unionAll _)
+  }
+
+  /** Gini of per-user event activity in bp — the engagement-inequality
+    * stat of an event-stream data card ([[Quality.giniIndex]]). */
+  private val qEventGini: Q = (spark, dir) =>
+    Quality.giniIndex(Tables.fanOut(Tables.events(spark, dir)), "user_id")
+
+  /** Day-of-week × hour event profile with share bp — the seasonality
+    * panel. All integer epoch arithmetic ((days+4)%7 with 1970-01-01 a
+    * Thursday; seconds truncate toward zero on both engines for
+    * post-epoch data), never engine date-part functions whose week
+    * conventions differ. */
+  private val qDowProfile: Q = (spark, dir) => {
+    val secs = unix_timestamp(col("ts").cast("timestamp"))
+    val e = Tables.fanOut(Tables.events(spark, dir))
+      .select(secs.as("__s"))
+      .select(expr("(__s div 86400 + 4) % 7").as("dow"),
+        expr("(__s % 86400) div 3600").as("hour"))
+      .groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("n_events"))
+    val tot = e.agg(sum(col("n_events")).as("__tot"))
+    e.crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("n_events * 10000 div __tot"))
+      .select(col("dow"), col("hour"), col("n_events"), col("share_bp"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_dup_kappa"       -> qDupKappa,
     "q_langid_kappa"    -> qLangidKappa,
     "q_vocab_stats"     -> qVocabStats,
     "q_len_log_hist"        -> qLenHist,
     "q_dedup_explain"   -> qDedupExplain,
-    "q_st24_stream_decay" -> qSt24StreamDecay)
+    "q_st24_stream_decay" -> qSt24StreamDecay,
+    "q_k_anon"          -> qKAnon,
+    "q_ref_coverage"    -> qRefCoverage,
+    "q_event_gini"      -> qEventGini,
+    "q_dow_profile"     -> qDowProfile)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -244,6 +302,50 @@ object ReportQueries {
                        JOIN collided c ON c.id_a = i.id_a AND c.id_b = i.id_b
           WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 4)
                   >= ${ExtensionQueries.jaccardThreshold}""",
+    "q_k_anon" ->
+      s"""SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                 count(*) AS class_n, count(*) >= $kAnonK AS meets_k
+          FROM customer GROUP BY 1, 2""",
+    "q_ref_coverage" ->
+      Seq(("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+          ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .map { case (name, child, ck, parent, pk) =>
+          s"""SELECT '$name' AS relationship, n_child, n_orphans, n_parents,
+                n_unmatched_parents, n_orphans = 0 AS integrity_ok
+              FROM (SELECT
+                CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_child,
+                CAST((SELECT coalesce(sum(cnt), 0) FROM
+                    (SELECT $ck AS k, count(*) AS cnt FROM $child GROUP BY 1) cc
+                  WHERE k NOT IN (SELECT $pk FROM $parent)) AS BIGINT) AS n_orphans,
+                CAST((SELECT count(*) FROM $parent) AS BIGINT) AS n_parents,
+                CAST((SELECT count(*) FROM (SELECT DISTINCT $pk AS k FROM $parent) pp
+                  WHERE k NOT IN (SELECT $ck FROM $child)) AS BIGINT)
+                  AS n_unmatched_parents)"""
+        }.mkString("\n          UNION ALL\n          "),
+    "q_event_gini" ->
+      """WITH c AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+          r AS (SELECT x, row_number() OVER (ORDER BY x ASC, user_id ASC) AS i FROM c),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(x) AS BIGINT) AS n_total,
+                 CAST(sum(i * x) AS BIGINT) AS s1 FROM r)
+          SELECT n_keys, n_total,
+            CAST(floor(CAST(2 * s1 - (n_keys + 1) * n_total AS DOUBLE)
+              / CAST(n_keys * n_total AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+              AS gini_bp
+          FROM s""",
+    // integer epoch arithmetic (floor(epoch) truncates like Spark's
+    // unix_timestamp for post-epoch data; (days+4)%7: 1970-01-01 = Thu)
+    "q_dow_profile" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+          b AS (SELECT (s // 86400 + 4) % 7 AS dow,
+                 (s % 86400) // 3600 AS hour FROM e),
+          g AS (SELECT dow, hour, count(*) AS n_events FROM b GROUP BY 1, 2),
+          t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM g)
+          SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+                 n_events, n_events * 10000 // tot AS share_bp
+          FROM g, t""",
     // three mtime-pinned deliveries (doc_id % 3 = 0, 1, 2) -> the decay
     // recurrence unrolled: d3 = ((c0*7//8) + c1)*7//8 + c2, all floor
     "q_st24_stream_decay" ->

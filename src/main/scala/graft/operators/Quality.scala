@@ -507,4 +507,72 @@ object Quality {
       .select(col(keyCol), col("n_tokens"), col("vocab"), col("hapax"),
         col("top_share_bp"))
   }
+
+  /** k-anonymity report over a quasi-identifier tuple: one row per
+    * equivalence class with its population and whether it meets `k` —
+    * the classes below k are the re-identification risk (and the
+    * suppression/generalization work-list) a privacy review needs
+    * BEFORE a table with person-level rows feeds a training corpus.
+    * ONE map-side-combined aggregation; output = |classes| rows. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_n"))
+      .withColumn("meets_k", col("class_n") >= k)
+  }
+
+  /** Referential-integrity + coverage check for one FK edge, as a
+    * single long-form row that unions across edges into the DQ report:
+    * child rows whose key has no parent (ORPHANS — must be zero when
+    * integrity holds) and parents no child references (UNMATCHED —
+    * the coverage signal: customers who never ordered, parts never
+    * sold). Scale shape: the child collapses to its per-key row counts
+    * FIRST (map-side combine), so both anti-joins run key-relation vs
+    * key-relation — the fact table never shuffles twice. */
+  def refCoverage(child: DataFrame, childKey: String,
+                  parent: DataFrame, parentKey: String,
+                  name: String): DataFrame = {
+    val childKeys = child.groupBy(col(childKey).as("__k"))
+      .agg(count(lit(1)).as("__n"))
+    val parentKeys = parent.select(col(parentKey).as("__k")).distinct()
+    val orphans = childKeys.join(parentKeys, Seq("__k"), "left_anti")
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_orphans"))
+    val unmatched = parentKeys.join(childKeys, Seq("__k"), "left_anti")
+      .agg(count(lit(1)).as("n_unmatched_parents"))
+    val nChild = child.agg(count(lit(1)).as("n_child"))
+    val nParent = parent.agg(count(lit(1)).as("n_parents"))
+    nChild.crossJoin(broadcast(orphans))
+      .crossJoin(broadcast(nParent)).crossJoin(broadcast(unmatched))
+      .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"),
+        col("n_parents"), col("n_unmatched_parents"),
+        (col("n_orphans") === 0L).as("integrity_ok"))
+  }
+
+  /** Gini coefficient of a per-key activity distribution (e.g. events
+    * per user) in basis points — the engagement-inequality number a
+    * data card reports (gini 0 = uniform, → 10⁴ = one key owns
+    * everything). Standard rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) /
+    * (n·Σx) over ascending-sorted x. Engine parity: ranks are a
+    * deterministic (count asc, key asc) ordering, every term is an
+    * integer, and the one division happens once in IEEE double with
+    * floor(·10⁴+0.5) quantization.
+    *
+    * Scale shape: the corpus collapses to per-key counts (map-side
+    * combine) and everything after runs on that |keys| relation; the
+    * rank window sorts keys, not events — at 100 TB |keys| ≪ corpus
+    * (users vs events), the accepted cost of an exact Gini. Output one
+    * row: (n_keys, n_total, gini_bp). */
+  def giniIndex(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__x"))
+    val ranked = counts.withColumn("__i",
+      row_number().over(Window.orderBy(col("__x").asc, col(keyCol).asc)).cast(LongType))
+    ranked.agg(count(lit(1)).as("n_keys"), sum(col("__x")).as("n_total"),
+        sum(col("__i") * col("__x")).as("__s1"))
+      .select(col("n_keys"), col("n_total"),
+        floor((lit(2L) * col("__s1") - (col("n_keys") + 1L) * col("n_total"))
+            .cast(DoubleType)
+          / (col("n_keys") * col("n_total")).cast(DoubleType)
+          * 10000.0 + 0.5).cast(LongType).as("gini_bp"))
+  }
 }

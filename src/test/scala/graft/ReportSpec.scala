@@ -87,6 +87,43 @@ class ReportSpec extends SparkSpec {
     assert(ident.exists(_.getLong(6) == 4L), "identical docs collide in all 4 bands")
   }
 
+  test("giniIndex: hand cases — uniform 0 bp, concentrated near 10000, known middle") {
+    // uniform: 4 keys x 5 events -> gini 0
+    val uni = (0 until 4).flatMap(k => Seq.fill(5)(s"u$k")).toDF("k")
+    assert(Quality.giniIndex(uni, "k").collect()(0).getLong(2) == 0L)
+    // one key owns all but three singleton keys: x = (1,1,1,97), n=4
+    // S1 = 1*1+2*1+3*1+4*97 = 394; G = (2*394 - 5*100)/(4*100) = 288/400 = 0.72
+    val skew = (Seq.fill(97)("big") ++ Seq("a", "b", "c")).toDF("k")
+    assert(Quality.giniIndex(skew, "k").collect()(0).getLong(2) == 7200L)
+    // x = (1,2,3): S1 = 1+4+9 = 14; G = (28 - 4*6)/(3*6) = 4/18 -> 2222 bp
+    val mid = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c")).toDF("k")
+    assert(Quality.giniIndex(mid, "k").collect()(0).getLong(2) == 2222L)
+  }
+
+  test("refCoverage: orphans counted as ROWS, unmatched parents as keys") {
+    val child = Seq((1L, "x"), (1L, "y"), (2L, "z"), (9L, "orphan"), (9L, "orphan2"))
+      .toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L, 4L).toDF("pk")
+    val r = Quality.refCoverage(child, "fk", parent, "pk", "t").collect()(0)
+    assert(r.getString(0) == "t")
+    assert(r.getLong(1) == 5L, "n_child counts rows")
+    assert(r.getLong(2) == 2L, "both rows of the orphan key count")
+    assert(r.getLong(3) == 4L && r.getLong(4) == 2L, "parents 3 and 4 unmatched")
+    assert(!r.getBoolean(5), "orphans -> integrity not ok")
+    val clean = Quality.refCoverage(child.filter(col("fk") =!= 9L), "fk",
+      parent, "pk", "t").collect()(0)
+    assert(clean.getLong(2) == 0L && clean.getBoolean(5))
+  }
+
+  test("kAnonymity: class sizes and the k threshold") {
+    val df = (Seq.fill(10)(("a", 1)) ++ Seq.fill(3)(("a", 2)) ++ Seq.fill(12)(("b", 1)))
+      .toDF("q1", "q2")
+    val got = Quality.kAnonymity(df, Seq("q1", "q2"), 10L)
+      .orderBy("q1", "q2").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(("a", 1, 10L, true), ("a", 2, 3L, false), ("b", 1, 12L, true)))
+  }
+
   test("runStreamingDecay: closed-form replay; new strata join mid-run") {
     val docs = Seq(
       // stratum s0: 2 docs in delivery 0 (ids 0,3 % 3), 1 in delivery 1, 1 in 2
