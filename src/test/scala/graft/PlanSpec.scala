@@ -811,6 +811,59 @@ class PlanSpec extends SparkSpec {
       s"metadata-only scan must NOT read the payload column: $readSchema")
   }
 
+  test("qualityScore and langId projections run the native one-pass expressions " +
+       "inside whole-stage codegen, with zero regex/HOF residue") {
+    // over a FILE scan: a LocalRelation input would be constant-folded
+    // away by ConvertToLocalRelation and pin nothing
+    val dir = graft.io.TempDirs.registered("graft-plan-quality").toString
+    Seq((1L, "the quick brown fox and it is a fine day")).toDF("id", "t")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .select(graft.functions.Text.qualityScore(col("t")).as("q"),
+        graft.functions.Text.langId(col("t")).as("lang"))
+    val plan = planOf(q)
+    assert(plan.contains("quality_features") && plan.contains("lang_hits"),
+      s"both native expressions must be in the plan:\n$plan")
+    assert(!plan.contains("regexp_extract_all") && !plan.contains("ArrayFilter") &&
+      !plan.contains("regexp_replace"),
+      s"the regex/HOF stack must be fully replaced, not layered on:\n$plan")
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      s"the projection must sit inside a WholeStageCodegen stage:\n$plan")
+  }
+
+  test("cohenKappa: one corpus exchange to the cell relation; no Window, no sort joins") {
+    val df = (1 to 500).map(i => (s"p${i % 3}", s"g${i % 4}")).toDF("p", "g")
+    val plan = planOf(graft.operators.Quality.cohenKappa(df, col("p"), col("g")))
+    assert(!plan.contains("Window"), s"kappa must never window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the bounded marginal relations must broadcast:\n$plan")
+  }
+
+  test("vocabStats: the top-k is a map-side-combined UDAF, never a vocabulary sort") {
+    val toks = (1 to 400).map(i => (s"s${i % 4}", s"tok${i % 37}")).toDF("k", "tok")
+    val plan = planOf(graft.operators.Quality.vocabStats(toks, "k", "tok", 5))
+    assert(plan.contains("partial_topkagg"),
+      s"TopK UDAF must partial-combine map-side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no rank window over the vocabulary relation:\n$plan")
+  }
+
+  test("giniIndex: the corpus shuffles once (per-key combine); only bounded rows sort") {
+    val df = (1 to 1000).map(i => Tuple1(s"u${i % 50}")).toDF("k")
+    val plan = planOf(graft.operators.Quality.giniIndex(df, "k"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"exactly the per-key count aggregate may hash-shuffle, got $hashEx:\n$plan")
+  }
+
+  test("lenHistogram is one map-side-combined aggregation") {
+    val df = (1 to 300).map(i => (s"s${i % 3}", i.toLong)).toDF("k", "n")
+    val plan = planOf(graft.operators.Quality.lenHistogram(df, "k", col("n")))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1 && !plan.contains("Window"),
+      s"one exchange, no window:\n$plan")
+  }
+
   test("scd2Timeline is one shuffle: both windows share the key partitioning") {
     val df = (1 to 200).map(i => (i % 10L, i.toLong, i * 5L, s"s${i % 3}"))
       .toDF("key", "eid", "t", "st")
