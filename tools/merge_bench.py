@@ -36,9 +36,14 @@ def main() -> None:
     # which min-folding already enforces, but now the artifact SAYS it.
     for path, d in zip(passes, loaded):
         pts = d.get("sentinels") or []
-        secs = [p["sec"] for p in pts if p.get("sec", -1) > 0]
+        secs = sorted(p["sec"] for p in pts if p.get("sec", -1) > 0)
         if len(secs) >= 2:
-            lo = min(secs)
+            # baseline = the 25th percentile, not the minimum: one
+            # unusually FAST point (cache/JIT luck) would inflate a
+            # min-based index and flag an idle sweep; as long as a
+            # quarter of the sentinels ran clean, p25 sits at the
+            # uncontended cost and inflated points push mean/max up.
+            lo = secs[len(secs) // 4]
             idx, worst = sum(secs) / len(secs) / lo, max(secs) / lo
             flag = "  <-- CONTENDED" if idx > 1.25 else ""
             print(f"contention {path}: index {idx:.2f} (worst point "
