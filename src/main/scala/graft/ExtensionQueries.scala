@@ -371,6 +371,52 @@ object ExtensionQueries {
       .select(col("vec_id"), col("cell"))
   }
 
+  private[graft] val outlierCosFloorU = 250000L // cos 0.25 in ×1e6 units
+  private[graft] val hardNegAnchorMod = 10L
+  private[graft] val hardNegK = 3
+
+  /** Per-cell label purity of the trained quantizer — the clustering-
+    * quality eval an embedding model answers to: if k-means cells mix
+    * labels, the embedding space does not separate the classes and
+    * every cell-based curation step (topic balance, semantic dedup)
+    * inherits that blur. Majority label per cell via the packed-argmax
+    * idiom (count·1024 + complemented label — a map-side max, never a
+    * window); purity = majority share in bp. */
+  private val qClusterPurity: Q = (spark, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      centroidStep = 50, iters = 2)
+    Similarity.labelPurity(
+      Similarity.ivfAssignTo(emb, "vec_id", "embedding", cent)
+        .select(col("vec_id"), col("cell"))
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id")),
+      "cell", "label")
+  }
+
+  /** Embedding-space outliers: every vector's cosine to its OWN trained
+    * centroid, flagged below a fixed floor — the semantic-garbage gate
+    * (OCR noise, wrong-modality rows) that catches what text heuristics
+    * cannot see. One broadcast-assign pass; the flag is a projection. */
+  private val qEmbedOutliers: Q = (spark, dir) => {
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    Similarity.embedOutliers(emb, "vec_id", "embedding",
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        centroidStep = 50, iters = 2),
+      outlierCosFloorU)
+  }
+
+  /** Hard-negative mining for contrastive training: per anchor (every
+    * `hardNegAnchorMod`-th vector), the top-k highest-cosine vectors of
+    * a DIFFERENT label inside the anchor's adaptive-prefix LSH bucket —
+    * near misses are the negatives that teach a margin. Same-bucket
+    * blocking keeps candidates ~n·targetPerBucket/mod at any corpus
+    * size (the adaptive-plane ladder again); the top-k rides the
+    * bounded TopK UDAF, map-side ≤ k rows per anchor. */
+  private val qHardNegatives: Q = (spark, dir) =>
+    Similarity.hardNegatives(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "vec_id", "embedding", "label", hardNegAnchorMod,
+      adaptivePlanesFor(spark, dir), queryVec.length, hardNegK)
+
   /** Semantic dedup over the embedding corpus: survivors of the
     * keep-one-exemplar-per-neighborhood pass (members below 0.95
     * cosine to their cell's representative, plus the representatives).
@@ -904,6 +950,9 @@ object ExtensionQueries {
     "q_sim_embed_probed" -> qSimEmbedProbed,
     "q_bitext_margin"   -> qBitextMargin,
     "q_topic_balance"   -> qTopicBalance,
+    "q_cluster_purity"  -> qClusterPurity,
+    "q_embed_outliers"  -> qEmbedOutliers,
+    "q_hard_negatives"  -> qHardNegatives,
     "q_embed_project"   -> qEmbedProject,
     "q_ivf_cells"       -> qIvfCells,
     "q_cell_reps"       -> qCellReps,
@@ -1543,6 +1592,38 @@ object ExtensionQueries {
           FROM b a JOIN b b2
             ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
           WHERE ${cosine2Sql("a.embedding", "b2.embedding")} >= 0.4""",
+    "q_cluster_purity" ->
+      s"""WITH $ivfKmeansCtes,
+          lab AS (SELECT a.vec_id, a.cell, e.label
+                  FROM af a JOIN embeddings e USING (vec_id)),
+          cl AS (SELECT cell, label, count(*) AS c FROM lab GROUP BY 1, 2),
+          m AS (SELECT cell, CAST(sum(c) AS BIGINT) AS n_members,
+                 CAST(max(c * 1024 + (1023 - label)) AS BIGINT) AS pk
+                FROM cl GROUP BY 1)
+          SELECT cell, n_members, 1023 - pk % 1024 AS top_label,
+                 (pk // 1024) * 10000 // n_members AS purity_bp
+          FROM m""",
+    "q_embed_outliers" ->
+      s"""WITH $ivfKmeansCtes,
+          s AS (SELECT a.vec_id, a.cell,
+                 CAST(floor(${cosine2Sql("a.embedding", "c.cvec")}
+                   * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+                FROM af a JOIN cent2 c ON a.cell = c.cid)
+          SELECT vec_id, cell, cos_u, cos_u < $outlierCosFloorU AS is_outlier
+          FROM s""",
+    "q_hard_negatives" ->
+      s"""WITH $adaptiveBucketCte,
+          anch AS (SELECT vec_id AS anchor_id, label AS al, embedding AS ae,
+                   bucket FROM b WHERE vec_id % $hardNegAnchorMod = 0),
+          cand AS (SELECT a.anchor_id, y.vec_id,
+                 CAST(floor(${cosine2Sql("a.ae", "y.embedding")}
+                   * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+                FROM anch a JOIN b y ON a.bucket = y.bucket
+                WHERE y.label <> a.al AND y.vec_id <> a.anchor_id)
+          SELECT anchor_id, vec_id, cos_u, CAST(rn AS BIGINT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+              ORDER BY cos_u DESC, vec_id ASC) AS rn FROM cand)
+          WHERE rn <= $hardNegK""",
     "q_topic_balance" ->
       s"""WITH $ivfKmeansCtes
           SELECT vec_id, cell FROM (

@@ -1022,6 +1022,71 @@ object Similarity {
     out
   }
 
+  /** Per-cell label purity of a quantizer assignment — the clustering-
+    * quality eval of an embedding space: cells mixing labels mean every
+    * cell-based curation step (topic balance, semantic dedup) inherits
+    * the blur. Input is an assigned relation carrying (cellCol,
+    * labelCol); majority label per cell rides the packed-argmax idiom
+    * (count·1024 + complemented label — a map-side-combined max, never
+    * a window; requires 0 ≤ label < 1024). Output: (cell, n_members,
+    * top_label, purity_bp). */
+  def labelPurity(assigned: DataFrame, cellCol: String, labelCol: String): DataFrame =
+    assigned.groupBy(col(cellCol), col(labelCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(cellCol))
+      .agg(sum(col("__c")).as("n_members"),
+        max(col("__c") * 1024L + (lit(1023L) - col(labelCol))).as("__pk"))
+      .select(col(cellCol), col("n_members"),
+        (lit(1023L) - pmod(col("__pk"), lit(1024L))).as("top_label"),
+        expr("(__pk div 1024) * 10000 div n_members").as("purity_bp"))
+
+  /** Embedding-space outliers: every vector's quantized cosine to its
+    * OWN cell centroid, flagged below `floorU` (×1e6 units) — the
+    * semantic-garbage gate that catches what text heuristics cannot.
+    * One broadcast assignment; the flag is a projection. Output:
+    * (idCol, cell, cos_u, is_outlier). */
+  def embedOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                    cent: DataFrame, floorU: Long): DataFrame = {
+    val native = hasNative(emb)
+    ivfAssignTo(emb, idCol, vecCol, cent)
+      .join(broadcast(cent), col("cell") === col("cid"))
+      .withColumn("cos_u",
+        floor(round(dotFor(native)(col(vecCol), col("cvec"))
+            / (normFor(native)(col(vecCol)) * normFor(native)(col("cvec"))), 6)
+          * 1e6 + 0.5).cast(LongType))
+      .select(col(idCol), col("cell"), col("cos_u"),
+        (col("cos_u") < floorU).as("is_outlier"))
+  }
+
+  /** Hard-negative mining for contrastive training: per anchor (every
+    * `anchorMod`-th id), the top-k highest-cosine vectors of a
+    * DIFFERENT label inside the anchor's LSH bucket — the near misses
+    * that teach a margin. Same-bucket blocking bounds candidates at
+    * ~n·occupancy/anchorMod (pass an [[adaptivePlanes]]-derived plane
+    * count so occupancy stays fixed at any corpus size); the top-k
+    * rides the bounded [[TopK.topKPerKey]] UDAF, map-side ≤ k rows per
+    * anchor. Output: (anchor_id, idCol, cos_u, rank). */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, anchorMod: Long,
+                    numPlanes: Int, dims: Int, k: Int): DataFrame = {
+    val native = hasNative(emb)
+    val b = withBuckets(emb, vecCol, numPlanes, dims)
+      .select(col(idCol), col(labelCol), col(vecCol), col("bucket"),
+        normFor(native)(col(vecCol)).as("__n"))
+    val anchors = b.filter(pmod(col(idCol), lit(anchorMod)) === 0)
+      .select(col(idCol).as("anchor_id"), col(labelCol).as("__al"),
+        col(vecCol).as("__ae"), col("bucket"), col("__n").as("__an"))
+    val cand = anchors.join(b, Seq("bucket"))
+      .filter(col(labelCol) =!= col("__al") && col(idCol) =!= col("anchor_id"))
+      .withColumn("cos_u",
+        floor(round(dotFor(native)(col("__ae"), col(vecCol))
+            / (col("__an") * col("__n")), 6) * 1e6 + 0.5).cast(LongType))
+      .select(col("anchor_id"), col(idCol), col("cos_u"))
+    TopK.topKPerKey(cand, Seq("anchor_id"), idCol, "cos_u", k)
+      .select(col("anchor_id"), col(idCol),
+        col("cos_u").cast(LongType).as("cos_u"), col("rank"))
+  }
+
   /** Multi-probe near-dup pairs: the LEFT side of the self-join explodes
     * each vector to its bucket plus all Hamming-radius-1 flips, so pairs
     * whose buckets differ in at most one plane are compared — the

@@ -408,6 +408,51 @@ class SimilaritySpec extends SparkSpec {
     assert(mine().toSeq == out.toSeq, "mining must be deterministic")
   }
 
+  test("labelPurity: majority share per cell, ties break to the LOWER label") {
+    val assigned = Seq(
+      (0L, 7L), (0L, 7L), (0L, 7L), (0L, 2L),   // cell 0: label 7 x3, 2 x1
+      (1L, 5L), (1L, 9L)).toDF("cell", "label") // cell 1: tie -> label 5 wins
+    val got = Similarity.labelPurity(assigned, "cell", "label")
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 4L, 7L, 7500L), (1L, 2L, 5L, 5000L)))
+  }
+
+  test("embedOutliers: anti-aligned member flags, aligned ones do not") {
+    // one centroid along +e0; ids 1-2 aligned, id 3 anti-aligned
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val cent = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("cid", "cvec")
+    val got = Similarity.embedOutliers(emb, "id", "vec", cent, floorU = 250000L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got(0)._2 == 1000000L && !got(0)._3)
+    assert(!got(1)._3 && got(2)._2 == -1000000L && got(2)._3)
+  }
+
+  test("hardNegatives: same-label neighbours excluded, nearest other-label ranks 1") {
+    // 2 planes over 4 dims; anchor id 0 (mod 10), label 0. Planted in the
+    // SAME bucket: id 7 label 0 (nearest of all — must be excluded),
+    // id 11 label 1 (cos ~0.99 — must rank 1), id 13 label 2 (cos lower).
+    val base = Seq(1.0f, 0.2f, 0.1f, 0.05f)
+    def near(eps: Float) = base.zipWithIndex.map { case (x, i) => x + (if (i == 1) eps else 0f) }
+    val emb = Seq(
+      (0L, 0L, base), (7L, 0L, near(0.01f)),
+      (11L, 1L, near(0.05f)), (13L, 2L, near(0.4f))).toDF("id", "label", "vec")
+    val got = Similarity.hardNegatives(emb, "id", "vec", "label",
+      anchorMod = 10L, numPlanes = 2, dims = 4, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    // all four share the bucket (same orthant under the Rademacher planes)
+    assert(got.map(_._2).toSet.intersect(Set(0L, 7L)).isEmpty,
+      "the anchor itself and its same-label twin must never be negatives")
+    assert(got == Seq((0L, 11L, 1L), (0L, 13L, 2L)),
+      s"nearest other-label vector must rank first: $got")
+  }
+
   test("adaptivePlanes ladder: +1 plane per corpus doubling, integer-exact, capped") {
     import Similarity.adaptivePlanes
     // base holds through every correctness/bench scale (sf0.01: 500,
