@@ -694,6 +694,39 @@ class StreamingSpec extends SparkSpec {
     assert(versions.length == 3, s"one weight version per delivery: ${versions.toSeq}")
   }
 
+  test("ST23: a stratum first seen after delivery 0 is ignored per contract — " +
+       "and now observably: named in the dropped<id> sidecar, absent from weights") {
+    val in = tmp("graft-st23b-in")
+    val state = tmp("graft-st23b-state")
+    val ckpt = tmp("graft-st23b-ckpt")
+    Seq(("a", 5000L), ("b", 7000L)).toDF("source", "qq")
+      .coalesce(1).write.parquet(s"$in/b1")
+    Seq(("a", 5000L), ("late", 1000L)).toDF("source", "qq")
+      .coalesce(1).write.parquet(s"$in/b2")
+    // pin delivery order by mtime (the source orders files by timestamp)
+    Seq("b1", "b2").zipWithIndex.foreach { case (d, i) =>
+      new java.io.File(s"$in/$d").listFiles()
+        .filter(_.getName.startsWith("part-"))
+        .foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(s"$in/b1").schema
+    val src = Streaming.parquetSource(spark, s"$in/*", schema, maxFilesPerTrigger = 1)
+    Streaming.runStreamingReweight(src, "source", col("qq"),
+      etaDen = 2L, lossScale = 10000L, stateRoot = state, checkpointPath = ckpt)
+    val w = Streaming.sgdWeights(spark, state)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w.keySet == Set("a", "b"),
+      s"the delivery-0 universe is pinned; 'late' must not join: $w")
+    assert(w.values.sum == 10000L, s"still a simplex: $w")
+    val sidecars = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("dropped"))
+    assert(sidecars.length == 1,
+      s"exactly the one trigger that dropped a stratum writes a sidecar: ${sidecars.toSeq}")
+    val named = spark.read.parquet(sidecars.head.getPath)
+      .collect().map(_.getString(0)).toSeq
+    assert(named == Seq("late"), s"the dropped stratum must be named: $named")
+  }
+
   test("mergedSnapshot skips an uncommitted (crashed partial) version dir") {
     import graft.io.TempDirs
     val state = TempDirs.registered("graft-snap-partial").toString
