@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{LangHits, QualityFeatures, VecDot, WordShingles}
+import graft.plans.{GopherCounts, LangHits, QualityFeatures, VecDot, WordShingles}
 
 /** Engine extension point — register custom Catalyst expressions.
   * Activate with `spark.sql.extensions=graft.GraftExtensions` (or
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lang_hits"),
       new ExpressionInfo(classOf[LangHits].getName, "lang_hits"),
       (children: Seq[Expression]) => LangHits(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("gopher_counts"),
+      new ExpressionInfo(classOf[GopherCounts].getName, "gopher_counts"),
+      (children: Seq[Expression]) => GopherCounts(children.head)))
   }
 }

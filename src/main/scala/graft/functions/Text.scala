@@ -13,6 +13,13 @@ import org.apache.spark.sql.types._
   */
 object Text {
 
+  /** A/B kill switch for the native one-pass text expressions
+    * (quality_features / lang_hits / gopher_counts): set
+    * GRAFT_AB_NO_NATIVE_TEXT=1 to force the regex/HOF fallbacks for
+    * re-adjudication, same convention as GRAFT_AB_NO_MEMO. */
+  private def nativeTextEnabled: Boolean =
+    !sys.env.contains("GRAFT_AB_NO_NATIVE_TEXT")
+
   /** Whitespace tokenization. */
   def tokens(c: Column): Column = split(c, "\\s+")
 
@@ -59,7 +66,8 @@ object Text {
     * both paths), so results — and the DuckDB oracles' independent
     * formulation — are bit-identical. */
   def langId(c: Column): Column = {
-    val native = org.apache.spark.sql.SparkSession.getActiveSession
+    val native = nativeTextEnabled &&
+      org.apache.spark.sql.SparkSession.getActiveSession
       .exists(s => try s.catalog.functionExists("lang_hits")
                    catch { case _: Throwable => false })
     val scored: Seq[(String, Column)] =
@@ -101,7 +109,8 @@ object Text {
     * terms, same final round), so the two paths — and the DuckDB
     * oracle's independent regex formulation — are bit-identical. */
   def qualityScore(c: Column): Column = {
-    val native = org.apache.spark.sql.SparkSession.getActiveSession
+    val native = nativeTextEnabled &&
+      org.apache.spark.sql.SparkSession.getActiveSession
       .exists(s => try s.catalog.functionExists("quality_features")
                    catch { case _: Throwable => false })
     if (native) {
@@ -251,12 +260,29 @@ object Text {
     * alphabetic character; ≥ 2 stopword hits; and the conjunction.
     * Words are maximal lowercase alnum runs (no empty tokens). */
   def gopherRules(c: Column, minWords: Int = 10, maxWords: Int = 100000): Column = {
-    val words = regexp_extract_all(lower(c), lit(wordPattern), lit(0))
-    val nWords = size(words).cast(LongType)
-    val sumLen = length(regexp_replace(lower(c), "[^a-z0-9]", "")).cast(LongType)
-    val nAlpha = size(filter(words, w => w.rlike("[a-z]"))).cast(LongType)
-    val nSym = size(regexp_extract_all(c, lit(symbolPattern), lit(0))).cast(LongType)
-    val nStop = size(filter(words, w => w.isin(englishStopwords: _*))).cast(LongType)
+    val native = nativeTextEnabled &&
+      org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(s => try s.catalog.functionExists("gopher_counts")
+                   catch { case _: Throwable => false })
+    // With GraftExtensions registered, the five counts come from the
+    // native one-lowercase-pass `gopher_counts` expression
+    // ([[graft.plans.GopherCounts]]) instead of two regexp_extract_all,
+    // a regexp_replace, and two interpreted HOF filters (one running a
+    // per-word rlike). The rule booleans are the same Long algebra over
+    // the same counts either way — bit-identical, oracles unchanged.
+    val (nWords, sumLen, nAlpha, nSym, nStop) =
+      if (native) {
+        val f = call_function("gopher_counts", c)
+        (f.getField("n_words"), f.getField("sum_len"), f.getField("n_alpha"),
+          f.getField("n_sym"), f.getField("n_stop"))
+      } else {
+        val words = regexp_extract_all(lower(c), lit(wordPattern), lit(0))
+        (size(words).cast(LongType),
+          length(regexp_replace(lower(c), "[^a-z0-9]", "")).cast(LongType),
+          size(filter(words, w => w.rlike("[a-z]"))).cast(LongType),
+          size(regexp_extract_all(c, lit(symbolPattern), lit(0))).cast(LongType),
+          size(filter(words, w => w.isin(englishStopwords: _*))).cast(LongType))
+      }
     val rWc = nWords.between(minWords.toLong, maxWords.toLong)
     val rMwl = lit(3L) * nWords <= sumLen && sumLen <= lit(10L) * nWords
     val rAlpha = lit(5L) * nAlpha >= lit(4L) * nWords

@@ -100,6 +100,55 @@ class QualityFeaturesSpec extends SparkSpec {
     assert(bad.count() == 0, s"diverging rows:\n${bad.collect().take(5).mkString("\n")}")
   }
 
+  test("gopher_counts: native counts == the regex/HOF definitions, incl. unicode lower") {
+    val cases = Seq(
+      "", " ", "The Quick BROWN fox", "the the", "a1b2 3c4d",
+      "no#sym ### ....", "......", ".. . ...", "#",
+      "KELVIN", // KELVIN SIGN lowercases to ASCII 'k' — the nasty one
+      "élève café the", "的是了 the", "CAPS-ONLY WORDS THE OF",
+      "x" * 300, "word " * 50)
+    val df = cases.toDF("t")
+    val got = df.select(expr("gopher_counts(t)").as("f")).select(
+      col("f.n_words"), col("f.sum_len"), col("f.n_alpha"),
+      col("f.n_sym"), col("f.n_stop")).collect()
+    val words = regexp_extract_all(lower(col("t")), lit(Text.wordPattern), lit(0))
+    val want = df.select(
+      size(words).cast("long"),
+      length(regexp_replace(lower(col("t")), "[^a-z0-9]", "")).cast("long"),
+      size(filter(words, w => w.rlike("[a-z]"))).cast("long"),
+      size(regexp_extract_all(col("t"), lit(Text.symbolPattern), lit(0))).cast("long"),
+      size(filter(words, w => w.isin(Text.englishStopwords: _*))).cast("long")).collect()
+    cases.indices.foreach(i => assert(got(i).toSeq == want(i).toSeq,
+      s"gopher counts diverge on '${cases(i).take(30)}': native ${got(i)} vs regex ${want(i)}"))
+  }
+
+  test("gopherRules parity: native path == regex fallback on generated text, null-safe") {
+    val texts = (Gen.listOfN(300, Gen.oneOf(
+      Gen.listOfN(25, Gen.oneOf("the", "of", "Word", "x9", "###", "...", "é"))
+        .map(_.mkString(" ")),
+      Gen.asciiPrintableStr)).apply(Gen.Parameters.default, Seed(31L)).get :+ null) :+ ""
+    val df = texts.map(Tuple1(_)).toDF("t")
+    // the fallback, assembled from the same public regex pieces
+    val words = regexp_extract_all(lower(col("t")), lit(Text.wordPattern), lit(0))
+    val nWords = size(words).cast("long")
+    val sumLen = length(regexp_replace(lower(col("t")), "[^a-z0-9]", "")).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[a-z]"))).cast("long")
+    val nSym = size(regexp_extract_all(col("t"), lit(Text.symbolPattern), lit(0))).cast("long")
+    val nStop = size(filter(words, w => w.isin(Text.englishStopwords: _*))).cast("long")
+    val rWc = nWords.between(10L, 100000L)
+    val rMwl = lit(3L) * nWords <= sumLen && sumLen <= lit(10L) * nWords
+    val rAlpha = lit(5L) * nAlpha >= lit(4L) * nWords
+    val rSym = lit(10L) * nSym <= nWords
+    val rStop = nStop >= 2L
+    val builtin = struct(nWords.as("n_words"), rWc.as("r_wordcount"),
+      rMwl.as("r_meanwordlen"), rAlpha.as("r_alphawords"),
+      rSym.as("r_symbolratio"), rStop.as("r_stopwords"),
+      (rWc && rMwl && rAlpha && rSym && rStop).as("passed"))
+    val bad = df.select(Text.gopherRules(col("t")).as("native"), builtin.as("builtin"))
+      .filter(!(col("native") <=> col("builtin")))
+    assert(bad.count() == 0, s"diverging rows:\n${bad.collect().take(5).mkString("\n")}")
+  }
+
   test("stopword byte table stays in sync with the canonical list") {
     // the expression compiles the english stopwords into byte arrays;
     // membership over the column path must agree with isin on every word
