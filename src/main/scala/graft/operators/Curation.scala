@@ -772,7 +772,11 @@ object Curation {
         .withColumn("__share",
           when(col("assigned") < col("cap_tokens") && col("__totq") > 0,
             when(assert_true(
-                col("__rem") <= lit(Long.MaxValue) / greatest(col("__rawq"), lit(1L)),
+                // Integer `div`, NOT Column `/` (Divide casts both Longs
+                // to DOUBLE; Long.MaxValue rounds UP to 2^63 and the
+                // quotient loses low bits, so the "exact" claim below
+                // would be false near the boundary).
+                expr("__rem <= 9223372036854775807 div greatest(__rawq, 1)"),
                 lit("waterfillTargets: remaining-budget × weight product overflows " +
                   "Long — rescale the ×1e6 weight quantum or lower budgetTokens")).isNull,
               expr("__rem * __rawq div __totq"))).otherwise(lit(0L)))

@@ -99,7 +99,10 @@ object Pq {
     // min() per (JVM, dataset), zero per-action seed work after),
     // else the broadcast-subtree form — never a per-call collect or a
     // lineage cut, both A/B-measured slower (see Similarity.centroids).
-    val seeds = Similarity.memoizedMinId(emb, idCol) match {
+    // Same GRAFT_AB_NO_MEMO gate as Similarity.centroids so one A/B
+    // switch re-adjudicates the memo across ALL its users, PQ included.
+    val seeds = (if (sys.env.contains("GRAFT_AB_NO_MEMO")) None
+                 else Similarity.memoizedMinId(emb, idCol)) match {
       case Some(anchor) =>
         emb.filter(pmod(col(idCol) - anchor, lit(centroidStep)) === 0 &&
           col(idCol) - anchor < centroidStep.toLong * 256L)

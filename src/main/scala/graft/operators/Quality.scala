@@ -450,7 +450,11 @@ object Quality {
       .agg(coalesce(sum(col("__rc") * col("__gc")), lit(0L)).as("__pe_num"))
     val base = cells.agg(
       coalesce(sum(col("__c")), lit(0L)).as("n"),
-      coalesce(sum(when(col("__p") <=> col("__g"), col("__c")).otherwise(0L)),
+      // Plain `===`, not `<=>`: the DuckDB oracle's `p = g` treats a
+      // null label pair as NON-agreement, and this must match it if a
+      // caller ever feeds nullable labels (none does today). Null
+      // comparison → null → `when` falls to otherwise(0).
+      coalesce(sum(when(col("__p") === col("__g"), col("__c")).otherwise(0L)),
         lit(0L)).as("n_agree"))
     base.crossJoin(broadcast(peNum))
       .withColumn("po_bp", expr("n_agree * 10000 div n"))

@@ -72,13 +72,14 @@ object QualityFeatures {
     StructField("n_tok", IntegerType, nullable = false),
     StructField("n_stop", IntegerType, nullable = false)))
 
-  /** [[graft.functions.Text.englishStopwords]] as UTF-8 byte arrays,
-    * longest 4 bytes — token membership compares raw slices, no string
-    * materialization. Kept in sync by a spec that derives this set from
-    * the canonical list. */
+  /** [[graft.functions.Text.englishStopwords]] as UTF-8 byte arrays —
+    * token membership compares raw slices, no string materialization.
+    * Derived from the canonical list at class load (same convention as
+    * GopherCounts/LangHits) so an edit there propagates here; the sync
+    * spec stays as the tripwire for the fallback path. */
   private val STOP: Array[Array[Byte]] =
-    Array("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
-      .map(_.getBytes("UTF-8"))
+    graft.functions.Text.englishStopwords.map(_.getBytes("UTF-8")).toArray
+  private val STOP_MAX: Int = STOP.map(_.length).max
 
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
@@ -129,7 +130,7 @@ object QualityFeatures {
   /** 1 when bytes[from, until) equals one of the stopwords. */
   private def stopHit(bytes: Array[Byte], from: Int, until: Int): Int = {
     val len = until - from
-    if (len < 1 || len > 4) return 0
+    if (len < 1 || len > STOP_MAX) return 0
     var w = 0
     while (w < STOP.length) {
       val s = STOP(w)
