@@ -556,23 +556,35 @@ object Quality {
     * per user) in basis points — the engagement-inequality number a
     * data card reports (gini 0 = uniform, → 10⁴ = one key owns
     * everything). Standard rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) /
-    * (n·Σx) over ascending-sorted x. Engine parity: ranks are a
-    * deterministic (count asc, key asc) ordering, every term is an
-    * integer, and the one division happens once in IEEE double with
+    * (n·Σx) over ascending-sorted x. Engine parity: every term is an
+    * integer and the one division happens once in IEEE double with
     * floor(·10⁴+0.5) quantization.
     *
-    * Scale shape: the corpus collapses to per-key counts (map-side
-    * combine) and everything after runs on that |keys| relation; the
-    * rank window sorts keys, not events — at 100 TB |keys| ≪ corpus
-    * (users vs events), the accepted cost of an exact Gini. Output one
-    * row: (n_keys, n_total, gini_bp). */
+    * Scale shape (the Learn.auc move): the corpus collapses to per-key
+    * counts (map-side combine), the counts collapse AGAIN to a
+    * count-value histogram (__x, __f), and Σᵢ i·xᵢ comes in closed form
+    * per value group — keys with equal count x occupy ranks c+1..c+f
+    * (c = keys below), so their rank-sum is c·f + f(f+1)/2 regardless
+    * of intra-group order, giving the SAME integer as a (count asc,
+    * key asc) row_number without ever ranking the |keys| relation. The
+    * only window is a prefix sum over the histogram, which is provably
+    * bounded: d distinct positive counts satisfy d(d+1)/2 ≤ Σx, so
+    * d ≤ √(2·n_total) — ~1.4 M rows at a 10¹² -event corpus, vs the
+    * 10⁸⁺ keys the old single-partition rank window would have pulled
+    * through one task. Output one row: (n_keys, n_total, gini_bp). */
   def giniIndex(df: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__x"))
-    val ranked = counts.withColumn("__i",
-      row_number().over(Window.orderBy(col("__x").asc, col(keyCol).asc)).cast(LongType))
-    ranked.agg(count(lit(1)).as("n_keys"), sum(col("__x")).as("n_total"),
-        sum(col("__i") * col("__x")).as("__s1"))
+    val hist = counts.groupBy(col("__x")).agg(count(lit(1)).as("__f"))
+    val below = Window.orderBy(col("__x").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grouped = hist
+      .withColumn("__c", coalesce(sum(col("__f")).over(below), lit(0L)))
+      // f·(f+1) is even, so `div 2` is exact; Spark `div` keeps it Long.
+      .withColumn("__gs", expr("__x * (__c * __f + (__f * (__f + 1)) div 2)"))
+    grouped.agg(sum(col("__f")).as("n_keys"),
+        sum(col("__x") * col("__f")).as("n_total"),
+        sum(col("__gs")).as("__s1"))
       .select(col("n_keys"), col("n_total"),
         floor((lit(2L) * col("__s1") - (col("n_keys") + 1L) * col("n_total"))
             .cast(DoubleType)

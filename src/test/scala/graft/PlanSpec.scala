@@ -848,12 +848,21 @@ class PlanSpec extends SparkSpec {
       s"no rank window over the vocabulary relation:\n$plan")
   }
 
-  test("giniIndex: the corpus shuffles once (per-key combine); only bounded rows sort") {
+  test("giniIndex: corpus shuffles once; the only window sorts the count-value histogram") {
     val df = (1 to 1000).map(i => Tuple1(s"u${i % 50}")).toDF("k")
     val plan = planOf(graft.operators.Quality.giniIndex(df, "k"))
+    // Two hash exchanges: corpus→per-key counts, counts→value histogram
+    // (the second moves the |keys| relation, never the corpus).
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(hashEx == 1,
-      s"exactly the per-key count aggregate may hash-shuffle, got $hashEx:\n$plan")
+    assert(hashEx == 2,
+      s"per-key count + histogram aggregates only, got $hashEx:\n$plan")
+    // The single-partition window input is the d ≤ √(2·n_total)-row
+    // histogram: its sort key must be the count VALUE __x, and no
+    // row_number rank over the keys relation may survive.
+    assert("Sort \\[__x".r.findFirstIn(plan).isDefined,
+      s"prefix-sum window must sort the histogram on __x:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"no per-key rank window — ranks come from the closed form:\n$plan")
   }
 
   test("lenHistogram is one map-side-combined aggregation") {
