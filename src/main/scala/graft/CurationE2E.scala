@@ -49,7 +49,36 @@ object CurationE2E {
   private val gopherMinWords = 10
   private val gopherMaxWords = 100000
 
+  /** Per-stage wall-clock instrumentation: with GRAFT_E2E_STAGE_TIMES=1
+    * every stage boundary is cut eagerly and its elapsed seconds land
+    * here (and on stderr as `[e2e-stage]` lines), so a drifting 100×
+    * E2E reading localizes to a STAGE instead of a shrug — the 9-stage
+    * DAG's same-build total moved ±46% across days (SCALE.md r19) and a
+    * single end-to-end number cannot tell GC weather from a regressed
+    * stage. OFF by default: instrumented mode adds two cuts (near-dup
+    * and semantic survivor relations) the production plan leaves lazy,
+    * so instrumented totals read slightly above the plain run — compare
+    * stages run-to-run, never against the un-instrumented headline. */
+  private[graft] val stageTimes =
+    scala.collection.mutable.LinkedHashMap.empty[String, Double]
+  private def stagesOn: Boolean = // sys-prop form is the in-JVM spec hook
+    sys.env.get("GRAFT_E2E_STAGE_TIMES").contains("1") ||
+      sys.props.get("graft.e2e.stageTimes").contains("1")
+  private def record(name: String, t0Nanos: Long): Unit = {
+    val dt = (System.nanoTime() - t0Nanos) / 1e9
+    stageTimes.synchronized { stageTimes(name) = dt }
+    System.err.println(f"[e2e-stage] $name%-20s $dt%8.3fs")
+  }
+  /** Stage boundary: `always` cuts are the production localCheckpoints
+    * (plan-tree dedup, see the stage-2 comment); `always=false` cuts
+    * exist only in instrumented mode. Timing the eager checkpoint times
+    * everything since the PREVIOUS boundary — upstream is already flat. */
+  private def cut(df: DataFrame, name: String, always: Boolean): DataFrame =
+    if (!stagesOn) { if (always) df.localCheckpoint() else df }
+    else { val t0 = System.nanoTime(); val d = df.localCheckpoint(); record(name, t0); d }
+
   private val qCurationE2e: Q = (spark, dir) => {
+    if (stagesOn) stageTimes.synchronized(stageTimes.clear())
     import ExtensionQueries.{minhashN, rowsPerBand, lshBucketCap, jaccardThreshold, semThreshold}
     import CurationQueries.{shingleN, decontamN, decontamMinShared, benchMod, benchRem, shardBudget}
     val docsAll = Tables.fanOut(Tables.documents(spark, dir))
@@ -68,18 +97,19 @@ object CurationE2E {
     // materializes the (small, post-filter) survivor set once and
     // replaces the subtree with a flat scan, exactly the
     // [[Curation.connectedComponents]] lineage discipline.
-    val exact = gated
+    val exact = cut(gated
       .withColumn("__rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-      .filter(col("__rn") === 1).drop("__rn")
-      .localCheckpoint()
+      .filter(col("__rn") === 1).drop("__rn"),
+      "s12_gate_exact", always = true)
     // 3 — LSH near-dup dedup. The pair relation is persisted by
     // lshJaccard and REUSED by the split-leakage check in stage 8.
     val pairs = Similarity.lshJaccard(exact, "doc_id", "text",
       shingleN, minhashN, rowsPerBand, lshBucketCap, jaccardThreshold)
     val canonical = Curation.connectedComponents(exact, "doc_id", pairs)
       .filter(col("component") === col("doc_id")).select("doc_id")
-    val nearKept = exact.join(canonical, Seq("doc_id"), "left_semi")
+    val nearKept = cut(exact.join(canonical, Seq("doc_id"), "left_semi"),
+      "s3_lsh_neardup", always = false)
     // 4 — semantic dedup: quantizer trained ONCE on the full embedding
     // corpus (the production trained-quantizer path), applied to the
     // survivors' vectors only
@@ -91,14 +121,15 @@ object CurationE2E {
     val surv = Similarity.semanticDedup(embSub, "vec_id", "embedding",
       cent, semThreshold)
     Similarity.release(cent)
-    val semKept = nearKept.join(surv.select(col("vec_id").as("doc_id")),
-      Seq("doc_id"), "left_semi")
+    val semKept = cut(nearKept.join(surv.select(col("vec_id").as("doc_id")),
+      Seq("doc_id"), "left_semi"), "s4_sem_dedup", always = false)
     // 5 — benchmark decontamination: drop survivors sharing >= minShared
     // distinct 5-grams with the (broadcast) benchmark slice
     val contam = Curation.contaminationReport(semKept, bench,
       "doc_id", "text", decontamN, decontamMinShared)
-    val clean0 = semKept.join(contam.select("doc_id"), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    val clean0 = cut(
+      semKept.join(contam.select("doc_id"), Seq("doc_id"), "left_anti"),
+      "s5_ngram_decontam", always = true)
     // 5b — SEMANTIC benchmark decontamination: the embedding-space
     // companion (paraphrased eval leakage shares no 5-grams). The
     // benchmark slice's vectors broadcast; the survivors' vectors take
@@ -113,9 +144,9 @@ object CurationE2E {
     val semContam = Curation.semanticContamination(cleanEmb, "vec_id",
         "embedding", benchEmb, ExtensionQueries.semDecontamThreshold)
       .filter(col("contaminated"))
-    val clean = clean0.join(semContam.select(col("vec_id").as("doc_id")),
-        Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    val clean = cut(clean0.join(semContam.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_anti"),
+      "s5b_sem_decontam", always = true)
     // 6 — DSIR selection: one persisted tokenization feeds both LM
     // scoring passes (target = the clean English slice, raw = all clean)
     val toks = Index.docTokens(clean, "doc_id", "text", Seq("lang"))
@@ -142,9 +173,9 @@ object CurationE2E {
       .orderBy(col("dsir").desc, col("doc_id").asc).limit(e2eK)
       .select("doc_id")
     // 7 — deterministic 90/5/5 split of the selected set
-    val selected = clean.join(selId, Seq("doc_id"), "left_semi")
-      .withColumn("split", ScaleQueries.splitColumn)
-      .localCheckpoint()
+    val selected = cut(clean.join(selId, Seq("doc_id"), "left_semi")
+      .withColumn("split", ScaleQueries.splitColumn),
+      "s67_dsir_split", always = true)
     // 8 — split-leakage check on the REUSED stage-3 pair relation: two
     // hash joins on id, structurally zero because clusters collapsed
     // before the split — the oracle must agree from scratch
@@ -162,7 +193,9 @@ object CurationE2E {
       .select(col("doc_id"), col("source"), col("split"), col("n_tok"),
         col("shard"), col("n_leaks"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val t89 = System.nanoTime()
     out.count() // materialize the <= e2eK-row result, then drop the DAG caches
+    if (stagesOn) record("s89_leak_pack", t89)
     Seq(pairs, surv, toks, bg).foreach(Similarity.release)
     out
   }

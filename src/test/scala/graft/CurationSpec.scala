@@ -686,6 +686,22 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._3).distinct.toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("q_curation_e2e stage timing: all 7 boundaries recorded, result invariant") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val plain = rows(SparkEntry.queries("q_curation_e2e")(spark, dir))
+    sys.props("graft.e2e.stageTimes") = "1"
+    try {
+      val inst = rows(SparkEntry.queries("q_curation_e2e")(spark, dir))
+      assert(inst == plain, "instrumented mode must not change the result")
+      val st = CurationE2E.stageTimes.synchronized(CurationE2E.stageTimes.toMap)
+      val expect = Set("s12_gate_exact", "s3_lsh_neardup", "s4_sem_dedup",
+        "s5_ngram_decontam", "s5b_sem_decontam", "s67_dsir_split", "s89_leak_pack")
+      assert(st.keySet == expect, s"recorded stages: ${st.keySet}")
+      assert(st.values.forall(_ > 0.0), s"non-positive stage time: $st")
+    } finally sys.props.remove("graft.e2e.stageTimes")
+  }
+
   test("epochize: a row's copy count never flips when other strata change") {
     val base = Seq((1L, "a", 10L), (2L, "a", 10L)).toDF("id", "source", "n_tok")
     val more = base.union(Seq((3L, "b", 10L), (4L, "b", 10L)).toDF("id", "source", "n_tok"))
