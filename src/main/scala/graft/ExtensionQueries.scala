@@ -46,6 +46,13 @@ object ExtensionQueries {
     * candidates ~n·32 instead of n²/256 at probe/production scale. */
   private def adaptivePlanesFor(spark: SparkSession, dir: String): Int =
     Similarity.adaptivePlanes(embeddingsCount(spark, dir))
+  /** Degenerate-bucket cap for the embed-LSH self-joins: 32× the
+    * ladder's ~32 target occupancy, so it NEVER binds on a healthy
+    * corpus (pinned by the recall-parity spec at both test scales and
+    * non-binding at the measured 1000× decade, occupancy ~30) and
+    * bounds the candidate relation at buckets·cap² under pathological
+    * skew (hubs, collapsed models, zero vectors). */
+  private[graft] val embedLshBucketCap = 1024
   private val topicBalanceN = 5          // members kept per k-means cell
   private val topicBalanceSalt = "tb5"
   private[graft] val minhashN = 16
@@ -291,7 +298,8 @@ object ExtensionQueries {
     * doubling keeps the candidate relation ~n·targetPerBucket. */
   private val qSimEmbedDedup: Q = (spark, dir) =>
     Similarity.embedNearDupPairs(Tables.fanOut(Tables.embeddings(spark, dir)), "vec_id", "embedding",
-      adaptivePlanesFor(spark, dir), queryVec.length, threshold = 0.4)
+      adaptivePlanesFor(spark, dir), queryVec.length, threshold = 0.4,
+      bucketCap = embedLshBucketCap)
 
   /** Margin-based bitext mining over the embedding corpus: even labels
     * are side A, odd labels side B (the two "languages"); mined pairs
@@ -305,7 +313,7 @@ object ExtensionQueries {
     Similarity.bitextMarginMine(Tables.fanOut(Tables.embeddings(spark, dir)),
       "vec_id", "embedding", col("label") % 2,
       adaptivePlanesFor(spark, dir), queryVec.length,
-      bitextMinMarginBp)
+      bitextMinMarginBp, bucketCap = embedLshBucketCap)
 
   /** Multi-probe near-dup pairs: Hamming-radius-1 bucket expansion on
     * one side of the blocked self-join recovers boundary-crossing
@@ -1071,15 +1079,15 @@ object ExtensionQueries {
   /** Full-width (maxPlanes) bucket: plane p's weights depend only on p,
     * so the adaptive P-plane bucket is this string's P-prefix. */
   private val bucketSqlMax: String =
-    Similarity.hyperplaneWeights(16, queryVec.length).map { w =>
+    Similarity.hyperplaneWeights(24, queryVec.length).map { w =>
       s"(CASE WHEN ${dotSql("embedding", sqlList(w.toSeq))} >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
   /** The adaptive-plane ladder from count(*) — the integer mirror of
-    * [[Similarity.adaptivePlanes]](n, base=8, maxPlanes=16,
+    * [[Similarity.adaptivePlanes]](n, base=8, maxPlanes=24,
     * targetPerBucket=32): +1 plane for each doubling past 32·2^8. */
   private val adaptivePlanesSql: String =
-    "8 " + (8 until 16).map(j =>
+    "8 " + (8 until 24).map(j =>
       s"+ (CASE WHEN n > ${32L << j} THEN 1 ELSE 0 END)").mkString(" ")
 
   /** CTE pair `np(p)` + `b(vec_id, embedding, bucket)` blocking on the
@@ -1586,10 +1594,13 @@ object ExtensionQueries {
           SELECT CAST(10 AS BIGINT) AS k, n_hits,
                  round(n_hits / 10.0, 4) AS recall FROM h""",
     "q_sim_embed_dedup" ->
-      s"""WITH $adaptiveBucketCte
+      s"""WITH $adaptiveBucketCte,
+          okb AS (SELECT bucket FROM b GROUP BY bucket
+                  HAVING count(*) <= $embedLshBucketCap),
+          bc AS (SELECT b.* FROM b JOIN okb USING (bucket))
           SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
                  ${cosine2Sql("a.embedding", "b2.embedding")} AS cosine_sim
-          FROM b a JOIN b b2
+          FROM bc a JOIN bc b2
             ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
           WHERE ${cosine2Sql("a.embedding", "b2.embedding")} >= 0.4""",
     "q_cluster_purity" ->
@@ -1635,7 +1646,10 @@ object ExtensionQueries {
             FROM af) WHERE rn <= $topicBalanceN""",
     "q_bitext_margin" ->
       s"""WITH $adaptiveBucketCte,
-          bs AS (SELECT vec_id, embedding, label % 2 AS side, bucket FROM b),
+          okb AS (SELECT bucket FROM b GROUP BY bucket
+                  HAVING count(*) <= $embedLshBucketCap),
+          bs AS (SELECT vec_id, embedding, label % 2 AS side, bucket
+                 FROM b JOIN okb USING (bucket)),
           cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
               CAST(floor(${cosine2Sql("x.embedding", "y.embedding")}
                 * 1000000.0 + 0.5) AS BIGINT) AS cos_u

@@ -205,9 +205,15 @@ object ScaleGen {
       u(col("id"), 71, 10L).cast("int").as("label"))
   }
 
-  def writeAll(spark: SparkSession, outDir: String, mult: Int): Unit = {
-    def w(name: String, df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+  /** `only` restricts generation to the named tables — the third-decade
+    * (1000×) probes need only the table(s) a query reads, and writing
+    * the full 1000× set (~19 GB) to measure a 1 GB embeddings query
+    * would be pure waste. Empty = all tables. */
+  def writeAll(spark: SparkSession, outDir: String, mult: Int,
+               only: Set[String] = Set.empty): Unit = {
+    def w(name: String, df: => DataFrame): Unit =
+      if (only.isEmpty || only(name))
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     w("region", region(spark))
     w("nation", nation(spark))
     w("supplier", supplier(spark, mult))
@@ -223,6 +229,9 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/scaleprobe/gen1")
     val mult = if (args.length > 1) args(1).toInt else 10
+    val only = if (args.length > 2)
+      args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+    else Set.empty[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -236,8 +245,8 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    writeAll(spark, outDir, mult)
-    println(s"""{"scalegen":"$outDir","mult":$mult}""")
+    writeAll(spark, outDir, mult, only)
+    println(s"""{"scalegen":"$outDir","mult":$mult,"tables":"${if (only.isEmpty) "all" else only.toSeq.sorted.mkString(",")}"}""")
     spark.stop()
   }
 }

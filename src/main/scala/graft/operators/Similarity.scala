@@ -476,8 +476,14 @@ object Similarity {
     * the oracle computes the full-width bucket once and blocks on its
     * prefix. `maxPlanes` bounds the recall trade (each plane costs
     * boundary-crossing pairs; radius-1 multi-probe or banding recovers
-    * them when a caller needs recall at extreme scale). */
-  def adaptivePlanes(n: Long, base: Int = 8, maxPlanes: Int = 16,
+    * them when a caller needs recall at extreme scale). Default 24:
+    * the measured 1000× decade (2 M vectors, SCALE.md round 20) showed
+    * occupancy creeping 24→30 exactly because the old 16-plane cap had
+    * already bound at n≈1 M — 24 planes (16.7 M buckets) keeps
+    * occupancy at the ~32 target through a quarter-billion vectors,
+    * and ladders identically to the 16-plane era at every n ≤ 2²¹
+    * (so every test, bench, and probe dataset is bit-unchanged). */
+  def adaptivePlanes(n: Long, base: Int = 8, maxPlanes: Int = 24,
                      targetPerBucket: Long = 32L): Int = {
     require(base >= 1 && maxPlanes >= base, s"need 1 <= base <= maxPlanes")
     base + (base until maxPlanes).count(j => n > (targetPerBucket << j))
@@ -902,14 +908,27 @@ object Similarity {
   // each block.
   // ---------------------------------------------------------------------
   def embedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                        numPlanes: Int, dims: Int, threshold: Double): DataFrame = {
+                        numPlanes: Int, dims: Int, threshold: Double,
+                        bucketCap: Int = Int.MaxValue): DataFrame = {
     // Norms precomputed per SIDE, not per pair: higher-order-function
     // folds are interpreted (CodegenFallback), so each avoided fold is
     // real per-pair CPU. Same IEEE value as computing inline — the
     // oracle mirror is unaffected.
     val native = hasNative(emb)
-    val b = withBuckets(emb, vecCol, numPlanes, dims)
+    val b0 = withBuckets(emb, vecCol, numPlanes, dims)
       .select(col(idCol), col(vecCol), col("bucket"), normFor(native)(col(vecCol)).as("__n"))
+    // Degenerate-bucket guard, same rationale as lshJaccard's banding
+    // cap: the adaptive ladder bounds EXPECTED occupancy, but a skewed
+    // embedding distribution (hubness, all-zero rows, a collapsed
+    // model) can still pile one bucket to n and turn the verify stage
+    // quadratic. Buckets past the cap are dropped whole — their
+    // members are boilerplate-grade for near-DUP purposes (the
+    // semantic-dedup path is the right tool there), and the candidate
+    // relation stays ≤ buckets·cap² in the worst case at ANY corpus
+    // size. Non-binding at healthy occupancy (ladder targets ~32 per
+    // bucket) — pinned by the recall-parity spec.
+    val b = if (bucketCap == Int.MaxValue) b0
+            else dropOversizedBuckets(b0, Seq("bucket"), bucketCap)
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("cosine_sim",
@@ -939,11 +958,16 @@ object Similarity {
     * PAIR relation (≪ corpus² under blocking), never on the corpus. */
   def bitextMarginMine(emb: DataFrame, idCol: String, vecCol: String,
                        sideCol: Column, numPlanes: Int, dims: Int,
-                       minMarginBp: Long): DataFrame = {
+                       minMarginBp: Long, bucketCap: Int = Int.MaxValue): DataFrame = {
     val native = hasNative(emb)
-    val b = withBuckets(emb.withColumn("__side", sideCol), vecCol, numPlanes, dims)
+    val b0 = withBuckets(emb.withColumn("__side", sideCol), vecCol, numPlanes, dims)
       .select(col(idCol), col(vecCol), col("__side"), col("bucket"),
         normFor(native)(col(vecCol)).as("__n"))
+    // Same degenerate-bucket guard as embedNearDupPairs, counted over
+    // BOTH sides (the oracle mirrors that choice), applied before the
+    // side split so one hub bucket cannot make candidates quadratic.
+    val b = if (bucketCap == Int.MaxValue) b0
+            else dropOversizedBuckets(b0, Seq("bucket"), bucketCap)
     val cand = b.filter(col("__side") === 0).as("x")
       .join(b.filter(col("__side") === 1).as("y"),
         col("x.bucket") === col("y.bucket"))

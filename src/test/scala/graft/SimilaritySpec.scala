@@ -465,19 +465,24 @@ class SimilaritySpec extends SparkSpec {
     assert(adaptivePlanes(16385L) == 10)
     // the probe decades: 10x = 20k vectors -> 10 planes, 100x = 200k -> 13
     assert(adaptivePlanes(20000L) == 10 && adaptivePlanes(200000L) == 13)
+    // 16→24 raise (r20): identical ladder through every measurable
+    // scale — 2 M vectors (the 1000× probe decade) still reads 16 —
+    // and occupancy stays at target through ~2^23·32 vectors
+    assert(adaptivePlanes(2000000L) == 16)
+    assert(adaptivePlanes(1L << 40) == 24)
     // capped: recall is bounded away from zero at any corpus size
-    assert(adaptivePlanes(Long.MaxValue) == 16)
+    assert(adaptivePlanes(Long.MaxValue) == 24)
   }
 
-  test("adaptive bucket is the P-prefix of the 16-plane bucket (plane p depends only on p)") {
+  test("adaptive bucket is the P-prefix of the 24-plane bucket (plane p depends only on p)") {
     val vecs = (0L until 12L).map { i =>
       (0 until 8).map(d => (((i * 29 + d * 13) % 11).toDouble - 5.0) / 5.0)
     }
-    val w16 = Similarity.hyperplaneWeights(16, 8)
-    for (p <- Seq(8, 10, 13); v <- vecs) {
+    val wMax = Similarity.hyperplaneWeights(24, 8)
+    for (p <- Seq(8, 10, 13, 16); v <- vecs) {
       val wp = Similarity.hyperplaneWeights(p, 8)
-      assert(Similarity.bucketOf(v, wp) == Similarity.bucketOf(v, w16).take(p),
-        s"P=$p bucket must be the 16-plane prefix — the oracle substrings rely on it")
+      assert(Similarity.bucketOf(v, wp) == Similarity.bucketOf(v, wMax).take(p),
+        s"P=$p bucket must be the 24-plane prefix — the oracle substrings rely on it")
     }
   }
 
@@ -518,5 +523,33 @@ class SimilaritySpec extends SparkSpec {
     // that sizes to 8 planes (every correctness/bench-scale dataset)
     assert(minedAt(Similarity.adaptivePlanes(df.count())) == minedAt(8),
       "adaptive-plane result must be bit-identical to fixed-8 at base-scale corpora")
+  }
+
+  test("degenerate-bucket cap: non-binding at healthy occupancy, binding bounds a hub bucket") {
+    // Healthy corpus (the planted set above, occupancy well under the
+    // cap): capped output must be BIT-IDENTICAL to uncapped — the
+    // recall-parity pin for q_sim_embed_dedup / q_bitext_margin, whose
+    // oracles now mirror the cap with a HAVING filter.
+    val healthy = (0L until 200L).map { i =>
+      (i, (0 until 8).map(d => ((((i * 31 + d * 17) % 13).toFloat - 6.0f) / 6.0f)))
+    }.toDF("id", "vec")
+    def pairs(df: org.apache.spark.sql.DataFrame, cap: Int): Set[(Long, Long)] =
+      Similarity.embedNearDupPairs(df, "id", "vec", 8, 8, 0.9, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(healthy, 1024) == pairs(healthy, Int.MaxValue),
+      "cap must not bind at healthy occupancy")
+
+    // Pathological hub: every vector identical -> ONE bucket of size n.
+    // Uncapped the verify stage is n²/2 pairs; capped the hub bucket is
+    // dropped whole and the pair relation is EMPTY — the worst case is
+    // bounded instead of quadratic.
+    val hub = (0L until 60L).map(i => (i, Seq.fill(8)(0.5f))).toDF("id", "vec")
+    assert(pairs(hub, Int.MaxValue).size == 60 * 59 / 2, "construction: one hub bucket")
+    assert(pairs(hub, 32).isEmpty, "capped hub bucket must be dropped whole")
+
+    // bitext side: same guard, counted over both sides
+    val mined = Similarity.bitextMarginMine(hub, "id", "vec",
+      col("id") % 2, 8, 8, minMarginBp = 0L, bucketCap = 32)
+    assert(mined.count() == 0, "bitext candidates from a capped hub bucket must vanish")
   }
 }
