@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{GopherCounts, LangHits, QualityFeatures, VecDot, WordShingles}
+import graft.plans.{BenchMaxCos, GopherCounts, LangHits, QualityFeatures, VecDot, WordShingles}
 
 /** Engine extension point — register custom Catalyst expressions.
   * Activate with `spark.sql.extensions=graft.GraftExtensions` (or
@@ -34,5 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("gopher_counts"),
       new ExpressionInfo(classOf[GopherCounts].getName, "gopher_counts"),
       (children: Seq[Expression]) => GopherCounts(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bench_max_cos"),
+      new ExpressionInfo(classOf[BenchMaxCos].getName, "bench_max_cos"),
+      (children: Seq[Expression]) =>
+        BenchMaxCos(children.head, children(1), children(2))))
   }
 }

@@ -144,8 +144,72 @@ object Curation {
   // through the IVF probe (ivfAnnTopK per bench vector) instead; an
   // EMPTY benchmark yields an empty report (nothing to leak).
   // ---------------------------------------------------------------------
+  /** Bench sets above this row count skip the literal-matrix fast path
+    * (a 64-dim double matrix at the cap is ~34 MB of task reference —
+    * broadcast-sized; real benchmark suites are fixed-size and far
+    * smaller). Above it the broadcast-join fallback runs, and a bench
+    * too large even to broadcast routes through the IVF probe
+    * (SCALE.md). */
+  private val benchMatrixCap = 65536
+
   def semanticContamination(emb: DataFrame, idCol: String, vecCol: String,
                             bench: DataFrame, threshold: Double): DataFrame = {
+    // Fast path: pack the bench side into a literal matrix and score
+    // max-cosine in ONE native per-row pass (plans/BenchMaxCos — the
+    // exact when/round/struct-max arithmetic of the fallback below,
+    // pinned bit-identical by the parity spec). The fallback
+    // cross-join materializes |corpus|·|bench| join rows around the
+    // same |corpus|·|bench| dot products; the round-20 stage breakdown
+    // measured it as q_curation_e2e's dominant term AND all of its
+    // run-to-run spread at 100×. Falls back when: the extension is not
+    // registered, GRAFT_AB_NO_NATIVE_MAXCOS=1 (A/B re-adjudication),
+    // the bench id column is not integral, the bench is empty (the
+    // relational result is EMPTY, which no per-row expression yields),
+    // or the bench exceeds the matrix cap.
+    val nativeOk = !sys.env.contains("GRAFT_AB_NO_NATIVE_MAXCOS") &&
+      emb.sparkSession.catalog.functionExists("bench_max_cos") &&
+      // LongType exactly: the fast path emits BIGINT top_bench_id and
+      // must not silently widen a narrower fallback schema
+      bench.schema(bench.schema.fieldIndex(idCol)).dataType == LongType
+    val collected = if (nativeOk)
+      bench.select(col(idCol).cast(LongType).as("__bid"), col(vecCol).as("__bvec"))
+        .limit(benchMatrixCap + 1).collect()
+    else Array.empty[org.apache.spark.sql.Row]
+    if (nativeOk && collected.nonEmpty && collected.length <= benchMatrixCap) {
+      // invalid bench vectors (null array / null element) pack as the
+      // EMPTY vector: bn = 0 routes them to the same cos = 0.0 branch
+      // the fallback's null-norm AND takes
+      val vecs: Seq[Seq[Double]] = collected.toSeq.map { r =>
+        val a = if (r.isNullAt(1)) null else r.getSeq[Any](1)
+        if (a == null || a.contains(null)) Seq.empty[Double]
+        else a.map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+        }
+      }
+      val bids: Seq[Long] = collected.toSeq.map(_.getLong(0))
+      val m = call_function("bench_max_cos", col(vecCol),
+        typedLit(vecs), typedLit(bids))
+      // the per-id struct-max the fallback also pays (exact semantics
+      // under duplicate ids: max of per-row maxes = max over all pairs,
+      // same (c, -bid) ordering) — it shuffles |corpus| two-field rows,
+      // not the pair relation
+      emb.select(col(idCol), m.as("__m"))
+        .groupBy(col(idCol))
+        .agg(max(struct(col("__m.max_cos").as("c"),
+          (-col("__m.top_bench_id")).as("nb"))).as("__mm"))
+        .select(col(idCol),
+          (-col("__mm.nb")).as("top_bench_id"),
+          col("__mm.c").as("max_cos"),
+          (col("__mm.c") >= threshold).as("contaminated"))
+    } else semanticContaminationJoin(emb, idCol, vecCol, bench, threshold)
+  }
+
+  /** The broadcast-join formulation — the fast path's parity reference
+    * (the spec pins them bit-identical) and the route for bench sets
+    * past the matrix cap or non-BIGINT id schemas. */
+  private[graft] def semanticContaminationJoin(emb: DataFrame, idCol: String,
+      vecCol: String, bench: DataFrame, threshold: Double): DataFrame = {
     val b = broadcast(bench
       .select(col(idCol).as("__bid"), col(vecCol).as("__bvec"))
       .withColumn("__bn", Similarity.normOf(bench, col("__bvec"))))

@@ -79,6 +79,57 @@ class CurationSpec extends SparkSpec {
       bench.limit(0), 0.5).count() == 0)
   }
 
+  test("semanticContamination: literal-matrix fast path bit-identical to the join form") {
+    import org.apache.spark.sql.DataFrame
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (1L, Array(0f, 1f)), // duplicate id: max over both rows' pairs
+      (2L, Array(-1f, 0f)),                     // negative cosines only
+      (3L, Array(0f, 0f)),                      // zero corpus vector -> all cos 0.0
+      (4L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (102L, Array(1f, 0f)), (100L, Array(1f, 0f)), // tie -> smallest id
+      (101L, Array(0f, 1f)),
+      (103L, Array(0f, 0f))                          // zero bench vector -> cos 0.0
+    ).toDF("vec_id", "embedding")
+    def canon(df: DataFrame) = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) null else r.getDouble(2),
+      if (r.isNullAt(3)) null else r.getBoolean(3))).toSet
+    val fast = Curation.semanticContamination(emb, "vec_id", "embedding", bench, 0.5)
+    // local relations constant-fold the projection (interpreted eval);
+    // the analyzed plan still shows which path was built
+    assert(fast.queryExecution.analyzed.toString.contains("bench_max_cos"),
+      "fixture must exercise the literal-matrix path")
+    val join = Curation.semanticContaminationJoin(emb, "vec_id", "embedding", bench, 0.5)
+    assert(canon(fast) == canon(join))
+    assert(fast.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      join.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+
+    // file-backed corpus: the projection survives to execution, so this
+    // round covers the CODEGEN path (doGenCode), not just eval()
+    val dir = graft.io.TempDirs.registered("graft-maxcos-parity").toString
+    emb.write.mode("overwrite").parquet(dir)
+    val embF = spark.read.parquet(dir)
+    val fastF = Curation.semanticContamination(embF, "vec_id", "embedding", bench, 0.5)
+    assert(fastF.queryExecution.executedPlan.toString.contains("bench_max_cos"),
+      "file-backed run must execute the native expression")
+    assert(canon(fastF) ==
+      canon(Curation.semanticContaminationJoin(embF, "vec_id", "embedding", bench, 0.5)))
+
+    // every bench vector length-mismatched: vec_dot's null poisons the
+    // cosine, so max_cos and the verdict are NULL in both forms
+    val benchBad = Seq((200L, Array(1f, 0f, 1f))).toDF("vec_id", "embedding")
+    val fastBad = Curation.semanticContamination(emb, "vec_id", "embedding", benchBad, 0.5)
+    assert(canon(fastBad) ==
+      canon(Curation.semanticContaminationJoin(emb, "vec_id", "embedding", benchBad, 0.5)))
+    // the zero corpus vector short-circuits on en > 0 (cos 0.0, verdict
+    // false) BEFORE the length check; every other row reaches the dot
+    // and nulls out
+    assert(canon(fastBad).forall { case (id, bid, c, v) =>
+      bid == 200L && (if (id == 3L) c == 0.0 && v == false else c == null && v == null)
+    }, canon(fastBad))
+  }
+
   // -----------------------------------------------------------------
   // Stratified sampling
   // -----------------------------------------------------------------

@@ -763,7 +763,7 @@ class PlanSpec extends SparkSpec {
       s"scan must read only (k, c): $readSchema")
   }
 
-  test("semanticContamination: bench broadcasts, corpus never shuffles before the argmax") {
+  test("semanticContamination: literal-matrix probe plans with NO join; fallback broadcasts") {
     val dims = 8
     val emb = (1L to 100L).map(i =>
       (i, Array.tabulate(dims)(d => ((i * 31 + d * 7) % 13 - 6).toDouble)))
@@ -771,24 +771,37 @@ class PlanSpec extends SparkSpec {
     val bench = (1L to 3L).map(i =>
       (i, Array.tabulate(dims)(d => ((i * 17 + d * 5) % 11 - 5).toDouble)))
       .toDF("vec_id", "embedding")
+    // fast path: the bench matrix is a literal inside one native
+    // projection — the |corpus|·|bench| pair relation never exists.
+    // File-backed corpus so ConvertToLocalRelation cannot fold the
+    // projection out of the executed plan.
+    val dir = graft.io.TempDirs.registered("graft-maxcos-plan").toString
+    emb.write.mode("overwrite").parquet(dir)
+    val embF = emb.sparkSession.read.parquet(dir)
     val plan = planOf(Curation.semanticContamination(
-      emb, "vec_id", "embedding", bench, 0.8))
-    // the probe is a broadcast nested-loop over the TINY bench side —
-    // never a cartesian product and never a corpus shuffle join
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"bench side must broadcast into the probe:\n$plan")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
-      s"the corpus must not shuffle for the probe:\n$plan")
-    // the per-id argmax is a struct-max AGGREGATION (map-side combined),
-    // not a window/sort over the corpus
+      embF, "vec_id", "embedding", bench, 0.8))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"literal-matrix probe must be join-free:\n$plan")
+    assert(plan.contains("bench_max_cos"),
+      s"native probe expression missing:\n$plan")
     assert(!plan.contains("Window"), s"argmax must not plan as a window:\n$plan")
     assert("partial_max".r.findAllIn(plan).nonEmpty,
-      s"the argmax must partial-aggregate map-side before any exchange:\n$plan")
-    // the ONLY corpus exchange is the one carrying partial argmax rows
-    // (one per id per map partition), after the probe
+      s"the per-id max must partial-aggregate map-side:\n$plan")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 1,
       s"expected at most the final-aggregate exchange, got $exchanges:\n$plan")
+
+    // fallback (parity reference / oversized-bench route): a broadcast
+    // nested-loop over the tiny bench side — never a cartesian product
+    // and never a corpus shuffle join
+    val fb = planOf(Curation.semanticContaminationJoin(
+      emb, "vec_id", "embedding", bench, 0.8))
+    assert(fb.contains("BroadcastNestedLoopJoin"),
+      s"bench side must broadcast into the fallback probe:\n$fb")
+    assert(!fb.contains("CartesianProduct") && !fb.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the fallback probe:\n$fb")
+    assert("Exchange hashpartitioning".r.findAllIn(fb).size <= 1,
+      s"fallback: at most the final-aggregate exchange:\n$fb")
   }
 
   test("media metadata consumers never read the binary payload column") {
