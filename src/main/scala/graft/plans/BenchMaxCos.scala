@@ -144,13 +144,19 @@ object BenchMaxCos {
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   def scan(e: ArrayData, eFloat: Boolean, p: Packed): InternalRow = {
+    // One elementwise read of the input per ROW (copied to a primitive
+    // array, norm folded into the same pass) — the |bench| dot loops
+    // below then run over pure double[]s instead of re-reading the
+    // ArrayData |bench| times through its accessor indirection.
     // en: null array or any null element -> the fallback's null norm ->
     // every cosine 0.0 (enPos = false takes that branch for all j)
     var enPos = false
     var en = 0.0
     var eLen = 0
+    var ev: Array[Double] = null
     if (e != null) {
       val n = e.numElements()
+      val copy = new Array[Double](n)
       var ok = true
       var acc = 0.0
       var i = 0
@@ -158,11 +164,12 @@ object BenchMaxCos {
         if (e.isNullAt(i)) ok = false
         else {
           val v = if (eFloat) e.getFloat(i).toDouble else e.getDouble(i)
+          copy(i) = v
           acc += v * v
           i += 1
         }
       }
-      if (ok) { en = math.sqrt(acc); enPos = en > 0.0; eLen = n }
+      if (ok) { en = math.sqrt(acc); enPos = en > 0.0; eLen = n; ev = copy }
     }
     // max by (cos, -bid): null cos sorts below every non-null
     var bestSet = false
@@ -182,8 +189,7 @@ object BenchMaxCos {
           var acc = 0.0
           var i = 0
           while (i < b.length) {
-            val v = if (eFloat) e.getFloat(i).toDouble else e.getDouble(i)
-            acc += v * b(i)
+            acc += ev(i) * b(i)
             i += 1
           }
           c = round6(acc / (en * bnj))
