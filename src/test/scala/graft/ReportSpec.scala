@@ -31,6 +31,20 @@ class ReportSpec extends SparkSpec {
     assert(Quality.cohenKappa(const, col("p"), col("g")).collect()(0).getLong(4) == 10000L)
   }
 
+  test("cohenKappa: a null label pair is NON-agreement (SQL `p = g` semantics)") {
+    // the DuckDB kappaSql mirror counts agreement with plain `p = g`,
+    // where null = null is NOT true — the engine must match if a caller
+    // ever feeds nullable labels (r19 advice item, pinned here)
+    val withNulls = Seq(
+      (Some("a"), Some("a")), (Some("a"), Some("a")),
+      (None: Option[String], None: Option[String]),
+      (None: Option[String], Some("a")), (Some("b"), None: Option[String])
+    ).toDF("p", "g")
+    val r = Quality.cohenKappa(withNulls, col("p"), col("g")).collect()(0)
+    assert(r.getLong(0) == 5L, "n counts every row, null labels included")
+    assert(r.getLong(1) == 2L, "only the two a/a rows agree — null pairs do not")
+  }
+
   test("cohenKappa is symmetric in its two labelers") {
     val df = Seq(("a","a"),("a","b"),("b","b"),("b","b"),("c","a"),("a","c")).toDF("p","g")
     val ab = Quality.cohenKappa(df, col("p"), col("g")).collect()(0).toSeq
