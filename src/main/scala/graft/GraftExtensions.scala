@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{BenchMaxCos, GopherCounts, LangHits, QualityFeatures, VecDot, WordShingles}
+import graft.plans.{BenchMaxCos, GopherCounts, LangHits, PqAssign, QualityFeatures, VecDot, WordShingles}
 
 /** Engine extension point — register custom Catalyst expressions.
   * Activate with `spark.sql.extensions=graft.GraftExtensions` (or
@@ -39,5 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BenchMaxCos].getName, "bench_max_cos"),
       (children: Seq[Expression]) =>
         BenchMaxCos(children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_assign"),
+      new ExpressionInfo(classOf[PqAssign].getName, "pq_assign"),
+      (children: Seq[Expression]) =>
+        PqAssign(children.head, children(1), children(2))))
   }
 }

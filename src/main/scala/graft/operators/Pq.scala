@@ -62,9 +62,70 @@ object Pq {
     * codebook; the argmin is the packed-long `min` aggregation of
     * [[Similarity.ivfAssignTo]] (map-side combine collapses n·m·k to
     * n·m before the exchange, nothing sorts). */
+  /** Codebooks above this (sub, cid) row count skip the literal-matrix
+    * fast path; classic PQ is m·256 rows (~1k), so the cap is pure
+    * safety margin. */
+  private val pqBookCap = 65536
+
   def assign(emb: DataFrame, idCol: String, vecCol: String,
              books: DataFrame, subLen: Int,
-             carry: Seq[String] = Nil): DataFrame =
+             carry: Seq[String] = Nil): DataFrame = {
+    // Fast path: pack the m×k codebook into literals and compute every
+    // subspace's argmin in ONE native per-row pass (plans/PqAssign —
+    // the exact l2sq/round/packed-min arithmetic of the join form,
+    // pinned bit-identical by PqSpec's parity test). The join form
+    // materializes |corpus|·m·k rows around the same distance work —
+    // and the PQ chain calls assign FOUR times (2 Lloyd rounds, codes,
+    // distortion). Falls back when: the extension is absent,
+    // GRAFT_AB_NO_NATIVE_PQASSIGN=1, the books schema is not the
+    // canonical (sub INT, cid BIGINT, cvec ARRAY<DOUBLE>), the books
+    // exceed the cap, a sub is missing/empty, or any codeword is null/
+    // malformed (wrong length, null component) — the join form owns
+    // those null-poisoning semantics.
+    val schemaOk = books.schema.fieldNames.contains("sub") &&
+      books.schema.fieldNames.contains("cid") &&
+      books.schema.fieldNames.contains("cvec") &&
+      books.schema("sub").dataType == IntegerType &&
+      books.schema("cid").dataType == LongType &&
+      (books.schema("cvec").dataType match {
+        case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+    val nativeOk = !sys.env.contains("GRAFT_AB_NO_NATIVE_PQASSIGN") &&
+      emb.sparkSession.catalog.functionExists("pq_assign") && schemaOk
+    val rows = if (nativeOk)
+      checked(books).select(col("sub"), col("cid"), col("cvec"))
+        .limit(pqBookCap + 1).collect()
+    else Array.empty[org.apache.spark.sql.Row]
+    val bySub = rows.groupBy(_.getInt(0))
+    val m = if (rows.isEmpty) 0 else bySub.keySet.max + 1
+    val wellFormed = rows.nonEmpty && rows.length <= pqBookCap &&
+      bySub.keySet == (0 until m).toSet &&
+      rows.forall(r => !r.isNullAt(2) && {
+        val v = r.getSeq[Any](2); v.length == subLen && !v.contains(null)
+      })
+    if (nativeOk && wellFormed) {
+      val subVecs: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
+        bySub(s).toSeq.map(_.getSeq[Double](2).toSeq))
+      val subCids: Seq[Seq[Long]] = (0 until m).map(s =>
+        bySub(s).toSeq.map(_.getLong(1)))
+      val cells = call_function("pq_assign", col(vecCol),
+        typedLit(subVecs), typedLit(subCids))
+      // the duplicate-collapse aggregate the join form also ends in:
+      // identical (id, vec, carry) rows fold to one, same min ordering
+      // (cells are equal across duplicates by determinism)
+      emb.select(col(idCol) +: col(vecCol) +: carry.map(col) :+
+          posexplode(cells).as(Seq("sub", "cell")): _*)
+        .groupBy(col(idCol) +: col(vecCol) +: carry.map(col) :+ col("sub"): _*)
+        .agg(min(col("cell")).as("cell"))
+    } else assignJoin(emb, idCol, vecCol, books, subLen, carry)
+  }
+
+  /** The broadcast-join formulation — the fast path's parity reference
+    * and the route for oversized/malformed codebooks. */
+  private[graft] def assignJoin(emb: DataFrame, idCol: String, vecCol: String,
+                                books: DataFrame, subLen: Int,
+                                carry: Seq[String] = Nil): DataFrame =
     emb.join(broadcast(checked(books)))
       .withColumn("__d2",
         round(l2sqSub(col(vecCol), col("sub"), subLen, col("cvec")), 6))

@@ -87,16 +87,75 @@ class PqSpec extends SparkSpec {
       s"ADC top-5 $adcTop shares nothing with exact top-5 $exactTop")
   }
 
-  test("assignment plans as a broadcast + packed-min hash aggregation, never a window sort") {
+  test("assignment: literal-codebook path is join-free; join form broadcasts + packed-mins") {
     val books = Pq.codebooks(corpus, "vec_id", "embedding", m, dims, 6, 1)
-    val plan = Pq.assign(corpus, "vec_id", "embedding", books, subLen)
+    // fast path: the codebook is a literal inside one native projection —
+    // the |corpus|·m·k pair relation never exists (file-backed input so
+    // ConvertToLocalRelation cannot fold the projection away)
+    val dir = graft.io.TempDirs.registered("graft-pqassign-plan").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val corpusF = spark.read.parquet(dir)
+    val plan = Pq.assign(corpusF, "vec_id", "embedding", books, subLen)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"the codebook must broadcast:\n$plan")
-    assert(plan.contains("partial_min"),
-      s"the argmin must combine map-side (packed long min):\n$plan")
+    assert(plan.contains("pq_assign"), s"native assignment expression missing:\n$plan")
+    assert(!plan.contains("Join"), s"literal-codebook assignment must be join-free:\n$plan")
     assert(!plan.contains("Window"),
       s"assignment must never window-sort the corpus:\n$plan")
+
+    // join form (parity reference / oversized-malformed route)
+    val fb = Pq.assignJoin(corpus, "vec_id", "embedding", books, subLen)
+      .queryExecution.executedPlan.toString
+    assert(fb.contains("BroadcastNestedLoopJoin") || fb.contains("BroadcastExchange"),
+      s"the codebook must broadcast:\n$fb")
+    assert(fb.contains("partial_min"),
+      s"the argmin must combine map-side (packed long min):\n$fb")
+    assert(!fb.contains("Window"), s"never a window sort:\n$fb")
+  }
+
+  test("assignment: literal-codebook path bit-identical to the join form, edge rows included") {
+    val books = Pq.codebooks(corpus, "vec_id", "embedding", m, dims, 6, 2)
+    // edges: null vector (21), null element inside sub 0's slice (22),
+    // plus one duplicated row (both forms collapse identical duplicates)
+    val edge = corpus.withColumn("embedding",
+      when(col("vec_id") === 21L, lit(null).cast("array<float>"))
+        .when(col("vec_id") === 22L,
+          expr("transform(embedding, (x, i) -> IF(i = 2, CAST(NULL AS FLOAT), x))"))
+        .otherwise(col("embedding")))
+    val emb = edge.union(edge.filter(col("vec_id") === 5L))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "sub", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val fast = Pq.assign(emb, "vec_id", "embedding", books, subLen)
+    assert(fast.queryExecution.analyzed.toString.contains("pq_assign"),
+      "fixture must exercise the literal-codebook path")
+    val join = Pq.assignJoin(emb, "vec_id", "embedding", books, subLen)
+    assert(canon(fast) == canon(join))
+    val got = canon(fast)
+    assert(got.count(_._1 == 5L) == m, "duplicate rows must collapse in both forms")
+    assert(got.filter(_._1 == 21L).forall(_._3 == null), "null vector -> null cells")
+    assert(got.find(t => t._1 == 22L && t._2 == 0).get._3 == null
+      && got.find(t => t._1 == 22L && t._2 == 1).get._3 != null,
+      "null element poisons only its own subspace")
+    // a too-short vector is out of contract: BOTH forms fail fast
+    // (ANSI element_at in the join form; the same bounds raise natively)
+    val short = corpus.withColumn("embedding",
+      when(col("vec_id") === 23L, slice(col("embedding"), 1, 5))
+        .otherwise(col("embedding")))
+    intercept[Exception] {
+      Pq.assign(short, "vec_id", "embedding", books, subLen).collect()
+    }
+    intercept[Exception] {
+      Pq.assignJoin(short, "vec_id", "embedding", books, subLen).collect()
+    }
+
+    // file-backed round covers the CODEGEN path, not just eval()
+    val dir = graft.io.TempDirs.registered("graft-pqassign-parity").toString
+    edge.write.mode("overwrite").parquet(dir)
+    val embF = spark.read.parquet(dir)
+    assert(canon(Pq.assign(embF, "vec_id", "embedding", books, subLen)) ==
+      canon(Pq.assignJoin(embF, "vec_id", "embedding", books, subLen)))
   }
 
   test("adcTopK plans the final top-k as TakeOrderedAndProject") {
