@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{BenchMaxCos, GopherCounts, LangHits, PqAssign, QualityFeatures, VecDot, WordShingles}
+import graft.plans.{BenchMaxCos, GopherCounts, IvfAssign, LangHits, PqAssign, QualityFeatures, VecDot, WordShingles}
 
 /** Engine extension point — register custom Catalyst expressions.
   * Activate with `spark.sql.extensions=graft.GraftExtensions` (or
@@ -44,5 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqAssign].getName, "pq_assign"),
       (children: Seq[Expression]) =>
         PqAssign(children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("ivf_assign"),
+      new ExpressionInfo(classOf[IvfAssign].getName, "ivf_assign"),
+      (children: Seq[Expression]) =>
+        IvfAssign(children.head, children(1), children(2))))
   }
 }

@@ -170,7 +170,17 @@ object Curation {
       emb.sparkSession.catalog.functionExists("bench_max_cos") &&
       // LongType exactly: the fast path emits BIGINT top_bench_id and
       // must not silently widen a narrower fallback schema
-      bench.schema(bench.schema.fieldIndex(idCol)).dataType == LongType
+      bench.schema(bench.schema.fieldIndex(idCol)).dataType == LongType &&
+      // the bench vecCol must be a float/double array: the collected
+      // rows are pattern-matched as Float/Double below, so any other
+      // schema (ARRAY<INT>, scalar) must route to the join fallback's
+      // clean AnalysisException instead of a driver-side MatchError
+      (bench.schema(bench.schema.fieldIndex(vecCol)).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType |
+          org.apache.spark.sql.types.DoubleType, _) => true
+        case _ => false
+      })
     val collected = if (nativeOk)
       bench.select(col(idCol).cast(LongType).as("__bid"), col(vecCol).as("__bvec"))
         .limit(benchMatrixCap + 1).collect()

@@ -675,11 +675,79 @@ object Similarity {
     ivfAssignTo(emb, idCol, vecCol,
       centroids(emb, idCol, vecCol, centroidStep))
 
+  /** Centroid sets above this row count skip the literal-matrix fast
+    * path; trained quantizers are ≤ [[maxTrainedCells]] = 64 rows and
+    * the every-Nth bootstrap is capped the same way, so the cap is pure
+    * safety margin (a 64-dim double matrix at the cap is ~34 MB of task
+    * reference — broadcast-sized, the [[graft.operators.Pq]] book cap). */
+  private val ivfCentCap = 65536
+
   /** Assignment against an explicit centroid set (cid, cvec) — shared by
     * the every-Nth coarse quantizer and the trained k-means one.
-    * Requires 0 <= cid < 2^40. */
+    * Requires 0 <= cid < 2^40.
+    *
+    * Fast path: pack the ≤64-row centroid set into literals and compute
+    * the max-cosine argmax in ONE native per-row pass (plans/IvfAssign —
+    * the exact dot/round/packed-max arithmetic of the join form below,
+    * pinned bit-identical by SimilaritySpec's parity test). The join
+    * form materializes |corpus|·k UnsafeRow pair rows around the same
+    * cosine work — and ivfAssignTo is paid per Lloyd round
+    * ([[kmeansCentroids]]), per IVF/ANN query, and per ST19 trigger's
+    * coarse assign. Falls back when: the extension is absent,
+    * GRAFT_AB_NO_NATIVE_IVFASSIGN=1 (A/B re-adjudication), the cent
+    * schema is not the canonical (cid BIGINT, cvec ARRAY<FLOAT|DOUBLE>),
+    * the set is empty or exceeds the cap, or any centroid vector is
+    * null / carries a null element / breaks uniform length — the join
+    * form owns those null-poisoning semantics. */
   def ivfAssignTo(emb: DataFrame, idCol: String, vecCol: String,
                   cent: DataFrame): DataFrame = {
+    val schemaOk = cent.schema.fieldNames.contains("cid") &&
+      cent.schema.fieldNames.contains("cvec") &&
+      cent.schema("cid").dataType == LongType &&
+      (cent.schema("cvec").dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+    val nativeOk = !sys.env.contains("GRAFT_AB_NO_NATIVE_IVFASSIGN") &&
+      emb.sparkSession.catalog.functionExists("ivf_assign") && schemaOk
+    // checkedCent rides the collect, so an out-of-range cid raises here
+    // exactly as it does inside the join form's norm projection
+    val rows = if (nativeOk)
+      checkedCent(cent)
+        .select(col("cid"), col("cvec").cast(ArrayType(DoubleType)).as("cvec"))
+        .limit(ivfCentCap + 1).collect()
+    else Array.empty[org.apache.spark.sql.Row]
+    val wellFormed = rows.nonEmpty && rows.length <= ivfCentCap &&
+      rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+        !r.getSeq[Any](1).contains(null)) &&
+      rows.iterator.map(_.getSeq[Any](1).length).toSet.size == 1
+    if (nativeOk && wellFormed) {
+      val cvecs: Seq[Seq[Double]] = rows.toSeq.map(_.getSeq[Double](1).toSeq)
+      val cids: Seq[Long] = rows.toSeq.map(_.getLong(0))
+      // the duplicate-collapse aggregate the join form also ends in:
+      // identical (id, vec) rows fold to one, cells equal across
+      // duplicates by determinism
+      emb.withColumn("__cell",
+          call_function("ivf_assign", col(vecCol), typedLit(cvecs), typedLit(cids)))
+        .groupBy(col(idCol), col(vecCol))
+        .agg(min(col("__cell")).as("cell"))
+    } else ivfAssignToJoin(emb, idCol, vecCol, cent)
+  }
+
+  /** Runtime guard on the centroid side (k rows, never the corpus): the
+    * packed-argmax cid range — shared message with the join form. */
+  private def checkedCent(cent: DataFrame): DataFrame = {
+    val b = 1L << 40
+    cent.withColumn("__ok",
+      assert_true(col("cid") >= 0 && col("cid") < b,
+        lit(s"ivfAssignTo: centroid cid must be in [0, 2^40)")))
+      .filter(col("__ok").isNull).drop("__ok")
+  }
+
+  /** The broadcast-join formulation — the fast path's parity reference
+    * and the route for oversized/malformed centroid sets. */
+  private[graft] def ivfAssignToJoin(emb: DataFrame, idCol: String, vecCol: String,
+                                     cent: DataFrame): DataFrame = {
     val native = hasNative(emb)
     val b = 1L << 40
     // Enforce the packing invariant at runtime, not just in the doc: a cid

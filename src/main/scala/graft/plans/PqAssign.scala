@@ -26,10 +26,11 @@ import org.apache.spark.sql.types._
   * Exact-parity contract with the join form, per (row e, subspace s):
   *  - d2 = Σᵢ (double(e[s·len+i]) − c[i])², left-to-right over the
   *    slice (the unrolled `reduce(_ + _)` order); q = round(round(d2,6)
-  *    ·1e6, 0) cast long (Spark Round HALF_UP, non-finite passthrough,
-  *    non-ANSI double→long cast); winner = min over codewords of
-  *    q·B + cid, cell = that min mod B — lowest distance, lowest cid on
-  *    ties, exactly the packed-long min.
+  *    ·1e6, 0) cast long (Spark Round HALF_UP; a non-finite d2 or a q
+  *    past the packable range FAILS FAST, as the ANSI join form's cast/
+  *    multiply raise — never a silently saturating toLong); winner =
+  *    min over codewords of q·B + cid, cell = that min mod B — lowest
+  *    distance, lowest cid on ties, exactly the packed-long min.
   *  - a null slice (null vec, or a null element inside the slice)
   *    null-poisons every codeword's d2 in the join form, so that
   *    subspace's cell is NULL — reproduced here per subspace. A vector
@@ -127,15 +128,20 @@ object PqAssign {
   case class Packed(books: Array[Array[Array[Double]]],
                     cids: Array[Array[Long]], subLen: Int)
 
+  /** q at or past this overflows q·B + cid — exactly where the join
+    * form's ANSI long multiply raises (B = 2^30, so q·B needs
+    * q < 2^33). Unreachable under the |x| ≤ 10 contract (worst-case d2
+    * ≈ 8590·1e6 < 2^33); the guard keeps out-of-contract corpus
+    * vectors (which only the codebook side is checked for) failing
+    * fast instead of letting a saturating toLong wrap the pack and
+    * mint a negative/aliased cell the fallback would never emit. */
+  private val QLimit = (1L << 33).toDouble
+
   /** Spark Round(DOUBLE, s): HALF_UP, non-finite passthrough. */
   private def roundAt(d: Double, scale: Int): Double =
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
     else java.math.BigDecimal.valueOf(d)
       .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
-
-  /** Non-ANSI Cast(double → long): NaN → 0, saturating at Long range —
-    * Scala's toLong has exactly these semantics. */
-  private def castLong(d: Double): Long = d.toLong
 
   def scan(e: ArrayData, eFloat: Boolean, p: Packed): ArrayData = {
     val m = p.books.length
@@ -183,7 +189,18 @@ object PqAssign {
             acc = if (i == 0) d * d else acc + d * d
             i += 1
           }
-          val q = castLong(roundAt(roundAt(acc, 6) * 1e6, 0))
+          val qd = roundAt(roundAt(acc, 6) * 1e6, 0)
+          // ANSI parity: the join form raises on Cast(NaN/Inf AS BIGINT)
+          // and on q·B + cid long-multiply overflow — fail fast
+          // identically instead of letting toLong saturate and wrap
+          // (d2 is a sum of squares, so qd < 0 cannot occur finite)
+          if (java.lang.Double.isNaN(qd) || qd >= QLimit)
+            throw new ArithmeticException(
+              s"pq_assign: distance term $acc in subspace $s is outside " +
+                "the packable range (out-of-contract vector magnitude?) — " +
+                "the ANSI join form fails fast on the cast/multiply, so " +
+                "does the native path")
+          val q = qd.toLong
           val pk = q * B + cs(j)
           if (pk < best) best = pk
           j += 1

@@ -552,4 +552,106 @@ class SimilaritySpec extends SparkSpec {
       col("id") % 2, 8, 8, minMarginBp = 0L, bucketCap = 32)
     assert(mined.count() == 0, "bitext candidates from a capped hub bucket must vanish")
   }
+
+  test("IVF assignment: literal-centroid path is join-free; join form broadcasts + packed-maxes") {
+    val vecs = (0L until 24L).map { i =>
+      (i, (0 until 8).map(d => ((((i * 7 + d * 3) % 17) - 8).toFloat / 8f)))
+    }
+    // file-backed so ConvertToLocalRelation cannot fold the projection away
+    val dir = graft.io.TempDirs.registered("graft-ivfassign-plan").toString
+    vecs.toDF("id", "vec").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val cent = Similarity.kmeansCentroids(df, "id", "vec", centroidStep = 6, iters = 1)
+    val plan = Similarity.ivfAssignTo(df, "id", "vec", cent)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ivf_assign"), s"native assignment expression missing:\n$plan")
+    assert(!plan.contains("Join"), s"literal-centroid assignment must be join-free:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must never window-sort the corpus:\n$plan")
+
+    // join form (parity reference / oversized-malformed route)
+    val fb = Similarity.ivfAssignToJoin(df, "id", "vec", cent)
+      .queryExecution.executedPlan.toString
+    assert(fb.contains("BroadcastNestedLoopJoin") || fb.contains("BroadcastExchange"),
+      s"the centroid set must broadcast:\n$fb")
+    assert(fb.contains("partial_max"),
+      s"the argmax must combine map-side (packed long max):\n$fb")
+    assert(!fb.contains("Window"), s"never a window sort:\n$fb")
+  }
+
+  test("IVF assignment: literal-centroid path bit-identical to the join form, edge rows included") {
+    val base = (0L until 24L).map { i =>
+      (i, (0 until 8).map(d => ((((i * 7 + d * 3) % 17) - 8).toFloat / 8f)))
+    }.toDF("id", "vec")
+    // trained DOUBLE-cvec quantizer AND the raw float-cvec bootstrap
+    // (`centroids` emits the corpus' own float arrays) — both schemas
+    // must ride the fast path and match the join form bit-for-bit
+    val trained = Similarity.kmeansCentroids(base, "id", "vec", 6, 2)
+    val bootstrap = base.filter(col("id") % 6 === 0)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    // edges: null vector (21), null element (22), SHORT vector (23 —
+    // vec_dot nulls on length mismatch, so the cell is NULL, no raise),
+    // plus one duplicated row (both forms collapse identical duplicates)
+    val edge = base.withColumn("vec",
+      when(col("id") === 21L, lit(null).cast("array<float>"))
+        .when(col("id") === 22L,
+          expr("transform(vec, (x, i) -> IF(i = 2, CAST(NULL AS FLOAT), x))"))
+        .when(col("id") === 23L, slice(col("vec"), 1, 5))
+        .otherwise(col("vec")))
+    val emb = edge.union(edge.filter(col("id") === 5L))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Any)] =
+      df.select("id", "cell").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))))
+        .sortBy(_._1).toSeq
+    for (cent <- Seq(trained, bootstrap)) {
+      val fast = Similarity.ivfAssignTo(emb, "id", "vec", cent)
+      assert(fast.queryExecution.analyzed.toString.contains("ivf_assign"),
+        "fixture must exercise the literal-centroid path")
+      val join = Similarity.ivfAssignToJoin(emb, "id", "vec", cent)
+      val got = canon(fast)
+      assert(got == canon(join), s"fast/join divergence under cent schema ${cent.schema}")
+      assert(got.count(_._1 == 5L) == 1, "duplicate rows must collapse in both forms")
+      assert(Seq(21L, 22L, 23L).forall(i => got.find(_._1 == i).get._2 == null),
+        "null vec / null element / length mismatch -> NULL cell in both forms")
+      assert(got.filterNot(t => Seq(21L, 22L, 23L).contains(t._1)).forall(_._2 != null),
+        "well-formed vectors must all assign")
+    }
+
+    // file-backed round covers the CODEGEN path, not just eval()
+    val dir = graft.io.TempDirs.registered("graft-ivfassign-parity").toString
+    edge.write.mode("overwrite").parquet(dir)
+    val embF = spark.read.parquet(dir)
+    assert(canon(Similarity.ivfAssignTo(embF, "id", "vec", trained)) ==
+      canon(Similarity.ivfAssignToJoin(embF, "id", "vec", trained)))
+
+    // exact tie-break: two centroids IDENTICAL up to cid — every vector's
+    // cosine ties at 6 decimals, so the packed max must pick the LOWER cid
+    val c0 = trained.orderBy("cid").limit(1)
+      .select(col("cvec")).head.getSeq[Double](0)
+    val tied = Seq((7L, c0), (3L, c0)).toDF("cid", "cvec")
+    val tiedCells = canon(Similarity.ivfAssignTo(base, "id", "vec", tied))
+    assert(tiedCells == canon(Similarity.ivfAssignToJoin(base, "id", "vec", tied)))
+    assert(tiedCells.forall(_._2 == java.lang.Long.valueOf(3L)),
+      "equal cosines must resolve to the lowest cid in both forms")
+
+    // out-of-range cid fails fast in BOTH forms (pack-corruption guard)
+    val badCid = Seq((-1L, c0)).toDF("cid", "cvec")
+    intercept[Exception] {
+      Similarity.ivfAssignTo(base, "id", "vec", badCid).collect()
+    }
+    intercept[Exception] {
+      Similarity.ivfAssignToJoin(base, "id", "vec", badCid).collect()
+    }
+
+    // a malformed centroid (null element) routes to the join form, so
+    // both entry points stay bit-identical on it
+    val nullElem = Seq((0L, (0 until 8).map(_ * 0.25)))
+      .toDF("cid", "cvec")
+      .withColumn("cvec",
+        expr("transform(cvec, (x, i) -> IF(i = 1, CAST(NULL AS DOUBLE), x))"))
+    val viaEntry = Similarity.ivfAssignTo(base, "id", "vec", nullElem)
+    assert(!viaEntry.queryExecution.analyzed.toString.contains("ivf_assign"),
+      "a malformed centroid set must route to the join form")
+    assert(canon(viaEntry) == canon(Similarity.ivfAssignToJoin(base, "id", "vec", nullElem)))
+  }
 }
