@@ -101,6 +101,56 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     recordSentinel(sel.size)
+    // ---- Self-healing retry pass -------------------------------------
+    // Twice in three rounds (r18 1.70x, r20 1.34x) the official sweep
+    // artifact carried a contention stall some query absorbed, and the
+    // round's 2x gate needed a MANUAL idle re-measure to adjudicate.
+    // The sentinel schedule already localizes contention; use it: a
+    // query whose reading exceeds ~2x its curated floor WHILE an
+    // adjacent sentinel was inflated (>1.5x the sweep's sentinel
+    // median) is re-run ONCE at sweep end, and BOTH readings land in
+    // the artifact (`retries`), so it carries its own clean reading
+    // instead of a stall. The `queries` map (and the total) keep the
+    // first readings — floor-folding discipline is unchanged; the
+    // retry is evidence, not a substitute measurement. Floors come
+    // from the curated bench_full.json (SPARK_GRAFT_FLOORS to
+    // override); no floors -> no retries.
+    val floors: Map[String, Double] = try {
+      val p = sys.env.getOrElse("SPARK_GRAFT_FLOORS", "bench_full.json")
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+      val start = s.indexOf("\"queries\"")
+      val open = s.indexOf('{', start)
+      val close = s.indexOf('}', open) // flat numeric object, no nesting
+      "\"([^\"]+)\":\\s*([-0-9.eE+]+)".r
+        .findAllMatchIn(s.substring(open + 1, close))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val sentSecs = sentPoints.map(_._3).toSeq.sorted
+    val sentMedian = sentSecs(sentSecs.size / 2)
+    def contendedAround(idx: Int): Boolean = {
+      val before = sentPoints.filter(_._1 <= idx).lastOption
+      val after = sentPoints.find(_._1 > idx)
+      (before.toSeq ++ after.toSeq).exists(_._3 > 1.5 * sentMedian)
+    }
+    val suspect = results.zipWithIndex.collect {
+      case ((name, t), i) if floors.get(name).exists(f => t > 2.0 * f) &&
+        contendedAround(i) => name -> t
+    }
+    val retries = if (suspect.nonEmpty) {
+      // a fresh sentinel brackets the retry window so the retry
+      // readings carry their own contention evidence too
+      recordSentinel(sel.size)
+      val byName = selected.toMap
+      val r = suspect.map { case (name, first) =>
+        val t0 = System.nanoTime()
+        runOnce(name, byName(name))
+        name -> (first, (System.nanoTime() - t0) / 1e9)
+      }
+      recordSentinel(sel.size)
+      r
+    } else Seq.empty
+    // ------------------------------------------------------------------
     val sentStart = sentPoints.head._3
     val sentEnd = sentPoints.last._3
     // legacy middle = the interior point nearest the sweep midpoint
@@ -117,10 +167,13 @@ object Bench {
       s"""{"at_query":$i,"offset_ms":$off,"sec":$s}""" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val rets = retries.map { case (k, (first, retry)) =>
+      s"\"" + k + s"\":{\"first\":$first,\"retry\":$retry}" }
+      .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","sweep_start_epoch_ms":$sweepStartMs,"query_start_offset_ms":$starts""" +
       s""","sentinel_sec":{"start":$sentStart,"middle":$sentMiddle,"end":$sentEnd}""" +
-      s""","sentinels":$sents}"""
+      s""","sentinels":$sents,"retries":$rets}"""
     println(line)
     // The driver tail-truncates long stdout lines; persist the complete
     // per-query map as a file artifact too so no timing is ever lost.
