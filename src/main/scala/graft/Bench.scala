@@ -120,11 +120,16 @@ object Bench {
       val s = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
       val start = s.indexOf("\"queries\"")
-      val open = s.indexOf('{', start)
-      val close = s.indexOf('}', open) // flat numeric object, no nesting
-      "\"([^\"]+)\":\\s*([-0-9.eE+]+)".r
-        .findAllMatchIn(s.substring(open + 1, close))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // no "queries" key -> no floors -> no retries, as documented (an
+      // unguarded indexOf(-1) would scan from 0 and scrape whatever
+      // object comes first, fabricating floors)
+      if (start < 0) Map.empty else {
+        val open = s.indexOf('{', start)
+        val close = s.indexOf('}', open) // flat numeric object, no nesting
+        "\"([^\"]+)\":\\s*([-0-9.eE+]+)".r
+          .findAllMatchIn(s.substring(open + 1, close))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     } catch { case _: Throwable => Map.empty }
     val sentSecs = sentPoints.map(_._3).toSeq.sorted
     val sentMedian = sentSecs(sentSecs.size / 2)
@@ -133,10 +138,22 @@ object Bench {
       val after = sentPoints.find(_._1 > idx)
       (before.toSeq ++ after.toSeq).exists(_._3 > 1.5 * sentMedian)
     }
-    val suspect = results.zipWithIndex.collect {
+    val contentionSuspect = results.zipWithIndex.collect {
       case ((name, t), i) if floors.get(name).exists(f => t > 2.0 * f) &&
         contendedAround(i) => name -> t
     }
+    // Sentinel-INDEPENDENT extreme-outlier retry: a one-query GC/spill
+    // stall does not inflate the fixed-work sentinels (r21's official
+    // artifact carried q_repetition at 12.2x floor with CLEAN adjacent
+    // sentinels, so the gate above never fired), yet a >4x-floor reading
+    // is far outside same-build drift either way. Retry those too,
+    // bounded at 5 per sweep (worst offenders first) so a systematically
+    // stale floors file cannot double the sweep.
+    val extremeSuspect = results.collect {
+      case (name, t) if floors.get(name).exists(f => t > 4.0 * f) &&
+        !contentionSuspect.exists(_._1 == name) => name -> t
+    }.sortBy { case (name, t) => -(t / floors(name)) }.take(5)
+    val suspect = contentionSuspect ++ extremeSuspect
     val retries = if (suspect.nonEmpty) {
       // a fresh sentinel brackets the retry window so the retry
       // readings carry their own contention evidence too

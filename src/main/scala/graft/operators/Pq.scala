@@ -69,19 +69,45 @@ object Pq {
 
   def assign(emb: DataFrame, idCol: String, vecCol: String,
              books: DataFrame, subLen: Int,
-             carry: Seq[String] = Nil): DataFrame = {
+             carry: Seq[String] = Nil): DataFrame =
     // Fast path: pack the m×k codebook into literals and compute every
     // subspace's argmin in ONE native per-row pass (plans/PqAssign —
     // the exact l2sq/round/packed-min arithmetic of the join form,
     // pinned bit-identical by PqSpec's parity test). The join form
     // materializes |corpus|·m·k rows around the same distance work —
     // and the PQ chain calls assign FOUR times (2 Lloyd rounds, codes,
-    // distortion). Falls back when: the extension is absent,
-    // GRAFT_AB_NO_NATIVE_PQASSIGN=1, the books schema is not the
-    // canonical (sub INT, cid BIGINT, cvec ARRAY<DOUBLE>), the books
-    // exceed the cap, a sub is missing/empty, or any codeword is null/
-    // malformed (wrong length, null component) — the join form owns
-    // those null-poisoning semantics.
+    // distortion).
+    collectBooks(emb, books, subLen) match {
+      case Some((subVecs, subCids)) =>
+        val cells = call_function("pq_assign", col(vecCol),
+          typedLit(subVecs), typedLit(subCids))
+        // the duplicate-collapse aggregate the join form also ends in —
+        // applied BEFORE the subspace explode, so the exchange carries n
+        // rows of (keys, m-long cells array) instead of n·m rows each
+        // dragging the full vector. Identical (id, vec, carry) rows hold
+        // IDENTICAL cells arrays (pq_assign is deterministic in vec), so
+        // min over the array equals the join form's per-sub min; a NULL
+        // vec yields an array of m null cells in both forms and a
+        // posexplode'd row per sub either way.
+        emb.select(col(idCol) +: col(vecCol) +: carry.map(col) :+
+            cells.as("__cells"): _*)
+          .groupBy(col(idCol) +: col(vecCol) +: carry.map(col): _*)
+          .agg(min(col("__cells")).as("__cells"))
+          .select(col(idCol) +: col(vecCol) +: carry.map(col) :+
+            posexplode(col("__cells")).as(Seq("sub", "cell")): _*)
+      case None => assignJoin(emb, idCol, vecCol, books, subLen, carry)
+    }
+
+  /** Collect + validate a codebook for the literal fast path:
+    * Some(per-sub codeword matrices, per-sub cids) when the native
+    * expression is available, the schema is canonical (sub INT, cid
+    * BIGINT, cvec ARRAY<DOUBLE>), and the collected books are under the
+    * cap with every sub 0..m-1 present and every codeword well-formed —
+    * None routes callers to the join form, which owns the
+    * malformed/oversized semantics. GRAFT_AB_NO_NATIVE_PQASSIGN=1
+    * forces None (A/B re-adjudication). */
+  private def collectBooks(emb: DataFrame, books: DataFrame, subLen: Int)
+      : Option[(Seq[Seq[Seq[Double]]], Seq[Seq[Long]])] = {
     val schemaOk = books.schema.fieldNames.contains("sub") &&
       books.schema.fieldNames.contains("cid") &&
       books.schema.fieldNames.contains("cvec") &&
@@ -104,21 +130,10 @@ object Pq {
       rows.forall(r => !r.isNullAt(2) && {
         val v = r.getSeq[Any](2); v.length == subLen && !v.contains(null)
       })
-    if (nativeOk && wellFormed) {
-      val subVecs: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
-        bySub(s).toSeq.map(_.getSeq[Double](2).toSeq))
-      val subCids: Seq[Seq[Long]] = (0 until m).map(s =>
-        bySub(s).toSeq.map(_.getLong(1)))
-      val cells = call_function("pq_assign", col(vecCol),
-        typedLit(subVecs), typedLit(subCids))
-      // the duplicate-collapse aggregate the join form also ends in:
-      // identical (id, vec, carry) rows fold to one, same min ordering
-      // (cells are equal across duplicates by determinism)
-      emb.select(col(idCol) +: col(vecCol) +: carry.map(col) :+
-          posexplode(cells).as(Seq("sub", "cell")): _*)
-        .groupBy(col(idCol) +: col(vecCol) +: carry.map(col) :+ col("sub"): _*)
-        .agg(min(col("cell")).as("cell"))
-    } else assignJoin(emb, idCol, vecCol, books, subLen, carry)
+    if (nativeOk && wellFormed)
+      Some(((0 until m).map(s => bySub(s).toSeq.map(_.getSeq[Double](2).toSeq)),
+        (0 until m).map(s => bySub(s).toSeq.map(_.getLong(1)))))
+    else None
   }
 
   /** The broadcast-join formulation — the fast path's parity reference
@@ -144,7 +159,21 @@ object Pq {
     * the k·m-row codebook is localCheckpoint'd per round — the same
     * materialization-barrier reasoning as [[Similarity.kmeansCentroids]]. */
   def codebooks(emb: DataFrame, idCol: String, vecCol: String,
-                m: Int, dims: Int, centroidStep: Int, iters: Int): DataFrame = {
+                m: Int, dims: Int, centroidStep: Int, iters: Int): DataFrame =
+    codebooksImpl(emb, idCol, vecCol, m, dims, centroidStep, iters,
+      onePass = !sys.env.contains("GRAFT_AB_NO_ONEPASS_TRAIN"))
+
+  /** The explode-form trainer — the one-pass Lloyd round's parity
+    * reference (also what GRAFT_AB_NO_ONEPASS_TRAIN=1 re-runs). */
+  private[graft] def codebooksExplode(emb: DataFrame, idCol: String,
+                                      vecCol: String, m: Int, dims: Int,
+                                      centroidStep: Int, iters: Int): DataFrame =
+    codebooksImpl(emb, idCol, vecCol, m, dims, centroidStep, iters,
+      onePass = false)
+
+  private def codebooksImpl(emb: DataFrame, idCol: String, vecCol: String,
+                            m: Int, dims: Int, centroidStep: Int, iters: Int,
+                            onePass: Boolean): DataFrame = {
     val subLen = dims / m
     require(subLen * m == dims, s"Pq: m=$m must divide dims=$dims")
     // Bounded codebook: every-step-th seeding alone grows codewords as
@@ -182,24 +211,77 @@ object Pq {
     var booksCk = false // round-0 seeds carry the caller's lineage
     for (_ <- 0 until iters) {
       val (prev, prevCk) = (books, booksCk)
-      books = assign(emb, idCol, vecCol, books, subLen)
-        .select(col("sub"), col("cell"),
-          posexplode(slice(col(vecCol), col("sub") * subLen + 1, lit(subLen)))
-            .as(Seq("pos", "x")))
-        .withColumn("q", round(col("x").cast(DoubleType) * 1e6).cast(LongType))
-        .groupBy(col("sub"), col("cell"), col("pos"))
-        .agg(sum(col("q")).as("s"), count(lit(1)).as("c"))
-        .withColumn("comp", round(col("s").cast(DoubleType) / col("c") / 1e6, 6))
-        .groupBy(col("sub"), col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
-          e => e.getField("comp")).as("cvec"))
-        .select(col("sub"), col("cell").as("cid"), col("cvec"))
+      books = codebooksRound(emb, idCol, vecCol, books, subLen, onePass)
         .localCheckpoint()
       booksCk = true
       if (prevCk) Checkpoints.release(prev) // superseded round's blocks
     }
     books
   }
+
+  /** One per-subspace Lloyd round: assignment against `books`, then the
+    * integer-quantized per-(sub, cell) component means. Exposed
+    * (un-checkpointed) for the one-pass/explode parity spec and plan
+    * capture.
+    *
+    * One-pass form (fast path): the round's codebook is already
+    * collected for the literal assignment, so the per-(sub, cell)
+    * component means become ONE hash aggregation with subLen
+    * integer-sum columns over a (sub, cell, slice) explode of the
+    * COLLAPSED relation — instead of re-exploding to n·dims rows
+    * feeding a (sub, cell, pos) aggregation plus a collect_list
+    * re-assembly. The subspace explode carries only the subLen-wide
+    * slice, never the full vector, and runs above the duplicate-
+    * collapse exchange (n rows), not through it. Same quantized
+    * arithmetic (round(x·1e6) summed exactly as longs, scaled back,
+    * rounded to 6 — order-independent), pinned bit-identical by PqSpec;
+    * GRAFT_AB_NO_ONEPASS_TRAIN=1 re-runs the explode form. Null
+    * vectors contribute nothing in either form (their slices are null;
+    * posexplode of null emits no rows / the filter drops them); null
+    * ELEMENTS count toward the member count and drop out of the
+    * component sum in both forms. */
+  private[graft] def codebooksRound(emb: DataFrame, idCol: String,
+                                    vecCol: String, books: DataFrame,
+                                    subLen: Int, onePass: Boolean): DataFrame =
+    (if (onePass) collectBooks(emb, books, subLen) else None) match {
+      case Some((subVecs, subCids)) =>
+        val cells = call_function("pq_assign", col(vecCol),
+          typedLit(subVecs), typedLit(subCids))
+        val collapsed = emb
+          .select(col(idCol), col(vecCol), cells.as("__cells"))
+          .groupBy(col(idCol), col(vecCol))
+          .agg(min(col("__cells")).as("__cells"))
+        val parts = (0 until subVecs.length).map(s => struct(
+          lit(s).as("sub"),
+          element_at(col("__cells"), s + 1).as("cell"),
+          slice(col(vecCol), s * subLen + 1, subLen).as("sv")))
+        val sums = (0 until subLen).map(j =>
+          sum(round(element_at(col("sv"), j + 1).cast(DoubleType) * 1e6)
+            .cast(LongType)).as(s"__s$j"))
+        collapsed.select(explode(array(parts: _*)).as("p"))
+          .select(col("p.sub").as("sub"), col("p.cell").as("cell"),
+            col("p.sv").as("sv"))
+          .filter(col("sv").isNotNull)
+          .groupBy(col("sub"), col("cell"))
+          .agg(count(lit(1)).as("__c"), sums: _*)
+          .select(col("sub"), col("cell").as("cid"),
+            array((0 until subLen).map(j =>
+              round(col(s"__s$j").cast(DoubleType) / col("__c") / 1e6, 6)): _*)
+              .as("cvec"))
+      case None =>
+        assign(emb, idCol, vecCol, books, subLen)
+          .select(col("sub"), col("cell"),
+            posexplode(slice(col(vecCol), col("sub") * subLen + 1, lit(subLen)))
+              .as(Seq("pos", "x")))
+          .withColumn("q", round(col("x").cast(DoubleType) * 1e6).cast(LongType))
+          .groupBy(col("sub"), col("cell"), col("pos"))
+          .agg(sum(col("q")).as("s"), count(lit(1)).as("c"))
+          .withColumn("comp", round(col("s").cast(DoubleType) / col("c") / 1e6, 6))
+          .groupBy(col("sub"), col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+            e => e.getField("comp")).as("cvec"))
+          .select(col("sub"), col("cell").as("cid"), col("cvec"))
+    }
 
   /** The compressed index: `(idCol, codes)` with codes ordered by
     * subspace — m longs per vector, the relation a 100 TB deployment

@@ -700,7 +700,29 @@ object Similarity {
     * null / carries a null element / breaks uniform length — the join
     * form owns those null-poisoning semantics. */
   def ivfAssignTo(emb: DataFrame, idCol: String, vecCol: String,
-                  cent: DataFrame): DataFrame = {
+                  cent: DataFrame): DataFrame =
+    collectCent(emb, cent) match {
+      case Some((cvecs, cids)) =>
+        // the duplicate-collapse aggregate the join form also ends in:
+        // identical (id, vec) rows fold to one, cells equal across
+        // duplicates by determinism
+        emb.withColumn("__cell",
+            call_function("ivf_assign", col(vecCol), typedLit(cvecs), typedLit(cids)))
+          .groupBy(col(idCol), col(vecCol))
+          .agg(min(col("__cell")).as("cell"))
+      case None => ivfAssignToJoin(emb, idCol, vecCol, cent)
+    }
+
+  /** Collect + validate a centroid set for the literal fast path:
+    * Some(packed matrix, cids) when the native expression is available,
+    * the schema is canonical, and the collected set is non-empty, under
+    * the cap, and uniformly shaped — None routes callers to the join
+    * form, which owns the malformed/oversized semantics. Runs one
+    * driver job (k ≤ 64 rows for trained quantizers); an out-of-range
+    * cid raises here exactly as inside the join form's norm projection
+    * (checkedCent rides the collect). */
+  private[operators] def collectCent(emb: DataFrame,
+                                     cent: DataFrame): Option[(Seq[Seq[Double]], Seq[Long])] = {
     val schemaOk = cent.schema.fieldNames.contains("cid") &&
       cent.schema.fieldNames.contains("cvec") &&
       cent.schema("cid").dataType == LongType &&
@@ -710,8 +732,6 @@ object Similarity {
       })
     val nativeOk = !sys.env.contains("GRAFT_AB_NO_NATIVE_IVFASSIGN") &&
       emb.sparkSession.catalog.functionExists("ivf_assign") && schemaOk
-    // checkedCent rides the collect, so an out-of-range cid raises here
-    // exactly as it does inside the join form's norm projection
     val rows = if (nativeOk)
       checkedCent(cent)
         .select(col("cid"), col("cvec").cast(ArrayType(DoubleType)).as("cvec"))
@@ -721,17 +741,9 @@ object Similarity {
       rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) &&
         !r.getSeq[Any](1).contains(null)) &&
       rows.iterator.map(_.getSeq[Any](1).length).toSet.size == 1
-    if (nativeOk && wellFormed) {
-      val cvecs: Seq[Seq[Double]] = rows.toSeq.map(_.getSeq[Double](1).toSeq)
-      val cids: Seq[Long] = rows.toSeq.map(_.getLong(0))
-      // the duplicate-collapse aggregate the join form also ends in:
-      // identical (id, vec) rows fold to one, cells equal across
-      // duplicates by determinism
-      emb.withColumn("__cell",
-          call_function("ivf_assign", col(vecCol), typedLit(cvecs), typedLit(cids)))
-        .groupBy(col(idCol), col(vecCol))
-        .agg(min(col("__cell")).as("cell"))
-    } else ivfAssignToJoin(emb, idCol, vecCol, cent)
+    if (nativeOk && wellFormed)
+      Some((rows.toSeq.map(_.getSeq[Double](1).toSeq), rows.toSeq.map(_.getLong(0))))
+    else None
   }
 
   /** Runtime guard on the centroid side (k rows, never the corpus): the
@@ -896,33 +908,88 @@ object Similarity {
     * the corpus itself is never collected to the driver. Cells that end
     * an iteration empty drop out (standard Lloyd behavior). */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                      centroidStep: Int, iters: Int): DataFrame = {
+                      centroidStep: Int, iters: Int): DataFrame =
+    kmeansImpl(emb, idCol, vecCol, centroidStep, iters,
+      onePass = !sys.env.contains("GRAFT_AB_NO_ONEPASS_TRAIN"))
+
+  /** The explode-form trainer — the one-pass Lloyd round's parity
+    * reference (also what GRAFT_AB_NO_ONEPASS_TRAIN=1 re-runs). */
+  private[graft] def kmeansCentroidsExplode(emb: DataFrame, idCol: String,
+                                            vecCol: String, centroidStep: Int,
+                                            iters: Int): DataFrame =
+    kmeansImpl(emb, idCol, vecCol, centroidStep, iters, onePass = false)
+
+  private def kmeansImpl(emb: DataFrame, idCol: String, vecCol: String,
+                         centroidStep: Int, iters: Int,
+                         onePass: Boolean): DataFrame = {
     var cent = centroids(emb, idCol, vecCol, centroidStep)
     var centCk = false // cent_0 is NOT ours to release (caller's lineage)
     for (_ <- 0 until iters) {
       val (prev, prevCk) = (cent, centCk)
-      val assigned = ivfAssignTo(emb, idCol, vecCol, cent)
-      val comps = assigned
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .withColumn("q", round(col("x").cast(DoubleType) * 1e6).cast(LongType))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("q")).as("s"), count(lit(1)).as("c"))
-        .withColumn("comp", round(col("s").cast(DoubleType) / col("c") / 1e6, 6))
       // Eager localCheckpoint: the iteration's materialization barrier
       // AND a lineage cut to a flat k-row scan. The superseded round's
       // blocks are released via raw-RDD unpersist (Checkpoints.release)
       // — unlike Dataset.unpersist there is no CacheManager re-cache
       // cascade to churn, because localCheckpoint never registers there.
-      cent = comps.groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
-          e => e.getField("comp")).as("cvec"))
-        .select(col("cell").as("cid"), col("cvec"))
-        .localCheckpoint()
+      cent = kmeansRound(emb, idCol, vecCol, cent, onePass).localCheckpoint()
       centCk = true
       if (prevCk) Checkpoints.release(prev)
     }
     cent
   }
+
+  /** One Lloyd round: assignment against `cent`, then the integer-
+    * quantized per-cell component means. Exposed (un-checkpointed) for
+    * the one-pass/explode parity spec and plan capture.
+    *
+    * One-pass form (fast path): the round's centroid set is already
+    * collected for the literal assignment, so its uniform row length
+    * gives `dims` — the per-cell component means become ONE hash
+    * aggregation with `dims` integer-sum columns instead of a
+    * posexplode to n·dims rows feeding a (cell, pos) aggregation plus
+    * a collect_list re-assembly. Same quantized arithmetic
+    * (round(x·1e6) summed exactly as longs, scaled back, rounded to 6
+    * — order-independent), pinned bit-identical by SimilaritySpec;
+    * GRAFT_AB_NO_ONEPASS_TRAIN=1 re-runs the explode form. Null
+    * vectors contribute nothing in either form (posexplode of a null
+    * array emits no rows; here they are filtered); null ELEMENTS count
+    * toward the member count and drop out of the component sum in both
+    * forms. Vectors whose length mismatches the quantizer (NULL-cell
+    * rows by the ivf_assign contract) FAIL FAST in the one-pass mean's
+    * ANSI element_at instead of minting a ragged null-cid codeword —
+    * the explode form keeps the old semantics for callers that need
+    * them. */
+  private[graft] def kmeansRound(emb: DataFrame, idCol: String, vecCol: String,
+                                 cent: DataFrame, onePass: Boolean): DataFrame =
+    (if (onePass) collectCent(emb, cent) else None) match {
+      case Some((cvecs, cids)) =>
+        val dims = cvecs.head.length
+        val assigned = emb.withColumn("__cell",
+            call_function("ivf_assign", col(vecCol), typedLit(cvecs), typedLit(cids)))
+          .groupBy(col(idCol), col(vecCol))
+          .agg(min(col("__cell")).as("cell"))
+        val sums = (0 until dims).map(i =>
+          sum(round(element_at(col(vecCol), i + 1).cast(DoubleType) * 1e6)
+            .cast(LongType)).as(s"__s$i"))
+        assigned.filter(col(vecCol).isNotNull)
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("__c"), sums: _*)
+          .select(col("cell").as("cid"),
+            array((0 until dims).map(i =>
+              round(col(s"__s$i").cast(DoubleType) / col("__c") / 1e6, 6)): _*)
+              .as("cvec"))
+      case None =>
+        ivfAssignTo(emb, idCol, vecCol, cent)
+          .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+          .withColumn("q", round(col("x").cast(DoubleType) * 1e6).cast(LongType))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("q")).as("s"), count(lit(1)).as("c"))
+          .withColumn("comp", round(col("s").cast(DoubleType) / col("c") / 1e6, 6))
+          .groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+            e => e.getField("comp")).as("cvec"))
+          .select(col("cell").as("cid"), col("cvec"))
+    }
 
   /** Release the cache of a frame returned by [[lshJaccard]],
     * [[minhashLsh]], [[kmeansCentroids]] or [[semanticDedup]] once the

@@ -158,6 +158,55 @@ class PqSpec extends SparkSpec {
       canon(Pq.assignJoin(embF, "vec_id", "embedding", books, subLen)))
   }
 
+  test("codebooks one-pass Lloyd round: bit-identical to the explode form, slim plan") {
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Int, Option[Long], Seq[Option[Double]])] =
+      df.collect().map { r =>
+        val cid = if (r.isNullAt(1)) None else Some(r.getLong(1))
+        val cvec = if (r.isNullAt(2)) Seq.empty[Option[Double]]
+          else r.getSeq[Any](2).map(x => Option(x).map(_.asInstanceOf[Double])).toSeq
+        (r.getInt(0), cid, cvec)
+      }.toSet
+
+    // two trained rounds on a well-formed corpus: bit-identical
+    assert(canon(Pq.codebooks(corpus, "vec_id", "embedding", m, dims, 6, 2)) ==
+      canon(Pq.codebooksExplode(corpus, "vec_id", "embedding", m, dims, 6, 2)))
+
+    // edges: null vec (21 — its slices are null, contributes nothing in
+    // either form), null element in sub 0's slice (22 — NULL cell for
+    // that sub only; counts toward its group, drops out of the poisoned
+    // component's sum), duplicated row (5 — collapses in both forms)
+    val edge = corpus.withColumn("embedding",
+      when(col("vec_id") === 21L, lit(null).cast("array<float>"))
+        .when(col("vec_id") === 22L,
+          expr("transform(embedding, (x, i) -> IF(i = 2, CAST(NULL AS FLOAT), x))"))
+        .otherwise(col("embedding")))
+    val emb = edge.union(edge.filter(col("vec_id") === 5L))
+    val one = canon(Pq.codebooks(emb, "vec_id", "embedding", m, dims, 6, 1))
+    assert(one == canon(Pq.codebooksExplode(emb, "vec_id", "embedding", m, dims, 6, 1)))
+    assert(one.exists(t => t._1 == 0 && t._2.isEmpty),
+      "sub 0's NULL-cell codeword (null-element vector) must survive in both forms")
+
+    // file-backed round covers the CODEGEN path, not just eval()
+    val dir = graft.io.TempDirs.registered("graft-pqbooks-onepass").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val corpusF = spark.read.parquet(dir)
+    assert(canon(Pq.codebooks(corpusF, "vec_id", "embedding", m, dims, 6, 2)) ==
+      canon(Pq.codebooksExplode(corpusF, "vec_id", "embedding", m, dims, 6, 2)))
+
+    // plan shape: the one-pass round explodes only (sub, cell, slice)
+    // ABOVE the duplicate collapse and carries strictly fewer exchanges
+    // than the explode form's (sub, cell, pos) re-aggregation chain
+    val books0 = Pq.codebooks(corpusF, "vec_id", "embedding", m, dims, 6, 1)
+    val fastPlan = Pq.codebooksRound(corpusF, "vec_id", "embedding", books0,
+        subLen, onePass = true).queryExecution.executedPlan.toString
+    val slowPlan = Pq.codebooksRound(corpusF, "vec_id", "embedding", books0,
+        subLen, onePass = false).queryExecution.executedPlan.toString
+    assert(fastPlan.contains("pq_assign"), s"one-pass round must assign natively:\n$fastPlan")
+    def exchanges(p: String) = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges(fastPlan) < exchanges(slowPlan),
+      s"one-pass round must drop an exchange:\nfast=$fastPlan\nslow=$slowPlan")
+  }
+
   test("adcTopK plans the final top-k as TakeOrderedAndProject") {
     val plan = Pq.adcTopK(corpus, "vec_id", "embedding", query, m, dims, 6, 1, 3)
       .queryExecution.executedPlan.toString

@@ -654,4 +654,61 @@ class SimilaritySpec extends SparkSpec {
       "a malformed centroid set must route to the join form")
     assert(canon(viaEntry) == canon(Similarity.ivfAssignToJoin(base, "id", "vec", nullElem)))
   }
+
+  test("k-means one-pass Lloyd round: bit-identical to the explode form, explode-free plan") {
+    val vecs = (0L until 30L).map { i =>
+      val base = if (i % 3 == 0) Seq(1.0, 0.0, 0.0)
+                 else if (i % 3 == 1) Seq(0.0, 1.0, 0.0) else Seq(0.0, 0.0, 1.0)
+      (i, base.map(x => (x + i * 0.001).toFloat))
+    }
+    val base = vecs.toDF("id", "vec")
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Option[Long], Seq[Option[Double]])] =
+      df.collect().map { r =>
+        val cid = if (r.isNullAt(0)) None else Some(r.getLong(0))
+        val cvec = if (r.isNullAt(1)) Seq.empty[Option[Double]]
+          else r.getSeq[Any](1).map(x => Option(x).map(_.asInstanceOf[Double])).toSeq
+        (cid, cvec)
+      }.toSet
+
+    // two trained rounds on a well-formed corpus: bit-identical
+    assert(canon(Similarity.kmeansCentroids(base, "id", "vec", 10, 2)) ==
+      canon(Similarity.kmeansCentroidsExplode(base, "id", "vec", 10, 2)))
+
+    // edges: null vec (27 — contributes nothing in either form), null
+    // element (28 — NULL cell; counts toward its group's member count,
+    // drops out of the poisoned component's sum), duplicated row (4 —
+    // collapses in both forms)
+    val edge = base.withColumn("vec",
+      when(col("id") === 27L, lit(null).cast("array<float>"))
+        .when(col("id") === 28L,
+          expr("transform(vec, (x, i) -> IF(i = 1, CAST(NULL AS FLOAT), x))"))
+        .otherwise(col("vec")))
+    val emb = edge.union(edge.filter(col("id") === 4L))
+    val one = canon(Similarity.kmeansCentroids(emb, "id", "vec", 10, 1))
+    assert(one == canon(Similarity.kmeansCentroidsExplode(emb, "id", "vec", 10, 1)))
+    assert(one.exists(_._1.isEmpty),
+      "the NULL-cell codeword of the null-element vector must survive in both forms")
+
+    // file-backed round covers the CODEGEN path, not just eval()
+    val dir = graft.io.TempDirs.registered("graft-kmeans-onepass").toString
+    base.write.mode("overwrite").parquet(dir)
+    val baseF = spark.read.parquet(dir)
+    assert(canon(Similarity.kmeansCentroids(baseF, "id", "vec", 10, 2)) ==
+      canon(Similarity.kmeansCentroidsExplode(baseF, "id", "vec", 10, 2)))
+
+    // plan shape: the one-pass round never explodes the corpus and
+    // carries strictly fewer exchanges than the explode form
+    val cent0 = baseF.filter(col("id") % 10 === 0)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val fastPlan = Similarity.kmeansRound(baseF, "id", "vec", cent0, onePass = true)
+      .queryExecution.executedPlan.toString
+    val slowPlan = Similarity.kmeansRound(baseF, "id", "vec", cent0, onePass = false)
+      .queryExecution.executedPlan.toString
+    assert(fastPlan.contains("ivf_assign"), s"one-pass round must assign natively:\n$fastPlan")
+    assert(!fastPlan.contains("Generate"), s"one-pass round must not explode:\n$fastPlan")
+    assert(slowPlan.contains("Generate"), "the reference form is the explode shape")
+    def exchanges(p: String) = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges(fastPlan) < exchanges(slowPlan),
+      s"one-pass round must drop an exchange:\nfast=$fastPlan\nslow=$slowPlan")
+  }
 }
