@@ -224,22 +224,26 @@ object Pq {
     * (un-checkpointed) for the one-pass/explode parity spec and plan
     * capture.
     *
-    * One-pass form (fast path): the round's codebook is already
-    * collected for the literal assignment, so the per-(sub, cell)
-    * component means become ONE hash aggregation with subLen
-    * integer-sum columns over a (sub, cell, slice) explode of the
-    * COLLAPSED relation — instead of re-exploding to n·dims rows
-    * feeding a (sub, cell, pos) aggregation plus a collect_list
-    * re-assembly. The subspace explode carries only the subLen-wide
-    * slice, never the full vector, and runs above the duplicate-
-    * collapse exchange (n rows), not through it. Same quantized
-    * arithmetic (round(x·1e6) summed exactly as longs, scaled back,
-    * rounded to 6 — order-independent), pinned bit-identical by PqSpec;
-    * GRAFT_AB_NO_ONEPASS_TRAIN=1 re-runs the explode form. Null
-    * vectors contribute nothing in either form (their slices are null;
-    * posexplode of null emits no rows / the filter drops them); null
-    * ELEMENTS count toward the member count and drop out of the
-    * component sum in both forms. */
+    * One-pass form (fast path): ONE corpus scan, ZERO corpus-sized
+    * exchanges — the assignment is a literal-matrix projection
+    * (`pq_assign`) whose m-cell array explodes LOCALLY to (sub, cell,
+    * subLen-wide slice) rows feeding the per-(sub, cell) means as one
+    * hash aggregation with subLen integer-sum columns; map-side partial
+    * aggregation reduces the exchange to m·k rows per partition. The
+    * explode form pays the assign duplicate-collapse exchange (full
+    * vectors through a corpus shuffle), a posexplode to n·dims rows, a
+    * (sub, cell, pos) aggregation and a collect_list re-assembly per
+    * round. Same quantized arithmetic (round(x·1e6) summed exactly as
+    * longs, scaled back, rounded to 6 — order-independent), pinned
+    * bit-identical by PqSpec on the training contract (unique-(id, vec)
+    * corpora — the oracle's training SQL partitions by vec_id alone, so
+    * duplicate-bearing corpora are outside the contract; the one-pass
+    * form weights duplicates by multiplicity where the explode form
+    * collapses them). GRAFT_AB_NO_ONEPASS_TRAIN=1 re-runs the explode
+    * form. Null vectors contribute nothing in either form (their
+    * slices are null; posexplode of null emits no rows / the filter
+    * drops them); null ELEMENTS count toward the member count and drop
+    * out of the component sum in both forms. */
   private[graft] def codebooksRound(emb: DataFrame, idCol: String,
                                     vecCol: String, books: DataFrame,
                                     subLen: Int, onePass: Boolean): DataFrame =
@@ -247,10 +251,6 @@ object Pq {
       case Some((subVecs, subCids)) =>
         val cells = call_function("pq_assign", col(vecCol),
           typedLit(subVecs), typedLit(subCids))
-        val collapsed = emb
-          .select(col(idCol), col(vecCol), cells.as("__cells"))
-          .groupBy(col(idCol), col(vecCol))
-          .agg(min(col("__cells")).as("__cells"))
         val parts = (0 until subVecs.length).map(s => struct(
           lit(s).as("sub"),
           element_at(col("__cells"), s + 1).as("cell"),
@@ -258,7 +258,8 @@ object Pq {
         val sums = (0 until subLen).map(j =>
           sum(round(element_at(col("sv"), j + 1).cast(DoubleType) * 1e6)
             .cast(LongType)).as(s"__s$j"))
-        collapsed.select(explode(array(parts: _*)).as("p"))
+        emb.select(col(vecCol), cells.as("__cells"))
+          .select(explode(array(parts: _*)).as("p"))
           .select(col("p.sub").as("sub"), col("p.cell").as("cell"),
             col("p.sv").as("sv"))
           .filter(col("sv").isNotNull)

@@ -942,36 +942,42 @@ object Similarity {
     * quantized per-cell component means. Exposed (un-checkpointed) for
     * the one-pass/explode parity spec and plan capture.
     *
-    * One-pass form (fast path): the round's centroid set is already
-    * collected for the literal assignment, so its uniform row length
-    * gives `dims` — the per-cell component means become ONE hash
-    * aggregation with `dims` integer-sum columns instead of a
-    * posexplode to n·dims rows feeding a (cell, pos) aggregation plus
-    * a collect_list re-assembly. Same quantized arithmetic
-    * (round(x·1e6) summed exactly as longs, scaled back, rounded to 6
-    * — order-independent), pinned bit-identical by SimilaritySpec;
-    * GRAFT_AB_NO_ONEPASS_TRAIN=1 re-runs the explode form. Null
-    * vectors contribute nothing in either form (posexplode of a null
-    * array emits no rows; here they are filtered); null ELEMENTS count
-    * toward the member count and drop out of the component sum in both
-    * forms. Vectors whose length mismatches the quantizer (NULL-cell
-    * rows by the ivf_assign contract) FAIL FAST in the one-pass mean's
-    * ANSI element_at instead of minting a ragged null-cid codeword —
-    * the explode form keeps the old semantics for callers that need
-    * them. */
+    * One-pass form (fast path): ONE corpus scan, ZERO corpus-sized
+    * exchanges — the assignment is a literal-matrix projection
+    * (`ivf_assign`) feeding the per-cell means directly as one hash
+    * aggregation with `dims` integer-sum columns (the centroid set is
+    * already collected for the literals, so its uniform row length
+    * gives `dims`); map-side partial aggregation reduces the exchange
+    * to k rows per partition. The explode form pays the ivfAssignTo
+    * duplicate-collapse exchange (full vectors through a corpus
+    * shuffle), a posexplode to n·dims rows, a (cell, pos) aggregation
+    * and a collect_list re-assembly per round. Same quantized
+    * arithmetic (round(x·1e6) summed exactly as longs, scaled back,
+    * rounded to 6 — order-independent), pinned bit-identical by
+    * SimilaritySpec on the training contract (unique-(id, vec)
+    * corpora — the oracle's training SQL partitions by vec_id alone,
+    * so duplicate-bearing corpora are outside the contract; the
+    * one-pass form weights duplicates by multiplicity where the
+    * explode form collapses them). GRAFT_AB_NO_ONEPASS_TRAIN=1 re-runs
+    * the explode form. Null vectors contribute nothing in either form
+    * (posexplode of a null array emits no rows; here they are
+    * filtered); null ELEMENTS count toward the member count and drop
+    * out of the component sum in both forms. Vectors whose length
+    * mismatches the quantizer (NULL-cell rows by the ivf_assign
+    * contract) FAIL FAST in the one-pass mean's ANSI element_at
+    * instead of minting a ragged null-cid codeword — the explode form
+    * keeps the old semantics for callers that need them. */
   private[graft] def kmeansRound(emb: DataFrame, idCol: String, vecCol: String,
                                  cent: DataFrame, onePass: Boolean): DataFrame =
     (if (onePass) collectCent(emb, cent) else None) match {
       case Some((cvecs, cids)) =>
         val dims = cvecs.head.length
-        val assigned = emb.withColumn("__cell",
-            call_function("ivf_assign", col(vecCol), typedLit(cvecs), typedLit(cids)))
-          .groupBy(col(idCol), col(vecCol))
-          .agg(min(col("__cell")).as("cell"))
         val sums = (0 until dims).map(i =>
           sum(round(element_at(col(vecCol), i + 1).cast(DoubleType) * 1e6)
             .cast(LongType)).as(s"__s$i"))
-        assigned.filter(col(vecCol).isNotNull)
+        emb.filter(col(vecCol).isNotNull)
+          .select(call_function("ivf_assign", col(vecCol),
+            typedLit(cvecs), typedLit(cids)).as("cell"), col(vecCol))
           .groupBy(col("cell"))
           .agg(count(lit(1)).as("__c"), sums: _*)
           .select(col("cell").as("cid"),

@@ -136,12 +136,10 @@ object BenchMaxCos {
     * codegen reference object, like a broadcast but expression-local. */
   case class Packed(vecs: Array[Array[Double]], bn: Array[Double], bids: Array[Long])
 
-  /** Spark Round(DOUBLE, 6): HALF_UP on the decimal string, non-finite
-    * values pass through (BigDecimal.valueOf would throw on them). */
-  private def round6(d: Double): Double =
-    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
-    else java.math.BigDecimal.valueOf(d)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  /** Spark Round(DOUBLE, 6) via FastRound: bit-identical to the
+    * BigDecimal reference (FastRound's compatibility argument +
+    * FastRoundSpec), ~35x cheaper — called once per (row, bench row). */
+  private def round6(d: Double): Double = FastRound.round6(d)
 
   def scan(e: ArrayData, eFloat: Boolean, p: Packed): InternalRow = {
     // One elementwise read of the input per ROW (copied to a primitive

@@ -147,11 +147,9 @@ object IvfAssign {
   case class Packed(cents: Array[Array[Double]], cids: Array[Long],
                     cnorms: Array[Double], centLen: Int)
 
-  /** Spark Round(DOUBLE, s): HALF_UP, non-finite passthrough. */
-  private def roundAt(d: Double, scale: Int): Double =
-    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
-    else java.math.BigDecimal.valueOf(d)
-      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+  // Spark Round(DOUBLE, s) semantics via FastRound: bit-identical to
+  // the BigDecimal reference (see FastRound's compatibility argument +
+  // FastRoundSpec), ~35x cheaper — called twice per (row, centroid).
 
   def scan(e: ArrayData, eFloat: Boolean, p: Packed): java.lang.Long = {
     if (e == null) return null // null vec -> null dot for every centroid -> NULL cell
@@ -178,8 +176,8 @@ object IvfAssign {
       var dot = 0.0
       var k = 0
       while (k < c.length) { dot += ev(k) * c(k); k += 1 }
-      val ccos = roundAt(dot / (vn * p.cnorms(j)), 6)
-      val q = roundAt(ccos * 1e6, 0)
+      val ccos = FastRound.round6(dot / (vn * p.cnorms(j)))
+      val q = FastRound.round0(ccos * 1e6)
       // ANSI parity: the join form raises on Cast(non-finite AS BIGINT)
       // (zero-norm vector) and on packed-long multiply overflow — fail
       // fast identically instead of letting toLong saturate silently

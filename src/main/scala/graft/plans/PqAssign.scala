@@ -137,11 +137,10 @@ object PqAssign {
     * mint a negative/aliased cell the fallback would never emit. */
   private val QLimit = (1L << 33).toDouble
 
-  /** Spark Round(DOUBLE, s): HALF_UP, non-finite passthrough. */
-  private def roundAt(d: Double, scale: Int): Double =
-    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
-    else java.math.BigDecimal.valueOf(d)
-      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+  // Spark Round(DOUBLE, s) semantics via FastRound: bit-identical to
+  // the BigDecimal reference (see FastRound's compatibility argument +
+  // FastRoundSpec), ~35x cheaper — this is called twice per
+  // (row, codeword) pair, ~410M times per 100x corpus pass.
 
   def scan(e: ArrayData, eFloat: Boolean, p: Packed): ArrayData = {
     val m = p.books.length
@@ -189,7 +188,7 @@ object PqAssign {
             acc = if (i == 0) d * d else acc + d * d
             i += 1
           }
-          val qd = roundAt(roundAt(acc, 6) * 1e6, 0)
+          val qd = FastRound.round0(FastRound.round6(acc) * 1e6)
           // ANSI parity: the join form raises on Cast(NaN/Inf AS BIGINT)
           // and on q·B + cid long-multiply overflow — fail fast
           // identically instead of letting toLong saturate and wrap

