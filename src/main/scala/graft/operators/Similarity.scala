@@ -1099,7 +1099,19 @@ object Similarity {
     * PAIR relation (≪ corpus² under blocking), never on the corpus. */
   def bitextMarginMine(emb: DataFrame, idCol: String, vecCol: String,
                        sideCol: Column, numPlanes: Int, dims: Int,
-                       minMarginBp: Long, bucketCap: Int = Int.MaxValue): DataFrame = {
+                       minMarginBp: Long, bucketCap: Int = Int.MaxValue): DataFrame =
+    bitextMarginStages(emb, idCol, vecCol, sideCol, numPlanes, dims,
+      minMarginBp, bucketCap).last._2
+
+  /** The mine's intermediate stages, in build order — ONE construction
+    * shared with [[bitextMarginMine]] (which returns the last stage),
+    * exposed for stage-level timing of the probe decades. Keys:
+    * bucketed (capped bucket relation), candidates (cross-side pairs +
+    * quantized cosine), margins (neighborhood-mean join + margin),
+    * mined (per-id_a argmax over the floor). */
+  private[graft] def bitextMarginStages(emb: DataFrame, idCol: String,
+      vecCol: String, sideCol: Column, numPlanes: Int, dims: Int,
+      minMarginBp: Long, bucketCap: Int = Int.MaxValue): Seq[(String, DataFrame)] = {
     val native = hasNative(emb)
     val b0 = withBuckets(emb.withColumn("__side", sideCol), vecCol, numPlanes, dims)
       .select(col(idCol), col(vecCol), col("__side"), col("bucket"),
@@ -1121,21 +1133,70 @@ object Similarity {
       // matches the mining intent — anti-correlated pairs are not
       // translation candidates
       .filter(col("cos_u") > 0)
-    val ax = cand.groupBy("id_a").agg(sum("cos_u").as("__sa"), count(lit(1)).as("__na"))
-    val by = cand.groupBy("id_b").agg(sum("cos_u").as("__sb"), count(lit(1)).as("__nb"))
-    val m = cand.join(ax, Seq("id_a")).join(by, Seq("id_b"))
+      // FOUR downstream consumptions (both neighborhood sums, the margin
+      // row, the final argmax) — persisted so the bucket computation and
+      // the blocked self-join run once per action instead of once per
+      // consumer (the 1000× stage profile measured the re-computation as
+      // the margin stage's dominant term). Narrow relation (3 longs per
+      // row); released by the harness's per-query cache clear /
+      // [[release]], same contract as ngramJaccardPairs' shingles.
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Neighborhood sums as UNBOUNDED windows over the cached pair
+    // relation, not aggregate+join: the join form re-shuffles the pair
+    // relation twice more (probe sides) and builds ~|ids|-group hash
+    // maps, which at the 1000× decade (18.5M pairs, 1M ids) ran
+    // 12–19 s with a ×1.6 spread; the window form sorts instead
+    // (spill-friendly) and measured 1.7× faster at parity (committed
+    // stage profile, OPTIMIZATION_r22.md §4). Identical values: the
+    // per-key window sum/count equal the aggregate's, integer-exact.
+    //
+    // Partitioning is SIZE-DERIVED, not the session constant (guide §2
+    // — scale-adaptive partitioning): at shuffle.partitions = cores the
+    // 1000× pair relation gave ~580k-row per-task sorts whose GC/spill
+    // cliffs produced ×2–3 run-to-run spreads; ~150k pair rows per task
+    // measured stable (×1.15). The count() rides the already-persisted
+    // relation (one cache-build pass that the un-persisted form paid
+    // three times over); explicit repartition pins the count so the
+    // windows inherit it exchange-free (user repartition(n, col) is not
+    // AQE-coalesced). The floor keeps toy scales at the session default
+    // — bench/oracle plans there are unchanged.
+    val nCand = cand.count()
+    val defaultPar = emb.sparkSession.sparkContext.defaultParallelism
+    val parts = Math.min(4096L, nCand / pairRowsPerPartition + 1L).toInt
+    // Only pin when the derived count EXCEEDS the session default: an
+    // explicit repartition also disables AQE's partition coalescing,
+    // which is exactly what tiny scales want (bench/oracle plans there
+    // keep their AQE-managed exchanges and stay floor-comparable).
+    def byKey(df: DataFrame, k: Column): DataFrame =
+      if (parts > defaultPar) df.repartition(parts, k) else df
+    val wA = Window.partitionBy(col("id_a"))
+    val wB = Window.partitionBy(col("id_b"))
+    val m = byKey(byKey(cand, col("id_b"))
+      .withColumn("__sb", sum("cos_u").over(wB))
+      .withColumn("__nb", count(lit(1)).over(wB)), col("id_a"))
+      .withColumn("__sa", sum("cos_u").over(wA))
+      .withColumn("__na", count(lit(1)).over(wA))
       .withColumn("margin_bp",
         floor(lit(2.0) * col("cos_u")
             / (col("__sa").cast(DoubleType) / col("__na")
               + col("__sb").cast(DoubleType) / col("__nb"))
             * 10000.0 + 0.5)
           .cast(LongType))
+      .select(col("id_a"), col("id_b"), col("cos_u"), col("margin_bp"))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("margin_bp").desc, col("id_b").asc)
-    m.withColumn("__rn", row_number().over(w))
+    val mined = m.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("margin_bp") >= minMarginBp)
       .select(col("id_a"), col("id_b"), col("cos_u"), col("margin_bp"))
+    Seq("bucketed" -> b, "candidates" -> cand, "margins" -> m,
+      "mined" -> mined)
   }
+
+  /** Target pair rows per task for the mining windows — the
+    * size-derived partitioning knob (≈150k 24-byte pair rows ≈ 4 MB of
+    * sort input per task; measured stable at the 1000× decade where the
+    * session default's ~580k-row tasks hit GC/spill cliffs). */
+  private val pairRowsPerPartition = 150000L
 
   /** Near-dup pairs WITH their evidence — the explainability report a
     * curator reads before trusting (or appealing) a dedup decision:
