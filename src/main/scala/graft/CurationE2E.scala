@@ -104,10 +104,19 @@ object CurationE2E {
       "s12_gate_exact", always = true)
     // 3 — LSH near-dup dedup. The pair relation is persisted by
     // lshJaccard and REUSED by the split-leakage check in stage 8.
+    // lshJaccard and connectedComponents are EAGER (internal persists /
+    // per-iteration checkpoints), so their cost never lands inside any
+    // cut() timing — record the call spans so the instrumented table
+    // attributes the whole run (they read as s3a/s3b; s3 then times only
+    // the survivor checkpoint).
+    val tPairs = System.nanoTime()
     val pairs = Similarity.lshJaccard(exact, "doc_id", "text",
       shingleN, minhashN, rowsPerBand, lshBucketCap, jaccardThreshold)
+    if (stagesOn) record("s3a_lsh_pairs", tPairs)
+    val tComp = System.nanoTime()
     val canonical = Curation.connectedComponents(exact, "doc_id", pairs)
       .filter(col("component") === col("doc_id")).select("doc_id")
+    if (stagesOn) record("s3b_components", tComp)
     val nearKept = cut(exact.join(canonical, Seq("doc_id"), "left_semi"),
       "s3_lsh_neardup", always = false)
     // 4 — semantic dedup: quantizer trained ONCE on the full embedding
